@@ -1,0 +1,463 @@
+"""Oracle-checked analytics queries.
+
+Each entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``; the
+same key in ``ORACLE_SQL`` holds ANSI SQL that DuckDB runs over the identical
+parquet tables. The driver hashes (row count, schema, order-insensitive
+values), so:
+
+- every computed column is aliased identically on both sides;
+- money/measure aggregates are cast to DECIMAL **before** aggregation so the
+  sums are exact and independent of floating-point reduction order;
+- every LIMIT carries a total-order tie-break.
+
+These re-express the reference's analytics tools over the driver's TPC-H-ish
+tables (reference queries live in /root/reference/src/pegasus/tools/report.py
+and tools/lianjia_avg.py; per-operator citations below).
+
+Scale notes (100 TB design intent) are in each docstring — the local plans
+are the same plans we would want on a 1000-executor cluster: scans prune
+columns + push filters, small dims are broadcast, top-K is
+TakeOrderedAndProject (partial per partition + merge), and windows partition
+on the natural key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A-family: aggregation rollups (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped rollup — the A1-A4 count/sum/max/min family
+    (reference: rate.RateStats combine, rate.go:95-108; per-region stat
+    rollup, updatedb.go:109-118).
+
+    Scale: map-side partial aggregation + a tiny shuffle of one row per
+    (flag,status) group; decimal sums keep the result exact at any
+    parallelism. Pushed filter on l_shipdate; only 7 columns read.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.max(dec("l_quantity")).alias("max_qty"),
+            F.min(dec("l_quantity")).alias("min_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       MAX(CAST(l_quantity AS DECIMAL(18,4))) AS max_qty,
+       MIN(CAST(l_quantity AS DECIMAL(18,4))) AS min_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RateStats monoid per event_type: bytes/duration sums, success/failure
+    counts, max/min latency (reference: rate.go:32-40,95-108 — the exact
+    column set TotalBytes/TotalDuration/SuccessCnt/FailureCnt/Max/Min).
+
+    Scale: pure map-side-combinable agg; one output row per event_type.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(v).alias("total_value"),
+            F.count(F.lit(1)).alias("total_cnt"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("failure_cnt"),
+            F.max(v).alias("max_value"),
+            F.min(v).alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_RATE_STATS = """
+SELECT event_type,
+       SUM(CAST(value AS DECIMAL(18,4))) AS total_value,
+       COUNT(*) AS total_cnt,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failure_cnt,
+       MAX(CAST(value AS DECIMAL(18,4))) AS max_value,
+       MIN(CAST(value AS DECIMAL(18,4))) AS min_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily avg/median/count — the reference's day-price series
+    (calc_today_price + get_mid_price, tools/lianjia_avg.py:201-222; A5-A7).
+
+    Median is exact (Spark `percentile`), matching DuckDB's
+    percentile_cont interpolation on the same doubles. Scale: groupBy day is
+    a narrow-key shuffle; exact median needs a per-group sort, acceptable
+    because groups (days) are numerous and individually small — at 100 TB we
+    would switch to percentile_approx and document the error bound.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_STATS = """
+SELECT CAST(ts AS DATE) AS day,
+       SUM(CAST(value AS DECIMAL(18,4))) AS sum_value,
+       COUNT(*) AS cnt,
+       ROUND(CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE), 4) AS median_value
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# K-family: sorts / limits / top-K (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by total price (K2 `ORDER BY total DESC LIMIT 10`,
+    report.py:195-214, + K3's k-way merge which Spark performs natively as
+    TakeOrderedAndProject: per-partition partial top-K then a driver merge —
+    exactly the reference's reduceValset, report.py:46-74, but distributed).
+
+    Tie-break on o_orderkey makes the row set deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by acctbal per nation — the window-ranked per-partition
+    top-K that the north rule uses for the frontier dequeue (K1/W3; reference
+    analog: MaxPage-desc region dispatch, region_maxpage.go:97-111).
+
+    Scale: single shuffle on the window key; rank pushdown (WindowGroupLimit
+    in Spark 3.5+/4.x) keeps only k rows per key per partition pre-shuffle.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rk")
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT c_nationkey, c_custkey, c_name, c_acctbal, rk FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+) WHERE rk <= 3
+ORDER BY c_nationkey, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q_join_filter_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: derived-table equi-join — filtered dimension joined to filtered
+    fact, ordered output (read_db_price_change, tools/lianjia_avg.py:126-151).
+
+    Scale: customer-filter is the small side → explicit broadcast; the
+    orders filter pushes to the parquet scan. No shuffle at all for the
+    join (broadcast hash join), one for the final order/limit top-K.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_name")), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+ORACLE_JOIN_FILTER_TOPN = """
+SELECT o_orderkey, c_name, o_totalprice, o_orderdate
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 100000
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+
+def q_correlated_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: the correlated scalar subquery pattern (SELECT location FROM data
+    WHERE data.aid = change.aid — report.py:266-276) in its idiomatic
+    decorrelated form: a left join from fact to dimension.
+
+    Scale: nation is tiny → broadcast; zero-shuffle lookup join.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation_name"), "c_acctbal")
+        .filter(F.col("c_acctbal") > 9000)
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_CORRELATED_LOOKUP = """
+SELECT c_custkey, c_name,
+       (SELECT n_name FROM nation WHERE n_nationkey = c_nationkey) AS nation_name,
+       c_acctbal
+FROM customer
+WHERE c_acctbal > 9000
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family set difference: rows not present in the other set — the
+    frontier "not yet seen" filter (rebuild of the reference's dict-lookup
+    dedup, updatedb.go:278-295) as a left_anti join.
+
+    Scale: this is THE frontier-enqueue op; at 10^10 rows it runs bloom-first
+    (pegasus_spark.crawler.bloom) and left_anti only on the bloom-positive
+    remainder.
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_ANTI_JOIN_UNSEEN = """
+SELECT doc_id, lang, source, n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_cdc_price_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: data-change diff join — old vs new snapshot of the same key, emit
+    change rows where the tracked value moved (updateDataChange,
+    updatedb.go:317-333). Emulated over events: each user's first (old) vs
+    last (new) observed value by ts.
+
+    Scale: one shuffle on user_id; both windows share the same partitioning
+    so Catalyst evaluates them in a single Window node pair without an extra
+    exchange.
+    """
+    ev = load(spark, sf_dir, "events")
+    w_asc = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_all = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w_asc))
+        .withColumn("old_value", F.first("value").over(w_all))
+        .withColumn("new_value", F.last("value").over(w_all))
+        .filter(F.col("rk") == 1)
+        .filter(F.col("old_value") != F.col("new_value"))
+        .select("user_id", "old_value", "new_value")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CDC_PRICE_CHANGE = """
+WITH ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rk_asc,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk_desc
+  FROM events
+)
+SELECT o.user_id, o.value AS old_value, n.value AS new_value
+FROM ranked o JOIN ranked n ON o.user_id = n.user_id AND o.rk_asc = 1 AND n.rk_desc = 1
+WHERE o.value <> n.value
+ORDER BY o.user_id
+"""
+
+
+def q_meta_change_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: generic field-level diff via melt/stack — the reference's
+    reflection loop over struct fields emitting (key, item, value) rows
+    (updateMetaChange, updatedb.go:335-379) becomes a generated `stack()`
+    over a compile-time column list (here: part's describable fields).
+
+    Scale: stack is a narrow op — no shuffle until the final order.
+    """
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.expr(
+                "stack(3, 'brand', p_brand, 'type', p_type, 'size', CAST(p_size AS STRING)) AS (item, val)"
+            ),
+        )
+        .orderBy("p_partkey", "item")
+    )
+
+
+ORACLE_META_CHANGE_MELT = """
+SELECT p_partkey, item, val FROM (
+  SELECT p_partkey, 'brand' AS item, p_brand AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'type' AS item, p_type AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'size' AS item, CAST(p_size AS VARCHAR) AS val FROM part
+)
+ORDER BY p_partkey, item
+"""
+
+
+# ---------------------------------------------------------------------------
+# W-family: windows / time-series (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+def q_first_value_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/A8: first value per key by time (collect_first_price,
+    tools/lianjia_avg.py:87-96).
+
+    Scale: WindowGroupLimit prunes to 1 row per key per partition before the
+    shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("value").alias("first_value"), F.col("ts").alias("first_ts"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_FIRST_VALUE_PER_KEY = """
+SELECT user_id, value AS first_value, ts AS first_ts FROM (
+  SELECT user_id, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rk
+  FROM events
+) WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+def q_day_sweep_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the daily active-set sweep — entities enter at their first day and
+    leave at their last; count actives per day (LoDayPrices.calc_day_prices,
+    tools/lianjia_avg.py:165-229). Interval expansion: sequence() + explode
+    instead of the reference's driver-side event replay.
+
+    Scale: expansion multiplies rows by avg interval length — bounded here
+    (≤31 days of events); at 100 TB the same plan works because explode is
+    narrow (no shuffle) and the following agg is map-side combinable.
+    """
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    return (
+        spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("day")
+    )
+
+
+ORACLE_DAY_SWEEP_ACTIVE = """
+WITH spans AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY user_id
+),
+days AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM spans
+)
+SELECT day, COUNT(*) AS active_users FROM days GROUP BY day ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "rate_stats": q_rate_stats,
+    "daily_stats": q_daily_stats,
+    "top_orders": q_top_orders,
+    "topk_per_group": q_topk_per_group,
+    "join_filter_topn": q_join_filter_topn,
+    "correlated_lookup": q_correlated_lookup,
+    "anti_join_unseen": q_anti_join_unseen,
+    "cdc_price_change": q_cdc_price_change,
+    "meta_change_melt": q_meta_change_melt,
+    "first_value_per_key": q_first_value_per_key,
+    "day_sweep_active": q_day_sweep_active,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "rate_stats": ORACLE_RATE_STATS,
+    "daily_stats": ORACLE_DAILY_STATS,
+    "top_orders": ORACLE_TOP_ORDERS,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "join_filter_topn": ORACLE_JOIN_FILTER_TOPN,
+    "correlated_lookup": ORACLE_CORRELATED_LOOKUP,
+    "anti_join_unseen": ORACLE_ANTI_JOIN_UNSEEN,
+    "cdc_price_change": ORACLE_CDC_PRICE_CHANGE,
+    "meta_change_melt": ORACLE_META_CHANGE_MELT,
+    "first_value_per_key": ORACLE_FIRST_VALUE_PER_KEY,
+    "day_sweep_active": ORACLE_DAY_SWEEP_ACTIVE,
+}
