@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline analytics queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the `noop` datasource writer so timing
+measures the full distributed plan (scan → shuffle → agg) without paying a
+driver-side collect — the same way a cluster run would sink to a table.
+
+Also reports crawl-loop throughput (pages/sec + frontier-URLs/sec on the
+seed=42 synthetic Lianjia-shaped site, the BASELINE.json metric) when the
+crawler package is present; the two-parallelism scaling-efficiency protocol
+lives in ``benchmarks/scaling_bench.py`` (writes BENCH/BASELINE.md evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> int:
+    """Run the full plan without a driver collect; return row count cheaply."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    from pegasus_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="pegasus_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pegasus_spark.analytics.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footer caches once so per-query numbers measure
+    # the plan, not session startup.
+    QUERIES["pricing_summary"](spark, sf_dir).count()
+
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+
+    extra: dict[str, object] = {}
+    try:
+        from benchmarks.crawl_bench import run_crawl_bench
+
+        extra = run_crawl_bench(spark)
+    except Exception as exc:  # crawler bench optional — analytics always report
+        extra = {"crawl_bench_error": str(exc)[:200]}
+
+    out = {
+        "metric": "analytics_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
