@@ -1,0 +1,155 @@
+"""Fetch stage: politeness-enforced page retrieval inside mapInPandas batches.
+
+North-rule contract: "robots.txt + rate-limit enforcement inside mapInPandas
+fetch batches — no per-row Python". The reference's analog is the worker
+tasklet executor (2 concurrent fetches/worker,
+/root/reference/src/pegasus/worker/workertask.go:21,134-144) calling
+rate.GetHtml (/root/reference/src/pegasus/rate/rate.go:119-129).
+
+Two fetchers share one batch protocol:
+
+- ``StoreFetcher`` — the deterministic synthetic page store (a parquet table
+  keyed by canonical URL, FIXTURES.md §2). Loaded once per Python worker
+  process into a dict (module-level cache — the mapInPandas equivalent of the
+  reference's pooled TaskletCtx, task/task.go:78,95-97). Fetch timestamps are
+  simulated: within a batch each host's requests are spaced by its
+  ``min_interval_ms``, which the politeness property test asserts.
+- ``HttpFetcher`` — real urllib fetches with actual inter-request sleeps, for
+  cluster runs. Never used in tests (no network in the sandbox).
+
+Budget (max requests per host per round) is enforced UPSTREAM at dequeue
+(frontier.dequeue) so executors cannot collude to exceed it — see SURVEY
+§7.4. Spacing inside the batch is sound because the scheduler repartitions
+the dequeued batch by host: one host never spans two partitions.
+
+Per-fetch metrics columns feed the RateStats rollup (rate.go:32-40).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FETCH_SCHEMA_EXTRA = [
+    StructField("status", IntegerType()),
+    StructField("body", StringType()),
+    StructField("nbytes", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("fetch_ts_ms", LongType()),
+]
+
+_STORE_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _load_store(path: str) -> dict[str, str]:
+    """Per-process lazy page-store load (executor-side)."""
+    if path not in _STORE_CACHE:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(path, format="parquet").to_table(columns=["url", "body"])
+        _STORE_CACHE[path] = dict(
+            zip(tbl.column("url").to_pylist(), tbl.column("body").to_pylist())
+        )
+    return _STORE_CACHE[path]
+
+
+class StoreFetcher:
+    """fetch(pdf) → pdf + (status, body, nbytes, duration_ms, fetch_ts_ms)."""
+
+    def __init__(self, store_path: str, min_interval_ms: dict[str, int], round_start_ms: int):
+        self.store_path = store_path
+        self.min_interval_ms = min_interval_ms
+        self.round_start_ms = round_start_ms
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        store = _load_store(self.store_path)
+        pdf = pdf.sort_values(["host", "priority", "url"], ascending=[True, False, True]).copy()
+        bodies = pdf["url"].map(store)
+        found = bodies.notna()
+        pdf["status"] = found.map({True: 200, False: 404}).astype("int32")
+        pdf["body"] = bodies.where(found, None)
+        pdf["nbytes"] = bodies.str.len().fillna(0).astype("int64")
+        # deterministic simulated latency: 1-5 ms keyed by url hash
+        pdf["duration_ms"] = (pdf["url_hash64"].astype("int64") % 5 + 1).abs().astype("int64")
+        seq = pdf.groupby("host").cumcount()
+        interval = pdf["host"].map(self.min_interval_ms).fillna(0).astype("int64")
+        pdf["fetch_ts_ms"] = self.round_start_ms + seq * interval
+        return pdf
+
+
+class HttpFetcher:
+    """Real-network variant (cluster path). Same batch protocol; sleeps
+    ``min_interval_ms`` between same-host requests — vectorization applies to
+    everything except the unavoidable serial GETs."""
+
+    def __init__(self, min_interval_ms: dict[str, int], timeout_s: float = 10.0):
+        self.min_interval_ms = min_interval_ms
+        self.timeout_s = timeout_s
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        import urllib.request
+
+        pdf = pdf.sort_values(["host", "priority", "url"], ascending=[True, False, True]).copy()
+        rows = []
+        last_by_host: dict[str, float] = {}
+        for url, host in zip(pdf["url"], pdf["host"]):
+            wait = self.min_interval_ms.get(host, 0) / 1000.0
+            since = time.monotonic() - last_by_host.get(host, 0.0)
+            if since < wait:
+                time.sleep(wait - since)
+            t0 = time.monotonic()
+            try:
+                with urllib.request.urlopen(url, timeout=self.timeout_s) as r:
+                    body = r.read().decode("utf-8", "replace")
+                    status = r.status
+            except Exception:
+                body, status = None, 599
+            last_by_host[host] = time.monotonic()
+            rows.append(
+                (status, body, len(body) if body else 0,
+                 int((time.monotonic() - t0) * 1000), int(time.time() * 1000))
+            )
+        pdf[["status", "body", "nbytes", "duration_ms", "fetch_ts_ms"]] = pd.DataFrame(
+            rows, index=pdf.index
+        )
+        return pdf
+
+
+def fetch_batch(dequeued: DataFrame, fetcher, n_partitions: int) -> DataFrame:
+    """Run the fetcher over the dequeued frontier rows, one host never split
+    across partitions (hash-partition on host) so in-batch spacing is global
+    per host."""
+    out_schema = StructType(list(dequeued.schema.fields) + FETCH_SCHEMA_EXTRA)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield fetcher(pdf)
+
+    return dequeued.repartition(n_partitions, F.col("host")).mapInPandas(run, out_schema)
+
+
+def rate_stats(fetched: DataFrame, round_no: int) -> DataFrame:
+    """A4: the RateStats monoid per host (rate.go:32-40,95-108) as a
+    map-side-combinable agg — TotalBytes/TotalDuration/Success/Failure/
+    Max/MinDuration, appended per round (the rebuild of the 1 s worker→master
+    rate POST, rate.go:135-149)."""
+    return fetched.groupBy("host").agg(
+        F.lit(round_no).alias("round"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("success_cnt"),
+        F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("failure_cnt"),
+        F.max("duration_ms").alias("max_duration_ms"),
+        F.min("duration_ms").alias("min_duration_ms"),
+    )

@@ -1,0 +1,398 @@
+"""The crawl scheduler: driver round loop over Spark batches.
+
+Rebuilds the reference's master/worker engine
+(/root/reference/src/pegasus/master/masterproj.go:158-180 sequential job
+runner; masterjob.go:399-455 dispatcher; worker/workertask.go executors) as
+the SURVEY §7.1 design: each round is one Spark batch —
+
+    ① dequeue top-K per host under politeness budget (window rank, W3/K1)
+    ② mapInPandas fetch batch (robots pre-marked, spacing in-batch)
+    ③ parse (Catalyst expressions only) + route by page kind
+    ④ CDC merge into apartments (+ change/meta-change side outputs)
+    ⑤ payload join-back → items table
+    ⑥ canonicalize + bloom/left_anti dedup → salted enqueue
+    ⑦ metrics + fetch-log append, snapshot + checkpoint commit
+
+The fixed 5-stage Lianjia DAG (lianjia/proj.go:48-59) falls out of the
+priority encoding: stage rank dominates, so districts drain before regions
+before listing pages — while staying a general frontier scheduler (arbitrary
+depth). Within the listing stage, priority = LISTING_P + total_page gives
+the reference's LPT big-regions-first dispatch (region_maxpage.go:97-111).
+
+Determinism contract (SURVEY §4.3): every dequeue, dedup, and merge is
+ordered by the canonical key (round, priority desc, region, page, url), so
+local[1] and local[32] produce identical fetch logs, URL-seen sets, and
+table contents — the property the N-vs-4N scaling evidence relies on.
+
+Scale posture: the driver loop holds ONLY scalar state (round number,
+version ids, counters). Frontier, bloom shards, payloads live in tables;
+nothing is ever collect()ed except tiny per-round counters.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pegasus_spark.crawler.bloom import BloomShards
+from pegasus_spark.crawler.cdc import empty_apartments, merge_apartments
+from pegasus_spark.crawler.fetch import StoreFetcher, fetch_batch, rate_stats
+from pegasus_spark.crawler.frontier import (
+    Checkpoint,
+    FrontierStore,
+    dequeue,
+    filter_unseen,
+    prepare_candidates,
+    with_dequeue_seq,
+)
+from pegasus_spark.crawler.items import extract_items
+from pegasus_spark.crawler.parse import (
+    abbr_from_url,
+    child_links,
+    dedupe_cards,
+    parse_cards,
+    parsed_body,
+    split_malformed,
+    total_page_col,
+)
+from pegasus_spark.crawler.urlnorm import with_url_columns
+
+# Stage-rank priority encoding: higher = earlier. Listing pages add
+# total_page so larger regions dispatch first (LPT, K1).
+ROOT_P = 5_000_000
+DISTRICT_P = 4_000_000
+REGION_P = 3_000_000
+LISTING_P = 1_000_000
+
+EXCLUDED_DISTRICTS = ("shanghaizhoubian",)  # F2, regions.go:53-57
+
+
+@dataclass
+class RunResult:
+    rounds: int
+    pages_fetched: int
+    urls_enqueued: int
+    cards_parsed: int
+    wall_s: float
+
+
+class CrawlScheduler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        page_store_path: str,
+        image_store_path: str,
+        budget: DataFrame,
+        allowlist: dict[str, list[str]] | None = None,
+        seed_urls: list[str] | None = None,
+        n_partitions: int = 8,
+        now_ts: int | None = None,
+        bloom: BloomShards | None = None,
+    ):
+        self.spark = spark
+        self.store = FrontierStore(spark, workdir)
+        self.page_store_path = page_store_path
+        self.image_store_path = image_store_path
+        self.budget = budget
+        self.allowlist = allowlist or {}
+        self.seed_urls = seed_urls or []
+        self.n_partitions = n_partitions
+        self.now_ts = int(now_ts if now_ts is not None else time.time())
+        self.bloom = bloom or BloomShards(n_shards=16, m_bits=1 << 17, k=7)
+        self._intervals: dict[str, int] | None = None
+
+    # -- helpers -------------------------------------------------------------
+
+    def _interval_map(self) -> dict[str, int]:
+        if self._intervals is None:
+            self._intervals = {
+                r["host"]: int(r["min_interval_ms"]) for r in self.budget.collect()
+            }
+        return self._intervals
+
+    def _discoveries_from(self, parsed: DataFrame) -> DataFrame:
+        """③ route: per parent kind, emit raw child rows (url, kind, priority,
+        page, depth, region) — the F1/F2/F3 source-side filters applied here,
+        the cheapest place (SURVEY §4.1)."""
+        # root → district links
+        d_raw = child_links(parsed.filter(F.col("kind") == "root"))
+        d = (
+            with_url_columns(d_raw)
+            .withColumn("abbr", abbr_from_url())
+            .filter(~F.col("abbr").isin(*EXCLUDED_DISTRICTS))
+        )
+        if self.allowlist:
+            d = d.filter(F.col("abbr").isin(*self.allowlist.keys()))
+        districts = d.select(
+            "url", F.lit("district").alias("kind"), F.lit(DISTRICT_P).alias("priority"),
+            F.lit(0).alias("page"), F.lit(1).alias("depth"),
+            F.lit(None).cast("string").alias("region"),
+        )
+
+        # district → region links (F3: per-district region allowlist)
+        r_raw = child_links(parsed.filter(F.col("kind") == "district"))
+        r = (
+            with_url_columns(r_raw)
+            .withColumn("abbr", abbr_from_url())
+            .withColumn("parent_abbr", abbr_from_url("parent_url"))
+        )
+        restricted = {k: v for k, v in self.allowlist.items() if v}
+        if restricted:
+            pairs = self.spark.createDataFrame(
+                [(dd, rr) for dd, rs in restricted.items() for rr in rs],
+                "parent_abbr string, abbr string",
+            )
+            unrestricted = r.filter(~F.col("parent_abbr").isin(*restricted.keys()))
+            allowed = r.join(F.broadcast(pairs), ["parent_abbr", "abbr"], "left_semi")
+            r = unrestricted.unionByName(allowed)
+        regions = r.select(
+            "url", F.lit("region").alias("kind"), F.lit(REGION_P).alias("priority"),
+            F.lit(0).alias("page"), F.lit(2).alias("depth"),
+            F.col("abbr").alias("region"),
+        )
+
+        # region → listing-page fan-out (F4 empty-region elision; K1 LPT prio)
+        reg = (
+            parsed.filter(F.col("kind") == "region")
+            .withColumn("total_page", total_page_col())
+            .filter(F.col("total_page") > 0)
+            .withColumn("abbr", abbr_from_url())
+        )
+        listing = reg.select(
+            "url", "abbr", "total_page",
+            F.explode(F.sequence(F.lit(1), F.col("total_page"))).alias("pg"),
+        ).select(
+            F.concat(F.col("url"), F.lit("pg"), F.col("pg"), F.lit("co32/")).alias("url"),
+            F.lit("listing_page").alias("kind"),
+            (F.lit(LISTING_P) + F.col("total_page")).alias("priority"),
+            F.col("pg").alias("page"),
+            F.lit(3).alias("depth"),
+            F.col("abbr").alias("region"),
+        )
+        return districts.unionByName(regions).unionByName(listing)
+
+    # -- bootstrap / resume --------------------------------------------------
+
+    def bootstrap(self) -> Checkpoint:
+        """Seed the frontier (round 0). Seeds default to nothing — callers
+        pass the root URL(s); reference analog: the hardcoded root link,
+        links.go:8-11."""
+        seeds = self.spark.createDataFrame(
+            [(u,) for u in self.seed_urls], "url string"
+        ).select(
+            "url", F.lit("root").alias("kind"), F.lit(ROOT_P).alias("priority"),
+            F.lit(0).alias("page"), F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("region"),
+        )
+        cand = prepare_candidates(seeds, self.budget, round_no=0)
+        self.store.write_frontier(cand, 0, self.n_partitions)
+        self.store.write_bloom(self.bloom.build(cand, version=0), 0)
+        self.budget.write.mode("overwrite").parquet(
+            f"{self.store.workdir}/politeness_budget"
+        )
+        ckpt = Checkpoint(round=0, frontier_version=0, apartments_version=-1,
+                          bloom_versions=[0])
+        self.store.write_checkpoint(ckpt)
+        return ckpt
+
+    # -- one round -----------------------------------------------------------
+
+    def run_round(self, ckpt: Checkpoint) -> tuple[Checkpoint, dict]:
+        round_no = ckpt.round + 1
+        frontier = self.store.read_frontier(ckpt.frontier_version)
+        dq = with_dequeue_seq(dequeue(frontier, self.budget), round_no).cache()
+        n_dq = dq.count()
+        if n_dq == 0:
+            dq.unpersist()
+            return ckpt, {"dequeued": 0}
+
+        # golden ordering log (append BEFORE fetch: the dequeue decision IS
+        # the contract, independent of fetch outcome)
+        self.store.append(
+            "fetch_log",
+            dq.select("round", "seq", "url", "host", "kind", "priority", "region", "page"),
+            round_no,
+        )
+
+        fetcher = StoreFetcher(
+            self.page_store_path, self._interval_map(),
+            round_start_ms=round_no * 10_000_000,
+        )
+        fetched = fetch_batch(dq.drop("round", "seq"), fetcher, self.n_partitions).cache()
+        # per-fetch audit rows (politeness property tests + throughput bench)
+        self.store.append(
+            "fetches",
+            fetched.select(
+                F.lit(round_no).alias("round"), "url", "host", "kind", "status",
+                "nbytes", "duration_ms", "fetch_ts_ms",
+            ),
+            round_no,
+        )
+        parsed = parsed_body(fetched.filter(F.col("status") == 200)).cache()
+
+        # ④ cards → CDC merge
+        cards_all = parse_cards(parsed.filter(F.col("kind") == "listing_page"))
+        cards_ok, cards_bad = split_malformed(cards_all)
+        cards = dedupe_cards(cards_ok).cache()
+        n_cards = cards.count()
+        apt_version = ckpt.apartments_version
+        if n_cards:
+            old = (
+                self.store.read_apartments(apt_version)
+                if apt_version >= 0
+                else empty_apartments(self.spark)
+            )
+            batch = cards.select(
+                "location", "aid", "price", "size", "total", "subway", "station",
+                "smeter", "floor", "tfloor", "year", "withlift", "visitcnt", "region",
+            )
+            merged, changes, meta_changes, stats = merge_apartments(old, batch, self.now_ts)
+            apt_version = round_no
+            self.store.write_apartments(merged, apt_version)
+            self.store.append("changes", changes, round_no)
+            self.store.append("meta_changes", meta_changes, round_no)
+            self.store.append("merge_stats", stats, round_no)
+            # ⑤ payload join-back
+            image_store = self.spark.read.parquet(self.image_store_path)
+            self.store.append("items", extract_items(cards, image_store), round_no)
+        self.store.append("errors", cards_bad, round_no)
+
+        # ⑥ discoveries → enqueue
+        discoveries = self._discoveries_from(parsed)
+        cand = prepare_candidates(discoveries, self.budget, round_no)
+        bloom_shards = self.store.read_bloom(ckpt.bloom_versions)
+        new_rows = filter_unseen(self.spark, cand, frontier, self.bloom, bloom_shards).cache()
+        n_new = new_rows.count()
+        bloom_versions = list(ckpt.bloom_versions)
+        if n_new:
+            self.store.write_bloom(self.bloom.build(new_rows, version=round_no), round_no)
+            bloom_versions.append(round_no)
+
+        # frontier state transition + snapshot
+        res = fetched.select("url", "status")
+        updated = (
+            frontier.join(res, "url", "left")
+            .withColumn(
+                "state",
+                F.when(F.col("status") == 200, "fetched")
+                .when(F.col("status").isNotNull(), "failed")
+                .otherwise(F.col("state")),
+            )
+            .drop("status")
+        )
+        new_frontier = updated.unionByName(new_rows)
+        self.store.write_frontier(new_frontier, round_no, self.n_partitions)
+
+        # ⑦ metrics + lineage
+        self.store.append("metrics", rate_stats(fetched, round_no), round_no)
+        lineage_rows = (
+            self.store.read_frontier(round_no)
+            .groupBy("host", "state").count().collect()
+        )
+        lineage: dict[str, dict[str, int]] = {}
+        for r in lineage_rows:
+            lineage.setdefault(r["host"], {})[r["state"]] = r["count"]
+
+        counters = dict(ckpt.counters)
+        counters["pages_fetched"] = counters.get("pages_fetched", 0) + n_dq
+        counters["urls_enqueued"] = counters.get("urls_enqueued", 0) + n_new
+        counters["cards_parsed"] = counters.get("cards_parsed", 0) + n_cards
+
+        new_ckpt = Checkpoint(
+            round=round_no,
+            frontier_version=round_no,
+            apartments_version=apt_version,
+            bloom_versions=bloom_versions,
+            appended_rounds=ckpt.appended_rounds + [round_no],
+            partition_lineage=lineage,
+            counters=counters,
+        )
+        self.store.write_checkpoint(new_ckpt)
+        for df in (dq, fetched, parsed, cards, new_rows):
+            df.unpersist()
+        return new_ckpt, {"dequeued": n_dq, "new_urls": n_new, "cards": n_cards}
+
+    # -- full run ------------------------------------------------------------
+
+    def run(self, max_rounds: int = 64) -> RunResult:
+        """Crawl until the frontier drains (or max_rounds). Resumes from the
+        checkpoint manifest if one exists — exact resume is the ST4/§5.6
+        contract; see tests/test_resume.py."""
+        t0 = time.perf_counter()
+        ckpt = self.store.load_checkpoint() or self.bootstrap()
+        start_ts = self.now_ts
+        rounds = 0
+        drained = False
+        while rounds < max_rounds:
+            ckpt, info = self.run_round(ckpt)
+            if info.get("dequeued", 0) == 0:
+                drained = True
+                break
+            rounds += 1
+        wall = time.perf_counter() - t0
+        if drained and not ckpt.finished:
+            ckpt.finished = True
+            self.store.write_checkpoint(ckpt)
+            self._write_run_history(ckpt, start_ts, wall)
+        return RunResult(
+            rounds=rounds,
+            pages_fetched=ckpt.counters.get("pages_fetched", 0),
+            urls_enqueued=ckpt.counters.get("urls_enqueued", 0),
+            cards_parsed=ckpt.counters.get("cards_parsed", 0),
+            wall_s=wall,
+        )
+
+    def _write_run_history(self, ckpt: Checkpoint, start_ts: int, wall_s: float) -> None:
+        """crawl_runs lineage row — UpdateHistory rebuild (proj.go:90-127)."""
+        row = [(
+            start_ts,
+            start_ts + int(wall_s) + 1,
+            json.dumps({"rounds": ckpt.round}),
+            json.dumps(ckpt.counters),
+        )]
+        self.store.append(
+            "crawl_runs",
+            self.spark.createDataFrame(
+                row, "start bigint, end bigint, log string, result string"
+            ),
+            ckpt.round,
+        )
+
+    # -- second crawl run (CDC round 2) --------------------------------------
+
+    def new_run(self, page_store_path: str, now_ts: int) -> None:
+        """Start a fresh crawl over a (possibly mutated) site while KEEPING
+        the apartments/changes lineage — the reference's repeated project runs
+        against the same MySQL tables. Frontier re-seeds; the URL-seen filter
+        resets (each run re-crawls; seen-dedup is per-run, matching the
+        per-run Go maps)."""
+        ckpt = self.store.load_checkpoint()
+        if ckpt is None:
+            raise RuntimeError("no prior run to continue from")
+        self.page_store_path = page_store_path
+        self.now_ts = int(now_ts)
+        base = ckpt.round + 1
+        seeds = self.spark.createDataFrame(
+            [(u,) for u in self.seed_urls], "url string"
+        ).select(
+            "url", F.lit("root").alias("kind"), F.lit(ROOT_P).alias("priority"),
+            F.lit(0).alias("page"), F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("region"),
+        )
+        cand = prepare_candidates(seeds, self.budget, round_no=base)
+        self.store.write_frontier(cand, base, self.n_partitions)
+        self.store.write_bloom(self.bloom.build(cand, version=base), base)
+        new_ckpt = Checkpoint(
+            round=base,
+            frontier_version=base,
+            apartments_version=ckpt.apartments_version,
+            bloom_versions=[base],
+            appended_rounds=ckpt.appended_rounds,
+            counters=ckpt.counters,
+        )
+        self.store.write_checkpoint(new_ckpt)

@@ -32,6 +32,17 @@ def get_spark(
     the sandbox stand-in for a multi-executor cluster. On a real cluster the
     caller passes ``master=None`` and lets spark-submit decide.
     """
+    # Executor Python workers must import this package even when the driver
+    # was launched outside the repo (the cluster equivalent is
+    # `spark-submit --py-files pegasus_spark.zip`). PYTHONPATH must be set
+    # BEFORE the JVM forks the first python worker.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"

@@ -1,0 +1,186 @@
+"""Full-crawl integration tests against the pure-pandas oracle:
+URL-seen set, golden ordering, apartments content, dedup/malformed paths,
+politeness + robots properties, payload per-row invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from crawl_oracle import (
+    expected_apartments_run1,
+    expected_fetched_set,
+    expected_url_set,
+)
+from pegasus_spark.crawler.codec import decode_image, psnr, synth_image
+from pegasus_spark.crawler.fixtures import budget_df, make_site_spec, write_fixture
+from pegasus_spark.crawler.scheduler import CrawlScheduler
+
+TS1 = 1_700_000_000
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    spec = make_site_spec(pages_per_region_max=6)
+    fx = str(tmp_path_factory.mktemp("fx"))
+    write_fixture(spark, spec, fx, round_no=1)
+    work = str(tmp_path_factory.mktemp("work"))
+    sched = CrawlScheduler(
+        spark, work,
+        page_store_path=f"{fx}/site_pages_r1.parquet",
+        image_store_path=f"{fx}/items_r1.parquet",
+        budget=budget_df(spark, spec),
+        seed_urls=[spec.root_url],
+        now_ts=TS1,
+    )
+    result = sched.run()
+    ckpt = sched.store.load_checkpoint()
+    return spec, sched, result, ckpt
+
+
+def test_url_seen_set_matches_oracle(crawl):
+    spec, sched, _, ckpt = crawl
+    frontier = sched.store.read_frontier(ckpt.frontier_version)
+    seen = {r["url"] for r in frontier.select("url").collect()}
+    assert seen == expected_url_set(spec)
+
+
+def test_fetched_set_and_states(crawl):
+    spec, sched, _, ckpt = crawl
+    frontier = sched.store.read_frontier(ckpt.frontier_version)
+    fetched = {r["url"] for r in frontier.filter("state='fetched'").collect()}
+    assert fetched == expected_fetched_set(spec)
+    states = {r["state"] for r in frontier.select("state").distinct().collect()}
+    assert states <= {"fetched", "robots_blocked"}  # nothing pending or failed
+
+
+def test_robots_never_fetched(crawl):
+    spec, sched, _, ckpt = crawl
+    log = sched.store.read_appended("fetch_log", ckpt.appended_rounds)
+    blocked_prefix = f"/ershoufang/{spec.blocked_region}/"
+    bad = log.filter(
+        F.col("url").contains(blocked_prefix) | F.col("url").contains("/private/")
+    )
+    assert bad.count() == 0
+
+
+def test_stage_ordering_golden(crawl):
+    """Strict stage barriers (§4.3): root ≺ district ≺ region ≺ listing, and
+    within each round the seq order equals the canonical key order."""
+    _, sched, _, ckpt = crawl
+    log = sched.store.read_appended("fetch_log", ckpt.appended_rounds).toPandas()
+    stage_rank = {"root": 0, "district": 1, "region": 2, "listing_page": 3}
+    first = log.groupby("kind")["round"].min()
+    last = log.groupby("kind")["round"].max()
+    for a, b in [("root", "district"), ("district", "region"), ("region", "listing_page")]:
+        assert last[a] < first[b], f"stage {a} must fully precede {b}"
+    for _, grp in log.groupby("round"):
+        g = grp.sort_values("seq")
+        key = list(
+            zip(-g["priority"], g["region"].fillna(""), g["page"], g["url"])
+        )
+        assert key == sorted(key), "within-round seq must follow the canonical order"
+    assert log["kind"].map(stage_rank).notna().all()
+
+
+def test_politeness_budget_per_round(crawl):
+    spec, sched, _, ckpt = crawl
+    log = sched.store.read_appended("fetch_log", ckpt.appended_rounds)
+    counts = log.groupBy("round", "host").count().collect()
+    for r in counts:
+        assert r["count"] <= spec.budget[r["host"]], f"budget exceeded: {r}"
+
+
+def test_politeness_spacing_within_round(crawl):
+    spec, sched, _, ckpt = crawl
+    fetches = sched.store.read_appended("fetches", ckpt.appended_rounds).toPandas()
+    for (rnd, host), grp in fetches.groupby(["round", "host"]):
+        ts = np.sort(grp["fetch_ts_ms"].to_numpy())
+        if len(ts) > 1:
+            assert np.diff(ts).min() >= 10, f"spacing violated r{rnd} {host}"
+
+
+def test_apartments_match_oracle(crawl):
+    spec, sched, _, ckpt = crawl
+    got = (
+        sched.store.read_apartments(ckpt.apartments_version)
+        .toPandas()
+        .sort_values(["region", "aid"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(list(expected_apartments_run1(spec, TS1).values()))
+        .sort_values(["region", "aid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp), f"{len(got)} vs {len(exp)} rows"
+    got = got[exp.columns].astype(exp.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_no_duplicate_aids(crawl):
+    _, sched, _, ckpt = crawl
+    apt = sched.store.read_apartments(ckpt.apartments_version)
+    dups = apt.groupBy("region", "aid").count().filter("count > 1")
+    assert dups.count() == 0
+
+
+def test_malformed_routed_to_errors(crawl):
+    _, sched, _, ckpt = crawl
+    errors = sched.store.read_appended("errors", ckpt.appended_rounds)
+    assert errors.filter("error = 'price_parse'").count() > 0
+    # no malformed row leaked into apartments (oracle equality already
+    # implies this; the explicit null check is belt-and-braces)
+    apt = sched.store.read_apartments(ckpt.apartments_version)
+    assert apt.filter("price IS NULL").count() == 0
+
+
+def test_items_payload_invariant(crawl):
+    """BASELINE.json input_hint: decoded-pixel allclose (png) / PSNR ≥ 40 dB
+    (jpeg) vs the source pixels + exact caption match, on a sample."""
+    spec, sched, _, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    sample = items.dropDuplicates(["image_id"]).limit(80).collect()
+    assert len(sample) == 80
+    for row in sample:
+        arr = decode_image(bytes(row["bytes"]))
+        src = synth_image(row["image_id"], row["h"], row["w"])
+        if row["fmt"] == "png":
+            assert np.array_equal(arr, src), row["image_id"]
+        else:
+            assert psnr(src, arr) >= 40.0, row["image_id"]
+        assert row["caption"], row["image_id"]
+        assert "平米" in row["caption"]
+
+
+def test_items_caption_matches_card(crawl):
+    spec, sched, _, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    store = sched.spark.read.parquet(f"{sched.image_store_path}")
+    joined = items.select("image_id", F.col("caption").alias("got")).join(
+        store.select("image_id", F.col("caption").alias("exp")), "image_id"
+    )
+    assert joined.filter(F.col("got") != F.col("exp")).count() == 0
+
+
+def test_rate_metrics_rollup(crawl):
+    """A4 RateStats: per-host counters exist and sum to the fetch count."""
+    _, sched, res, ckpt = crawl
+    m = sched.store.read_appended("metrics", ckpt.appended_rounds)
+    total = m.agg(
+        F.sum("success_cnt").alias("s"), F.sum("failure_cnt").alias("f")
+    ).collect()[0]
+    assert total["s"] == res.pages_fetched
+    assert total["f"] == 0
+    assert m.filter("max_duration_ms < min_duration_ms").count() == 0
+
+
+def test_crawl_run_history(crawl):
+    _, sched, _, ckpt = crawl
+    runs = sched.store.read_appended("crawl_runs", ckpt.appended_rounds)
+    assert runs.count() == 1
+    row = runs.collect()[0]
+    assert row["end"] >= row["start"]
+    assert "pages_fetched" in row["result"]

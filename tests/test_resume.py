@@ -1,0 +1,106 @@
+"""Resume + parallelism-invariance (SURVEY §5.2/§5.6, north_rule checkpoint
+contract): an interrupted crawl resumed from the manifest produces byte-equal
+outputs to an uninterrupted one, and the golden ordering / final tables are
+independent of the partitioning level."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pegasus_spark.crawler.fixtures import budget_df, make_site_spec, write_fixture
+from pegasus_spark.crawler.scheduler import CrawlScheduler
+
+TS = 1_700_000_000
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, tmp_path_factory):
+    spec = make_site_spec(n_districts=4, regions_per_district=3, pages_per_region_max=5)
+    fx = str(tmp_path_factory.mktemp("fx"))
+    write_fixture(spark, spec, fx, round_no=1)
+    return spec, fx
+
+
+def _mk(spark, spec, fx, work, n_partitions=8):
+    return CrawlScheduler(
+        spark, work,
+        page_store_path=f"{fx}/site_pages_r1.parquet",
+        image_store_path=f"{fx}/items_r1.parquet",
+        budget=budget_df(spark, spec),
+        seed_urls=[spec.root_url],
+        now_ts=TS,
+        n_partitions=n_partitions,
+    )
+
+
+def _outputs(sched):
+    ckpt = sched.store.load_checkpoint()
+    apt = (
+        sched.store.read_apartments(ckpt.apartments_version)
+        .toPandas().sort_values(["region", "aid"]).reset_index(drop=True)
+    )
+    log = (
+        sched.store.read_appended("fetch_log", ckpt.appended_rounds)
+        .toPandas().sort_values(["round", "seq"]).reset_index(drop=True)
+    )
+    frontier = (
+        sched.store.read_frontier(ckpt.frontier_version)
+        .select("url", "state").toPandas().sort_values("url").reset_index(drop=True)
+    )
+    return apt, log, frontier
+
+
+def test_resume_equals_uninterrupted(spark, fixture_dir, tmp_path_factory):
+    spec, fx = fixture_dir
+    # uninterrupted reference run
+    w1 = str(tmp_path_factory.mktemp("w1"))
+    full = _mk(spark, spec, fx, w1)
+    full.run()
+    # interrupted: stop after 2 rounds, then a FRESH scheduler resumes from
+    # the manifest (simulating a driver crash + spark-submit restart)
+    w2 = str(tmp_path_factory.mktemp("w2"))
+    part = _mk(spark, spec, fx, w2)
+    part.run(max_rounds=2)
+    assert not part.store.load_checkpoint().finished
+    resumed = _mk(spark, spec, fx, w2)
+    resumed.run()
+    a1, l1, f1 = _outputs(full)
+    a2, l2, f2 = _outputs(resumed)
+    pd.testing.assert_frame_equal(a1, a2)
+    pd.testing.assert_frame_equal(l1, l2)
+    pd.testing.assert_frame_equal(f1, f2)
+
+
+def test_partition_count_invariance(spark, fixture_dir, tmp_path_factory):
+    """The §4.3 determinism contract: physical parallelism (partition count)
+    must not change the dequeue log, the URL-seen set, or the tables — the
+    property the local[8]-vs-local[32] scaling evidence relies on."""
+    spec, fx = fixture_dir
+    outs = []
+    for n in (2, 8):
+        w = str(tmp_path_factory.mktemp(f"wp{n}"))
+        s = _mk(spark, spec, fx, w, n_partitions=n)
+        s.run()
+        outs.append(_outputs(s))
+    (a1, l1, f1), (a2, l2, f2) = outs
+    pd.testing.assert_frame_equal(a1, a2)
+    pd.testing.assert_frame_equal(l1, l2)
+    pd.testing.assert_frame_equal(f1, f2)
+
+
+def test_checkpoint_lineage_fields(spark, fixture_dir, tmp_path_factory):
+    """Per-partition lineage (north_rule): frontier state per host, bloom
+    shard versions, fetch counters all present in the manifest."""
+    spec, fx = fixture_dir
+    w = str(tmp_path_factory.mktemp("wl"))
+    s = _mk(spark, spec, fx, w)
+    s.run()
+    ckpt = s.store.load_checkpoint()
+    assert ckpt.finished
+    assert ckpt.bloom_versions, "bloom shard versions tracked"
+    assert ckpt.counters["pages_fetched"] > 0
+    assert ckpt.counters["urls_enqueued"] > 0
+    for host, states in ckpt.partition_lineage.items():
+        assert host.endswith(".lianjia.test")
+        assert sum(states.values()) > 0
