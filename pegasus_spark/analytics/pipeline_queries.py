@@ -1,0 +1,353 @@
+"""Training-data pipeline queries with DuckDB oracle twins.
+
+Each Spark implementation lives in pegasus_spark.textops.*; here each gets a
+(spark, sf_dir) wrapper plus an ANSI-SQL twin that recomputes the SAME
+algorithm (same md5 hashes, same closed-form ratios, same rounding, same
+tie-breaks) so the driver's value-hash gate verifies them end-to-end.
+
+SQL-parity rules used throughout (see textops module docstrings):
+md5 hex for all content hashes; varchar MIN for minhash; 60-bit simhash from
+15 hex chars; round() before any float comparison/ordering; explicit
+deterministic tie-break columns on every LIMIT.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pegasus_spark.textops import dedup as D
+from pegasus_spark.textops import similarity as S
+from pegasus_spark.textops import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    return (
+        T.with_token_count(_docs(spark, sf_dir))
+        .select("doc_id", "n_tokens", "n_subwords_est")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       CAST(floor(length(trim(text)) / 4.0) AS INT) AS n_subwords_est
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    return (
+        T.with_quality(_docs(spark, sf_dir))
+        .select("doc_id", "n_tokens", "stop_ratio", "mean_word_len", "punct_ratio", "quality")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, length(tt) AS tlen, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS n_stop,
+         length(tt) - length(regexp_replace(tt, '[.,!?;:]', '', 'g')) AS n_punct
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       round(n_stop * 1.0 / n, 4) AS stop_ratio,
+       round((tlen - (n - 1)) * 1.0 / n, 4) AS mean_word_len,
+       round(n_punct * 1.0 / tlen, 4) AS punct_ratio,
+       round(least(n / 64.0, 1.0) * 0.5
+             + (1.0 - least(n_stop * 1.0 / n, 1.0)) * 0.3
+             + least(((tlen - (n - 1)) * 1.0 / n) / 8.0, 1.0) * 0.2, 4) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return (
+        T.with_lang_guess(_docs(spark, sf_dir))
+        .select(
+            "doc_id", "hits_en", "hits_de", "hits_es", "hits_fr", "lang_guess",
+            (F.col("lang_guess") == F.col("lang")).alias("agrees"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LANG_ID = r"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS hits_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','zu'], x))) AS hits_de,
+    len(list_filter(toks, x -> list_contains(['el','los','las','es','y','que'], x))) AS hits_es,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que'], x))) AS hits_fr
+  FROM t
+)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+       WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+       WHEN hits_es >= hits_fr THEN 'es'
+       ELSE 'fr' END AS lang_guess,
+  (CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        WHEN hits_es >= hits_fr THEN 'es'
+        ELSE 'fr' END) = lang AS agrees
+FROM s ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return (
+        T.with_fingerprint(_docs(spark, sf_dir), k=8)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+WITH t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+w AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 7, 1))) AS i FROM t
+)
+SELECT doc_id, min(md5(substr(tt, i, 8))) AS fingerprint
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return D.exact_dup_groups(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+"""
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    return D.minhash_near_dups(
+        _docs(spark, sf_dir), n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_MINHASH_NEAR_DUP = r"""
+WITH t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(md5(h || '|' || s)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+  (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+   + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+   + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) AS sig_matches
+FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+WHERE (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+   + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+   + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) >= 4
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok
+),
+bits AS (
+  SELECT doc_id, b, SUM(((hv >> b) & 1) * 2 - 1) AS s
+  FROM (SELECT doc_id, hv, unnest(generate_series(0, 59)) AS b FROM h)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    return D.simhash_near_dups(_docs(spark, sf_dir), max_hamming=14).orderBy("id_a", "id_b")
+
+
+ORACLE_SIMHASH_NEAR_DUP = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+bits AS (
+  SELECT doc_id, b, SUM(((hv >> b) & 1) * 2 - 1) AS s
+  FROM (SELECT doc_id, hv, unnest(generate_series(0, 59)) AS b FROM h)
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunked AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
+  FROM (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS c FROM sh)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunked a JOIN chunked b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 14
+ORDER BY id_a, id_b
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, tau=0.25).orderBy("id_a", "id_b")
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i FROM toks)
+),
+c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+FROM inter JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.25
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+ORACLE_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM e, q WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return S.embedding_near_dup_pairs(_emb(spark, sf_dir), tau=0.3).orderBy("id_a", "id_b")
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+    (SELECT SUM(CASE WHEN v[2*j+1] > v[2*j+2] THEN (1::BIGINT << j) ELSE 0 END)
+     FROM unnest(generate_series(0, 15)) AS t(j)) AS bucket
+  FROM e
+)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.v, b2.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) AS cos
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.v, b2.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Approximate NN via random-hyperplane buckets — numpy path, no SQL
+    twin (recall property-tested in tests/test_textops.py); driver records
+    the weaker rows-only check."""
+    return S.ann_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, dim=64)
+
+
+PIPELINE_QUERIES = {
+    "token_stats": q_token_stats,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+}
+
+PIPELINE_ORACLES = {
+    "token_stats": ORACLE_TOKEN_STATS,
+    "doc_quality": ORACLE_DOC_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
+    "simhash": ORACLE_SIMHASH,
+    "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    # ann_topk: intentionally no oracle (approximate, numpy-seeded)
+}

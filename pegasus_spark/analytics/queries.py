@@ -432,6 +432,11 @@ SELECT day, COUNT(*) AS active_users FROM days GROUP BY day ORDER BY day
 # registry
 # ---------------------------------------------------------------------------
 
+from pegasus_spark.analytics.pipeline_queries import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "rate_stats": q_rate_stats,
@@ -445,6 +450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "meta_change_melt": q_meta_change_melt,
     "first_value_per_key": q_first_value_per_key,
     "day_sweep_active": q_day_sweep_active,
+    **PIPELINE_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -460,4 +466,5 @@ ORACLE_SQL: dict[str, str] = {
     "meta_change_melt": ORACLE_META_CHANGE_MELT,
     "first_value_per_key": ORACLE_FIRST_VALUE_PER_KEY,
     "day_sweep_active": ORACLE_DAY_SWEEP_ACTIVE,
+    **PIPELINE_ORACLES,
 }

@@ -1,0 +1,262 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design constraints:
+- **Oracle parity**: every hash is md5 (identical hex in Spark and DuckDB);
+  minhash minimizes the hex STRING (varchar MIN matches across engines);
+  simhash uses the top 15 hex chars → 60-bit non-negative BIGINT (no signed
+  overflow ambiguity).
+- **Scale**: candidate generation never compares all pairs. MinHash bands and
+  SimHash chunks both turn near-dup search into equality joins (shuffle on
+  the band/chunk key) — the standard 10^10-row shape. The final exact
+  verify (Jaccard / Hamming) runs only on candidate pairs.
+
+The MinHash signature builder is a vectorized pandas UDF (set-of-shingles +
+k·min over md5 needs real data structures); everything downstream is
+DataFrame algebra. SimHash is pure Catalyst expressions end-to-end.
+
+Reference note: the reference's only dedup is exact first-seen-wins on aid
+(/root/reference/src/pegasus/lianjia/apartments.go:234-247, regions.go:118-124);
+the near-dup family here is the training-data extension the rebuild adds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with its keeper id
+    (min id) and multiplicity. Map-side combinable; shuffle on md5 only —
+    the text column never moves."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def exact_dedupe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct text (deterministic tie-break —
+    SURVEY §4.3 discipline)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1").drop("_rk")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, n_hashes: int = 8, k: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """doc → n_hashes-element minhash signature over k-char shingles.
+
+    sig[i] = MIN over shingles s of md5(f"{i}|{s}") — hex-string min, so the
+    DuckDB oracle reproduces it with GROUP BY + MIN(md5(...)). Vectorized
+    pandas UDF (shingle sets need real containers); Arrow-batched."""
+
+    def build(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                t = text.strip()
+                shingles = {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
+                sig = [
+                    min(
+                        hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles
+                    )
+                    for i in range(n_hashes)
+                ]
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        build, f"{id_col} long, sig array<string>"
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 4, rows: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (bands × rows), bucket-join on (band, band_hash) —
+    the shingle→minhash→band→bucket-join pipeline. Returns candidate pairs
+    (id_a < id_b). Shuffle key = band hash ⇒ no all-pairs comparison."""
+    banded = sig_df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, "e.band", "e.bh")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, n_hashes: int = 8, k: int = 5, bands: int = 4, rows: int = 2,
+    min_sig_match: int = 4, id_col: str = "doc_id",
+) -> DataFrame:
+    """Full pipeline: signatures → LSH candidates → verify by signature
+    agreement (≥ min_sig_match of n_hashes positions equal — an unbiased
+    Jaccard estimate). Returns (id_a, id_b, sig_matches)."""
+    sigs = minhash_signatures(df, n_hashes, k, id_col=id_col)
+    pairs = lsh_candidate_pairs(sigs, bands, rows, id_col=id_col)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "sig_matches",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ),
+        )
+        .filter(F.col("sig_matches") >= min_sig_match)
+        .select("id_a", "id_b", "sig_matches")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # top 15 md5 hex chars → non-negative 60-bit BIGINT
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash, pure Catalyst: token → md5 → 60-bit int; per bit
+    position sum ±1 over tokens; sign → bit. One explode over tokens (narrow
+    after the split), groupBy doc — map-side combinable."""
+    tok = (
+        df.select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
+    )
+    bits = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).withColumn(
+        # SQL-form shiftright accepts a column bit count (the PySpark wrapper
+        # requires a literal)
+        "v", F.expr("(shiftright(h, CAST(b AS INT)) & 1) * 2 - 1")
+    )
+    agg = (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("v").alias("s"))
+        .withColumn("bit", (F.col("s") > 0).cast("bigint"))
+    )
+    # exact bigint reassembly (a double-precision pow(2,b) sum would lose
+    # bits above 2^53)
+    return agg.groupBy(id_col).agg(
+        F.expr("sum(bit * shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)))")
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 3, chunks: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
+    chunk trick: split 60 bits into `chunks` 15-bit chunks; distance ≤ 3 with
+    4 chunks ⇒ at least one chunk identical, so an equality join on
+    (chunk_idx, chunk_val) finds every true pair without an all-pairs scan.
+    Final exact verify = bit_count(xor)."""
+    sh = simhash(df, text_col, id_col)
+    width = SIMHASH_BITS // chunks
+    chunked = sh.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "simhash", "e.c", "e.cv")
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "c", "cv")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "c", "cv")
+    return (
+        a.join(b, ["c", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, tau: float = 0.25,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-gram Jaccard similarity ≥ tau, via an inverted-index equality
+    join on the gram (shuffle key = gram; hot grams are the skew axis — at
+    10^10 docs drop the top-frequency grams like stopword n-grams, the
+    standard df-cut). Exact Jaccard from distinct-gram counts."""
+    grams = (
+        df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(ca, "id_a").join(cb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= tau)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )

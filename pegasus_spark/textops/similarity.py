@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k — the correctness baseline; one broadcast of the
+  query vector, narrow map + TakeOrderedAndProject. At 100 TB this is a full
+  scan but embarrassingly parallel (no shuffle before the top-k combine).
+- sign-LSH bucketed variants — the scale path: a deterministic sign pattern
+  over coordinate differences buckets vectors so near-dup search and ANN
+  probe only same-bucket rows (equality-join shape, like MinHash bands).
+  The sign family (element_at differences) is deliberately SQL-expressible
+  so the DuckDB oracle reproduces the buckets bit-for-bit.
+- random-hyperplane ANN — numpy pandas-UDF variant with proper Gaussian
+  planes (seeded), for recall-tested approximate search where SQL parity
+  is not required (property-tested against brute force instead).
+
+Cosine is computed in double precision, element-order-sequential on both
+engines, and ROUNDED before any ordering/filtering so cross-engine float
+ulps cannot flip comparisons.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+N_SIGN_BITS = 16
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_cosine_to(df: DataFrame, query_df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Cross-join the (single-row) query vector and add round(cos, 4)."""
+    q = query_df.select(F.col(vec_col).alias("_qvec"))
+    joined = df.crossJoin(F.broadcast(q))
+    cos = _dot(F.col(vec_col), F.col("_qvec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(_dot(F.col("_qvec"), F.col("_qvec")))
+    )
+    return joined.withColumn("cos", F.round(cos, 4)).drop("_qvec")
+
+
+def cosine_topk(
+    df: DataFrame, query_vec_id: int, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine to the query row (excluded from results).
+    Deterministic order: (cos desc, vec_id asc)."""
+    q = df.filter(F.col(id_col) == query_vec_id)
+    return (
+        with_cosine_to(df.filter(F.col(id_col) != query_vec_id), q, vec_col)
+        .select(id_col, "cos")
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec_col: str = "embedding", n_bits: int = N_SIGN_BITS):
+    """Deterministic sign-LSH bucket: bit j = 1 iff vec[2j] > vec[2j+1]
+    (0-based). Cheap, SQL-expressible (element_at is 1-based in SQL), and
+    locality-sensitive for cosine on centered data. Returns a bigint column."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc
+        + F.when(
+            F.get(F.col(vec_col), (j * 2).cast("int"))
+            > F.get(F.col(vec_col), (j * 2 + 1).cast("int")),
+            F.pow(F.lit(2), j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, tau: float = 0.99,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket equality join → exact
+    cosine ≥ tau verify within buckets. No all-pairs scan; shuffle key is
+    the bucket."""
+    b = df.withColumn("bucket", sign_bucket(vec_col))
+    a1 = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    a2 = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a1.join(a2, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= tau)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane ANN (numpy path, recall-tested)
+# ---------------------------------------------------------------------------
+
+def hyperplane_buckets(
+    df: DataFrame, dim: int, n_planes: int = 12, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature via a seeded Gaussian plane matrix,
+    vectorized numpy matmul per Arrow batch."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+    def sig(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy())
+            bits = (vecs @ planes) > 0
+            buckets = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets.astype("int64")})
+
+    return df.select(id_col, vec_col).mapInPandas(sig, f"{id_col} long, bucket long")
+
+
+def ann_topk(
+    df: DataFrame, query_vec_id: int, k: int = 10, dim: int = 64,
+    n_planes: int = 8, seed: int = 7, probe_hamming: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the query's hyperplane bucket (plus buckets
+    within `probe_hamming` bit flips — multi-probe), brute-force only the
+    probed rows. Recall is property-tested against cosine_topk.
+
+    Defaults are tuned for the driver's near-orthogonal synthetic embeddings
+    (worst case for LSH — top-10 cosines are ~0.45, so neighbors flip ~3.5
+    of 8 sign bits; probe radius 4 recovers recall ≈ 0.8 while pruning ~40%
+    of candidates). On real clustered embeddings the same machinery prunes
+    far harder at radius 1-2; the knobs are per-call."""
+    buckets = hyperplane_buckets(df, dim, n_planes, seed, id_col, vec_col)
+    qb = buckets.filter(F.col(id_col) == query_vec_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        buckets.crossJoin(F.broadcast(qb))
+        .withColumn("hd", F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))))
+        .filter(F.col("hd") <= probe_hamming)
+        .select(id_col)
+    )
+    probed = df.join(cand, id_col, "left_semi")
+    return cosine_topk(probed, query_vec_id, k, id_col, vec_col)

@@ -1,0 +1,113 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting (SURVEY-adjacent training-data ops).
+
+Everything here is a Catalyst expression chain — no Python in the plan — and
+every formula is chosen to be *bit-reproducible in ANSI SQL* so the DuckDB
+oracle can recompute it exactly (the driver's correctness gate hashes
+values). That constrains the design: md5 (identical hex in Spark/DuckDB)
+instead of murmur, closed-form mean-word-length instead of float reductions,
+explicit CASE chains with fixed tie-break order for language-ID.
+
+Scale notes: all operators are narrow (per-row projections) — zero shuffle,
+full whole-stage codegen; they run at 100 TB as a mapper fused into the scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# language marker stopwords — tiny fixed sets, mirrored verbatim in the SQL
+# oracle. Order of the argmax CASE chain is part of the contract.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "de": ["der", "die", "das", "und", "ist", "zu"],
+    "es": ["el", "los", "las", "es", "y", "que"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+}
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def with_token_count(df: DataFrame) -> DataFrame:
+    """Whitespace tokenization + a BPE-ish subword estimate (≈ chars/4,
+    the common rule-of-thumb; kept as an exact integer formula so the SQL
+    twin matches)."""
+    # floor, not a double→int cast: Spark ANSI truncates that cast while
+    # DuckDB rounds it — floor is unambiguous on both engines
+    return df.withColumn("n_tokens", F.size(tokens_col())).withColumn(
+        "n_subwords_est", F.floor(F.length(F.trim(F.col("text"))) / F.lit(4)).cast("int")
+    )
+
+
+def with_quality(df: DataFrame) -> DataFrame:
+    """Quality scoring: length, mean word length (closed form — single-space
+    join ⇒ (chars - (n-1)) / n), stopword ratio, punctuation ratio; combined
+    score rounded to 4 dp."""
+    toks = tokens_col()
+    n = F.size(toks)
+    stop_lit = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x)))
+    tlen = F.length(F.trim(F.col("text")))
+    mean_wlen = (tlen - (n - F.lit(1))) / n
+    punct = (
+        tlen - F.length(F.regexp_replace(F.trim(F.col("text")), r"[.,!?;:]", ""))
+    ) / tlen
+    score = (
+        F.least(n / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + (F.lit(1.0) - F.least(n_stop / n, F.lit(1.0))) * F.lit(0.3)
+        + F.least(mean_wlen / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("stop_ratio", F.round(n_stop / n, 4))
+        .withColumn("mean_word_len", F.round(mean_wlen, 4))
+        .withColumn("punct_ratio", F.round(punct, 4))
+        .withColumn("quality", F.round(score, 4))
+    )
+
+
+def with_lang_guess(df: DataFrame) -> DataFrame:
+    """n-gram/stopword heuristic language-ID. Deterministic argmax with a
+    fixed precedence (en > de > es > fr) mirrored in the oracle CASE chain."""
+    toks = tokens_col()
+
+    def contains(lit):
+        # single-arg lambda builder: a default-arg lambda would have arity 2
+        # and PySpark would bind the second param to the array INDEX
+        return lambda x: F.array_contains(lit, x)
+
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        lit = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, contains(lit)))
+    s = scores
+    guess = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    out = df
+    for lang in LANG_MARKERS:
+        out = out.withColumn(f"hits_{lang}", scores[lang])
+    return out.withColumn("lang_guess", guess)
+
+
+def with_fingerprint(df: DataFrame, k: int = 8) -> DataFrame:
+    """Document fingerprint: minimum md5 over all k-char rolling windows
+    (winnowing-style rolling-hash fingerprint; min over the full window set).
+    md5-hex string min matches SQL's varchar MIN ordering."""
+    # dynamic-start substring needs the expr form (F.substring takes only
+    # literal positions)
+    return df.withColumn(
+        "fingerprint",
+        F.expr(
+            f"array_min(transform(sequence(1, greatest(length(trim(text)) - {k - 1}, 1)), "
+            f"i -> md5(substring(trim(text), i, {k}))))"
+        ),
+    )
