@@ -1,0 +1,189 @@
+"""Crawl-loop throughput bench (BASELINE.json metric: pages/sec +
+frontier-URLs/sec on the synthetic Lianjia-shaped seed crawl).
+
+Fixture scales (seed=42, generated once per scale into a cached /tmp dir —
+generation cost is excluded from timing):
+
+- ``small`` — ~1.4k listing pages / ~7k cards; used by bench.py's per-round
+  JSON line so the driver bench stays fast.
+- ``large`` — ~10k listing pages / ~50k cards; used by the N-vs-4N scaling
+  evidence (benchmarks/scaling_bench.py) so executor-side work (fetch, parse,
+  CDC join, image decode) dominates the fixed per-round driver overhead.
+
+Reported numbers:
+- ``pages_per_sec`` / ``urls_per_sec`` — whole-run wall-clock throughput.
+- ``sustained_pages_per_sec`` — throughput over the listing-stage rounds only
+  (dequeues ≥ 100), the steady-state number the two-cluster-size comparison
+  uses; the first three rounds (root/districts/regions) are latency-bound
+  driver round-trips at ANY cluster size and would otherwise swamp the signal
+  at small fixture scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+SCALES = {
+    "small": dict(n_districts=8, regions_per_district=6, pages_per_region_max=60,
+                  budget_hot=1024, budget_cold=512, image_dims=(32, 48, 64)),
+    "large": dict(n_districts=8, regions_per_district=25, pages_per_region_max=100,
+                  budget_hot=4096, budget_cold=2048, image_dims=(32, 48, 64)),
+    # weak-scaling pair: weak4 is ~4× weak1's workload AND 4× its per-round
+    # dequeue budget — the production regime where a 4N cluster crawls 4× the
+    # pages per round (round count stays constant). Small images keep the
+    # single sandbox disk (the one resource that does NOT scale locally but
+    # does on a cluster) out of the critical path.
+    "weak1": dict(n_districts=8, regions_per_district=6, pages_per_region_max=100,
+                  budget_hot=1024, budget_cold=512, image_dims=(32, 48, 64)),
+    "weak4": dict(n_districts=8, regions_per_district=24, pages_per_region_max=100,
+                  budget_hot=4096, budget_cold=2048, image_dims=(32, 48, 64)),
+}
+
+
+def _fixture_dir(scale: str) -> str:
+    import zlib
+
+    tag = zlib.crc32(json.dumps(SCALES[scale], sort_keys=True).encode()) & 0xFFFFFF
+    return os.path.join(tempfile.gettempdir(), f"pegasus_spark_bench_fx_{scale}_{tag:06x}")
+
+
+def build_bench_fixture(spark: SparkSession, scale: str = "small") -> tuple:
+    """Generate (or reuse) the bench fixture. A DONE marker makes the cache
+    safe across the two scaling-bench processes."""
+    from pegasus_spark.crawler.fixtures import HOSTS, ROOT_HOST, make_site_spec, write_fixture
+
+    p = SCALES[scale]
+    spec = make_site_spec(
+        n_districts=p["n_districts"],
+        regions_per_district=p["regions_per_district"],
+        pages_per_region_max=p["pages_per_region_max"],
+        image_dims=p["image_dims"],
+    )
+    for h in HOSTS:
+        spec.budget[h] = p["budget_hot"] if h == ROOT_HOST else p["budget_cold"]
+    fx = _fixture_dir(scale)
+    marker = os.path.join(fx, "DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(fx, ignore_errors=True)
+        os.makedirs(fx, exist_ok=True)
+        write_fixture(spark, spec, fx, round_no=1)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return spec, fx
+
+
+def run_crawl_bench(spark: SparkSession, scale: str | None = None) -> dict:
+    from pegasus_spark.crawler.fixtures import budget_df
+    from pegasus_spark.crawler.scheduler import CrawlScheduler
+
+    scale = scale or os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "small")
+    spec, fx = build_bench_fixture(spark, scale)
+    work = tempfile.mkdtemp(prefix="pegasus_crawl_bench_")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sched = CrawlScheduler(
+        spark, work,
+        page_store_path=f"{fx}/site_pages_r1.parquet",
+        image_store_path=f"{fx}/items_r1.parquet",
+        budget=budget_df(spark, spec),
+        seed_urls=[spec.root_url],
+        now_ts=1_700_000_000,
+        n_partitions=cpus,
+    )
+    t0 = time.perf_counter()
+    ckpt = sched.store.load_checkpoint() or sched.bootstrap()
+    round_walls: list[tuple[int, float]] = []  # (dequeued, wall_s)
+    while True:
+        r0 = time.perf_counter()
+        ckpt, info = sched.run_round(ckpt)
+        dq = info.get("dequeued", 0)
+        if dq == 0:
+            break
+        round_walls.append((dq, time.perf_counter() - r0))
+    wall = time.perf_counter() - t0
+    pages = ckpt.counters.get("pages_fetched", 0)
+    urls = ckpt.counters.get("urls_enqueued", 0)
+    sus_pages = sum(d for d, _ in round_walls if d >= 100)
+    sus_wall = sum(w for d, w in round_walls if d >= 100)
+    out = {
+        "crawl_scale": scale,
+        "crawl_rounds": len(round_walls),
+        "crawl_pages": pages,
+        "crawl_urls_enqueued": urls,
+        "crawl_wall_s": round(wall, 2),
+        "pages_per_sec": round(pages / wall, 2),
+        "urls_per_sec": round(urls / wall, 2),
+        "sustained_pages_per_sec": round(sus_pages / sus_wall, 2) if sus_wall else 0.0,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def run_component_bench(spark: SparkSession, n_images: int = 24000, dim: int = 96) -> dict:
+    """Disk-free data-plane scaling probe: decode + phash over cached
+    in-memory images, noop sink. Isolates the vectorized-UDF compute path
+    (the per-page work of a listing round) from the sandbox's single shared
+    disk — on a real cluster storage bandwidth scales with executors, local
+    disk does not."""
+    import pandas as pd
+
+    from pegasus_spark.crawler.codec import decode_image, encode_image, phash64, synth_image
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [f"cb-{i}" for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"image_id": ids,
+                 "bytes": [encode_image(synth_image(i, dim, dim), "jpeg") for i in ids]}
+            )
+
+    src = (
+        spark.range(n_images).repartition(cpus)
+        .mapInPandas(gen, "image_id string, bytes binary")
+        .cache()
+    )
+    src.count()  # materialize — generation excluded from timing
+
+    def feats(batches):
+        for pdf in batches:
+            hashes = []
+            for b in pdf["bytes"]:
+                hashes.append(phash64(decode_image(bytes(b))))
+            yield pd.DataFrame({"image_id": pdf["image_id"], "phash": hashes})
+
+    t0 = time.perf_counter()
+    src.repartition(cpus, "image_id").mapInPandas(feats, "image_id string, phash long") \
+        .write.mode("overwrite").format("noop").save()
+    wall = time.perf_counter() - t0
+    src.unpersist()
+    return {
+        "component_images": n_images,
+        "component_wall_s": round(wall, 2),
+        "images_per_sec": round(n_images / wall, 1),
+    }
+
+
+def main() -> None:
+    from pegasus_spark.session import get_spark
+
+    spark = get_spark(app_name="pegasus_crawl_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--component" in sys.argv:
+        print(json.dumps(run_component_bench(spark)))
+    else:
+        print(json.dumps(run_crawl_bench(spark)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

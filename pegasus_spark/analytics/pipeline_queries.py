@@ -159,7 +159,7 @@ pos AS (
 ),
 sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
 hx AS (
-  SELECT doc_id, h, min(md5(h || '|' || s)) AS v
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
   FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
   GROUP BY doc_id, h
 ),

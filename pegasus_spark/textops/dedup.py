@@ -59,9 +59,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc → n_hashes-element minhash signature over k-char shingles.
 
-    sig[i] = MIN over shingles s of md5(f"{i}|{s}") — hex-string min, so the
-    DuckDB oracle reproduces it with GROUP BY + MIN(md5(...)). Vectorized
-    pandas UDF (shingle sets need real containers); Arrow-batched."""
+    sig[i] = MIN over shingles s of substr(md5(s), 1+3i, 8) — ONE md5 per
+    shingle, with n_hashes overlapping 8-hex windows as the independent hash
+    family (distinct md5 bytes per window; 8× cheaper than hashing per
+    (i, shingle) and still hex-string-min so the DuckDB oracle reproduces it
+    with GROUP BY + MIN(substr(md5(s), …))). Vectorized pandas UDF
+    (shingle sets need real containers); Arrow-batched."""
+    if n_hashes > 8:
+        raise ValueError("md5 hex (32 chars) supports at most 8 stride-3 windows")
 
     def build(batches):
         for pdf in batches:
@@ -69,11 +74,9 @@ def minhash_signatures(
             for text in pdf[text_col]:
                 t = text.strip()
                 shingles = {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
+                hexes = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
                 sig = [
-                    min(
-                        hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles
-                    )
-                    for i in range(n_hashes)
+                    min(h[3 * i:3 * i + 8] for h in hexes) for i in range(n_hashes)
                 ]
                 sigs.append(sig)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})

@@ -1,0 +1,80 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, stub semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pegasus_spark.crawler.codec import decode_image, encode_image, synth_image
+from pegasus_spark.multimodal import (
+    audio_features,
+    image_features,
+    image_thumbnail,
+    video_frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def image_df(spark):
+    rows = []
+    for i in range(20):
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        arr = synth_image(f"mm-{i}", 32, 64)
+        rows.append((f"mm-{i}", bytearray(encode_image(arr, fmt)), fmt))
+    return spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+
+def test_image_features(image_df):
+    feats = {r["image_id"]: r for r in image_features(image_df, n_partitions=4).collect()}
+    assert len(feats) == 20
+    r = feats["mm-0"]
+    assert (r["w"], r["h"]) == (64, 32)
+    src = synth_image("mm-0", 32, 64)
+    assert abs(r["mean_lum"] - src.astype(np.float64).mean(axis=2).mean()) < 1e-3
+    assert r["phash"] is not None
+    # no bytes column in the feature output (late-payload discipline)
+    assert "bytes" not in image_features(image_df).columns
+
+
+def test_image_thumbnail_roundtrip(image_df):
+    thumbs = image_thumbnail(image_df, d=8).collect()
+    assert len(thumbs) == 20
+    for r in thumbs[:5]:
+        arr = decode_image(bytes(r["thumb"]))
+        assert arr.shape == (8, 8, 3)
+
+
+def test_audio_features(spark):
+    t = np.arange(16000)
+    tone = (np.sin(2 * np.pi * 440 * t / 16000) * 0.5 * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [("a1", bytearray(tone.tobytes()))], "audio_id string, bytes binary"
+    )
+    r = audio_features(df).collect()[0]
+    assert r["duration_s"] == 1.0
+    assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert 0.49 < r["peak"] <= 0.5
+
+
+def test_video_frame_sample(spark):
+    fw, fh, n_frames = 16, 16, 25
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, size=(n_frames, fh, fw, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("v1", bytearray(frames.tobytes()), n_frames, fw, fh)],
+        "video_id string, bytes binary, n_frames int, fw int, fh int",
+    )
+    out = video_frame_sample(df, every_n=10).collect()
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 10, 20]
+    for r in out:
+        expected = frames[r["frame_idx"]].astype(np.float64).mean()
+        assert abs(r["mean_lum"] - expected) < 1e-3
+
+
+def test_unknown_format_raises(spark):
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"\x00\x01\x02\x03garbage"), "webp")],
+        "image_id string, bytes binary, fmt string",
+    )
+    with pytest.raises(Exception, match="(?i)no codec|NotImplemented"):
+        image_features(df).collect()

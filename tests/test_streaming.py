@@ -1,0 +1,102 @@
+"""Structured Streaming tests: windowed RateStats with watermark, stateful
+cumulative per-host counters, micro-batch-per-file semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pegasus_spark.streaming.metrics import (
+    FETCH_STREAM_SCHEMA,
+    cumulative_host_stats,
+    read_fetch_stream,
+    run_to_memory_sink,
+    windowed_rate_stats,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, FETCH_STREAM_SCHEMA)
+
+
+def _rows(host, n, start_s, status=200, nbytes=100, dur=5):
+    return [
+        (f"https://{host}/p{i}", host, status, nbytes, dur,
+         T0 + dt.timedelta(seconds=start_s + i))
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def src_dir(tmp_path):
+    return str(tmp_path / "fetches")
+
+
+def test_windowed_rate_stats(spark, src_dir, tmp_path):
+    # micro-batches append part-files into ONE flat dir (the file stream
+    # source does not recurse into subdirectories)
+    _batch(spark, _rows("h0", 5, 0) + _rows("h1", 3, 2, status=404)).coalesce(
+        1
+    ).write.parquet(src_dir)
+    stream = read_fetch_stream(spark, src_dir)
+    assert stream.isStreaming
+    q = run_to_memory_sink(
+        windowed_rate_stats(stream), "win_stats", "append", str(tmp_path / "ck1")
+    )
+    try:
+        q.processAllAvailable()
+        # append mode only emits windows the watermark has closed, one
+        # trigger late — advance event time, then feed one more batch so the
+        # closed windows flush
+        _batch(spark, _rows("h0", 1, 120)).coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+        q.processAllAvailable()
+        _batch(spark, _rows("h0", 1, 240)).coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+        q.processAllAvailable()
+        out = {
+            (r["host"], r["window_start"]): r
+            for r in spark.sql("select * from win_stats").collect()
+        }
+    finally:
+        q.stop()
+    assert out[("h0", T0)]["success_cnt"] == 5
+    assert out[("h0", T0)]["failure_cnt"] == 0
+    assert out[("h0", T0)]["total_bytes"] == 500
+    assert out[("h1", T0)]["failure_cnt"] == 3
+    assert out[("h1", T0)]["success_cnt"] == 0
+
+
+def test_cumulative_host_stats_across_batches(spark, src_dir, tmp_path):
+    _batch(spark, _rows("h0", 4, 0) + _rows("h1", 2, 0)).coalesce(1).write.parquet(
+        src_dir
+    )
+    stream = read_fetch_stream(spark, src_dir)
+    q = run_to_memory_sink(
+        cumulative_host_stats(stream), "cum_stats", "update", str(tmp_path / "ck2")
+    )
+    try:
+        q.processAllAvailable()
+        _batch(spark, _rows("h0", 3, 60, status=500)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from cum_stats order by total_fetches"
+        ).collect()
+    finally:
+        q.stop()
+    # memory sink in update mode appends each emission; take the last per host
+    latest = {}
+    for r in rows:
+        if r["host"] not in latest or r["total_fetches"] > latest[r["host"]]["total_fetches"]:
+            latest[r["host"]] = r
+    assert latest["h0"]["total_fetches"] == 7
+    assert latest["h0"]["total_failures"] == 3
+    assert latest["h0"]["total_bytes"] == 700
+    assert latest["h1"]["total_fetches"] == 2
