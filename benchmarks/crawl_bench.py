@@ -43,9 +43,9 @@ SCALES = {
     # single sandbox disk (the one resource that does NOT scale locally but
     # does on a cluster) out of the critical path.
     "weak1": dict(n_districts=8, regions_per_district=6, pages_per_region_max=100,
-                  budget_hot=1024, budget_cold=512, image_dims=(32, 48, 64)),
+                  budget_hot=2048, budget_cold=1024, image_dims=(32, 48, 64)),
     "weak4": dict(n_districts=8, regions_per_district=24, pages_per_region_max=100,
-                  budget_hot=4096, budget_cold=2048, image_dims=(32, 48, 64)),
+                  budget_hot=8192, budget_cold=4096, image_dims=(32, 48, 64)),
 }
 
 
@@ -127,7 +127,7 @@ def run_crawl_bench(spark: SparkSession, scale: str | None = None) -> dict:
     return out
 
 
-def run_component_bench(spark: SparkSession, n_images: int = 24000, dim: int = 96) -> dict:
+def run_component_bench(spark: SparkSession, n_images: int | None = None, dim: int = 96) -> dict:
     """Disk-free data-plane scaling probe: decode + phash over cached
     in-memory images, noop sink. Isolates the vectorized-UDF compute path
     (the per-page work of a listing round) from the sandbox's single shared
@@ -138,6 +138,10 @@ def run_component_bench(spark: SparkSession, n_images: int = 24000, dim: int = 9
     from pegasus_spark.crawler.codec import decode_image, encode_image, phash64, synth_image
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if n_images is None:
+        # large enough that per-stage scheduling overhead is <5% of the
+        # 2-core wall — the efficiency number then measures compute scaling
+        n_images = int(os.environ.get("SPARK_GRAFT_COMPONENT_IMAGES", "60000"))
 
     def gen(batches):
         for pdf in batches:

@@ -429,6 +429,41 @@ SELECT day, COUNT(*) AS active_users FROM days GROUP BY day ORDER BY day
 
 
 # ---------------------------------------------------------------------------
+# Mergesort demo: S8 seeded source + K4 distributed sort (SURVEY §2.1/§2.6)
+# ---------------------------------------------------------------------------
+
+def q_mergesort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Mergesort project (mergesort.go:36-41,201-205): a
+    seeded random-int source sorted globally. The per-tasklet RNG
+    (randints.go:205-218) becomes a DETERMINISTIC md5-derived value so the
+    DuckDB oracle reproduces it exactly (rand(seed) differs across engines);
+    Spark's range-partitioned sort IS the distributed mergesort the
+    reference hand-rolls (per-worker sort + master merge).
+
+    Scale: spark.range is an embarrassingly parallel source; orderBy
+    range-partitions by sampled boundaries — the 100 TB sort shape.
+    """
+    n = 10_000
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 7), 16, 10)
+             .cast("bigint") % 100 + 1).alias("value"),
+        )
+        .orderBy("value", "id")
+    )
+
+
+ORACLE_MERGESORT = """
+SELECT i AS id,
+       ('0x' || substr(md5(i::VARCHAR), 1, 7))::BIGINT % 100 + 1 AS value
+FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+ORDER BY value, id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -450,6 +485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "meta_change_melt": q_meta_change_melt,
     "first_value_per_key": q_first_value_per_key,
     "day_sweep_active": q_day_sweep_active,
+    "mergesort": q_mergesort,
     **PIPELINE_QUERIES,
 }
 
@@ -466,5 +502,6 @@ ORACLE_SQL: dict[str, str] = {
     "meta_change_melt": ORACLE_META_CHANGE_MELT,
     "first_value_per_key": ORACLE_FIRST_VALUE_PER_KEY,
     "day_sweep_active": ORACLE_DAY_SWEEP_ACTIVE,
+    "mergesort": ORACLE_MERGESORT,
     **PIPELINE_ORACLES,
 }

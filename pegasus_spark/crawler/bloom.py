@@ -146,15 +146,37 @@ class BloomShards:
 
     # -- membership ----------------------------------------------------------
 
+    @staticmethod
+    def to_dict(shards_df: DataFrame) -> dict[int, np.ndarray]:
+        """Collect shard rows into a driver-side {shard: bitset} dict
+        (already-merged or single-version rows)."""
+        out: dict[int, np.ndarray] = {}
+        for r in shards_df.collect():
+            arr = np.frombuffer(r["bitset"], dtype=np.uint8)
+            if r["shard"] in out:
+                out[int(r["shard"])] = np.bitwise_or(out[int(r["shard"])], arr)
+            else:
+                out[int(r["shard"])] = arr.copy()
+        return out
+
     def check_broadcast(
         self, spark: SparkSession, df: DataFrame, shards_df: DataFrame,
         hash_col: str = "url_hash64", out_col: str = "maybe_seen",
     ) -> DataFrame:
         """Small-filter path: collect merged shards, broadcast, probe in a
         vectorized Arrow batch. Adds boolean ``out_col``."""
-        merged = {int(r["shard"]): np.frombuffer(r["bitset"], dtype=np.uint8)
-                  for r in self.merge(shards_df).collect()}
-        bc = spark.sparkContext.broadcast(merged)
+        return self.check_with_dict(
+            spark, df, self.to_dict(shards_df), hash_col=hash_col, out_col=out_col
+        )
+
+    def check_with_dict(
+        self, spark: SparkSession, df: DataFrame, arrays: dict[int, np.ndarray],
+        hash_col: str = "url_hash64", out_col: str = "maybe_seen",
+    ) -> DataFrame:
+        """Probe against a driver-held {shard: bitset} dict (the scheduler
+        keeps one across rounds and ORs new shard versions in incrementally —
+        no per-round re-merge job)."""
+        bc = spark.sparkContext.broadcast(arrays)
         m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
         cols = df.columns
 

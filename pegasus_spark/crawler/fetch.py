@@ -48,35 +48,63 @@ FETCH_SCHEMA_EXTRA = [
     StructField("fetch_ts_ms", LongType()),
 ]
 
-_STORE_CACHE: dict[str, dict[str, str]] = {}
+_DATASET_CACHE: dict[str, object] = {}
 
 
-def _load_store(path: str) -> dict[str, str]:
-    """Per-process lazy page-store load (executor-side)."""
-    if path not in _STORE_CACHE:
-        import pyarrow.dataset as ds
+def _fetch_bodies(path: str, urls: "pd.Series") -> "pd.Series":
+    """Batch 'GET': predicate-pushdown read of exactly this batch's URLs from
+    the page-store parquet (dataset handle cached per process — metadata
+    only). Memory stays O(batch), not O(store): with a full-store dict every
+    Python worker would hold (and first pay to build) the whole site."""
+    import pyarrow.dataset as ds
 
-        tbl = ds.dataset(path, format="parquet").to_table(columns=["url", "body"])
-        _STORE_CACHE[path] = dict(
-            zip(tbl.column("url").to_pylist(), tbl.column("body").to_pylist())
-        )
-    return _STORE_CACHE[path]
+    if path not in _DATASET_CACHE:
+        _DATASET_CACHE[path] = ds.dataset(path, format="parquet")
+    dset = _DATASET_CACHE[path]
+    tbl = dset.to_table(columns=["url", "body"], filter=ds.field("url").isin(urls.tolist()))
+    lut = dict(zip(tbl.column("url").to_pylist(), tbl.column("body").to_pylist()))
+    return urls.map(lut)
+
+
+STATUS_ROBOTS = 451  # in-batch robots refusal (never actually requested)
+
+
+def _robots_disallowed(pdf: pd.DataFrame, robots: dict[str, list[str]] | None) -> pd.Series:
+    """Vectorized in-batch robots check — the frontier already marks
+    disallowed URLs at enqueue (cheapest place), this is the defense-in-depth
+    guard the north rule puts INSIDE the fetch batch: even a mis-enqueued URL
+    is refused before any request is issued."""
+    if not robots:
+        return pd.Series(False, index=pdf.index)
+    paths = pdf["url"].str.replace(r"^[a-z][a-z0-9+.-]*://[^/]+", "", regex=True)
+    out = pd.Series(False, index=pdf.index)
+    for host, prefixes in robots.items():
+        m = pdf["host"] == host
+        if m.any() and prefixes:
+            hit = paths[m].str.startswith(tuple(prefixes))
+            out.loc[m] = hit
+    return out
 
 
 class StoreFetcher:
     """fetch(pdf) → pdf + (status, body, nbytes, duration_ms, fetch_ts_ms)."""
 
-    def __init__(self, store_path: str, min_interval_ms: dict[str, int], round_start_ms: int):
+    def __init__(
+        self, store_path: str, min_interval_ms: dict[str, int], round_start_ms: int,
+        robots: dict[str, list[str]] | None = None,
+    ):
         self.store_path = store_path
         self.min_interval_ms = min_interval_ms
         self.round_start_ms = round_start_ms
+        self.robots = robots
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        store = _load_store(self.store_path)
         pdf = pdf.sort_values(["host", "priority", "url"], ascending=[True, False, True]).copy()
-        bodies = pdf["url"].map(store)
+        blocked = _robots_disallowed(pdf, self.robots)
+        bodies = _fetch_bodies(self.store_path, pdf.loc[~blocked, "url"]).reindex(pdf.index)
         found = bodies.notna()
         pdf["status"] = found.map({True: 200, False: 404}).astype("int32")
+        pdf.loc[blocked, "status"] = STATUS_ROBOTS
         pdf["body"] = bodies.where(found, None)
         pdf["nbytes"] = bodies.str.len().fillna(0).astype("int64")
         # deterministic simulated latency: 1-5 ms keyed by url hash
@@ -92,17 +120,25 @@ class HttpFetcher:
     ``min_interval_ms`` between same-host requests — vectorization applies to
     everything except the unavoidable serial GETs."""
 
-    def __init__(self, min_interval_ms: dict[str, int], timeout_s: float = 10.0):
+    def __init__(
+        self, min_interval_ms: dict[str, int], timeout_s: float = 10.0,
+        robots: dict[str, list[str]] | None = None,
+    ):
         self.min_interval_ms = min_interval_ms
         self.timeout_s = timeout_s
+        self.robots = robots
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
         import urllib.request
 
         pdf = pdf.sort_values(["host", "priority", "url"], ascending=[True, False, True]).copy()
+        blocked = _robots_disallowed(pdf, self.robots)
         rows = []
         last_by_host: dict[str, float] = {}
-        for url, host in zip(pdf["url"], pdf["host"]):
+        for (idx, url), host in zip(pdf["url"].items(), pdf["host"]):
+            if blocked.loc[idx]:
+                rows.append((STATUS_ROBOTS, None, 0, 0, int(time.time() * 1000)))
+                continue
             wait = self.min_interval_ms.get(host, 0) / 1000.0
             since = time.monotonic() - last_by_host.get(host, 0.0)
             if since < wait:
@@ -125,10 +161,15 @@ class HttpFetcher:
         return pdf
 
 
-def fetch_batch(dequeued: DataFrame, fetcher, n_partitions: int) -> DataFrame:
+def fetch_batch(dequeued: DataFrame, fetcher, n_partitions: int | None = None) -> DataFrame:
     """Run the fetcher over the dequeued frontier rows, one host never split
     across partitions (hash-partition on host) so in-batch spacing is global
-    per host."""
+    per host — any partition COUNT preserves that cohesion.
+
+    The count is pinned explicitly by the caller (sized from the known
+    dequeue count): this is a Python-heavy stage, and AQE's byte-based
+    coalescing would squeeze a CPU-bound 5k-page fetch into ~1 partition,
+    serializing it regardless of cores."""
     out_schema = StructType(list(dequeued.schema.fields) + FETCH_SCHEMA_EXTRA)
 
     def run(batches):
@@ -136,7 +177,11 @@ def fetch_batch(dequeued: DataFrame, fetcher, n_partitions: int) -> DataFrame:
             if len(pdf):
                 yield fetcher(pdf)
 
-    return dequeued.repartition(n_partitions, F.col("host")).mapInPandas(run, out_schema)
+    if n_partitions:
+        part = dequeued.repartition(n_partitions, F.col("host"))
+    else:
+        part = dequeued.repartition(F.col("host"))
+    return part.mapInPandas(run, out_schema)
 
 
 def rate_stats(fetched: DataFrame, round_no: int) -> DataFrame:

@@ -116,6 +116,7 @@ class SiteSpec:
     robots: dict[str, list[str]]            # host → disallowed path prefixes
     budget: dict[str, int]                  # host → max fetches per round
     blocked_region: str                     # region fully robots-disallowed
+    image_dims: tuple[int, ...] = (32, 48, 64)  # bench scales use larger
 
     @property
     def root_url(self) -> str:
@@ -129,6 +130,7 @@ def make_site_spec(
     n_districts: int = 8,
     regions_per_district: int = 5,
     pages_per_region_max: int = 10,
+    image_dims: tuple[int, ...] = (32, 48, 64),
 ) -> SiteSpec:
     districts = [f"dist{i:02d}" for i in range(n_districts)] + [EXCLUDED_DISTRICT]
     n_regions = n_districts * regions_per_district
@@ -168,7 +170,10 @@ def make_site_spec(
         f"/ershoufang/{blocked_region}/",
     ]
     budget = {h: (64 if h == ROOT_HOST else 32) for h in HOSTS}
-    return SiteSpec(districts, regions, district_regions, robots, budget, blocked_region)
+    return SiteSpec(
+        districts, regions, district_regions, robots, budget, blocked_region,
+        image_dims=tuple(image_dims),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -348,13 +353,14 @@ def gen_items_df(spark: SparkSession, spec: SiteSpec, round_no: int = 1) -> Data
                     metas.append((c["image_id"], c["caption"]))
     meta_df = spark.createDataFrame(metas, "image_id string, caption string")
 
+    dims = list(spec.image_dims)
+
     def build(batches):
-        dims = [32, 48, 64]
         for pdf in batches:
             rows = []
             for image_id, caption in zip(pdf["image_id"], pdf["caption"]):
-                hh = dims[_h(f"h|{image_id}") % 3]
-                ww = dims[_h(f"w|{image_id}") % 3]
+                hh = dims[_h(f"h|{image_id}") % len(dims)]
+                ww = dims[_h(f"w|{image_id}") % len(dims)]
                 fmt = "png" if _h(f"fmt|{image_id}") % 2 == 0 else "jpeg"
                 arr = synth_image(image_id, hh, ww)
                 rows.append(

@@ -124,13 +124,18 @@ def filter_unseen(
     candidates: DataFrame,
     frontier: DataFrame,
     bloom: BloomShards,
-    bloom_shards: DataFrame | None,
+    bloom_shards=None,
+    bloom_arrays=None,
 ) -> DataFrame:
     """Two-tier URL-seen prune. Bloom-negative → new with zero join work;
-    bloom-positive → exact left_anti on the canonical URL."""
-    if bloom_shards is None:
+    bloom-positive → exact left_anti on the canonical URL. Pass
+    ``bloom_arrays`` (driver-held dict) to skip the shard merge job."""
+    if bloom_arrays is not None:
+        checked = bloom.check_with_dict(spark, candidates, bloom_arrays)
+    elif bloom_shards is not None:
+        checked = bloom.check_broadcast(spark, candidates, bloom_shards)
+    else:
         return candidates.join(frontier.select("url"), "url", "left_anti")
-    checked = bloom.check_broadcast(spark, candidates, bloom_shards)
     fresh = checked.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = (
         checked.filter(F.col("maybe_seen"))
@@ -140,12 +145,17 @@ def filter_unseen(
     return fresh.unionByName(suspect)
 
 
-def salted(df: DataFrame, n_partitions: int) -> DataFrame:
-    """Explicit salted repartition on (host, salt): a hot host's rows spread
-    over N_SALTS partitions instead of one (north-rule skew handling)."""
-    return df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(N_SALTS))).repartition(
-        n_partitions, F.col("host"), F.col("_salt")
-    ).drop("_salt")
+def salted(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Salted repartition on (host, salt): a hot host's rows spread over
+    N_SALTS hash keys instead of one (north-rule skew handling). Partition
+    count stays with AQE unless the caller pins it — the salt column is what
+    breaks the skew, not the count."""
+    out = df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(N_SALTS)))
+    if n_partitions:
+        out = out.repartition(n_partitions, F.col("host"), F.col("_salt"))
+    else:
+        out = out.repartition(F.col("host"), F.col("_salt"))
+    return out.drop("_salt")
 
 
 # ---------------------------------------------------------------------------
@@ -199,10 +209,8 @@ class FrontierStore:
         os.replace(tmp, self.manifest_path)  # atomic commit point
 
     # frontier snapshots -----------------------------------------------------
-    def write_frontier(self, df: DataFrame, version: int, n_partitions: int) -> None:
-        salted(df, n_partitions).write.mode("overwrite").parquet(
-            self._p("frontier", f"v{version}")
-        )
+    def write_frontier(self, df: DataFrame, version: int, n_partitions: int | None = None) -> None:
+        salted(df).write.mode("overwrite").parquet(self._p("frontier", f"v{version}"))
 
     def read_frontier(self, version: int) -> DataFrame:
         return self.spark.read.parquet(self._p("frontier", f"v{version}"))
@@ -222,7 +230,7 @@ class FrontierStore:
 
     # apartments snapshots ---------------------------------------------------
     def write_apartments(self, df: DataFrame, version: int) -> None:
-        df.repartition(8, "region").write.mode("overwrite").partitionBy("region").parquet(
+        df.repartition("region").write.mode("overwrite").partitionBy("region").parquet(
             self._p("apartments", f"v{version}")
         )
 

@@ -20,14 +20,24 @@ from pegasus_spark.crawler.codec import decode_image, image_dims, phash64
 from pegasus_spark.crawler.fixtures import ITEM_SCHEMA
 
 
-def extract_items(cards: DataFrame, image_store: DataFrame) -> DataFrame:
+def extract_items(cards: DataFrame, image_store: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """cards (aid, image_id, caption, …) ⋈ image_store (image_id, bytes, fmt)
     → decoded item rows. The caption comes from the CARD (what the crawler
     parsed); dims/fmt/phash are recomputed from the fetched bytes — the
-    per-row invariant tests compare them against the store's ground truth."""
+    per-row invariant tests compare them against the store's ground truth.
+
+    ``n_partitions`` pins the decode parallelism (caller sizes it from the
+    card count): decode+phash is CPU-bound Python, and AQE's byte-based
+    coalescing under-parallelizes it."""
     joined = cards.select("image_id", "caption").join(
         image_store.select("image_id", "bytes", "fmt"), "image_id"
     )
+    if n_partitions:
+        # hash-repartition on the key, NOT round-robin repartition(n):
+        # round-robin locally sorts rows before exchange (retry determinism,
+        # spark.sql.execution.sortBeforeRepartition) — a full sort of the
+        # binary payload column
+        joined = joined.repartition(n_partitions, "image_id")
 
     def decode(batches):
         for pdf in batches:

@@ -33,12 +33,13 @@ from __future__ import annotations
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from pegasus_spark.crawler.bloom import BloomShards
+from pegasus_spark.crawler.bloom import SHARD_SCHEMA, BloomShards
 from pegasus_spark.crawler.cdc import empty_apartments, merge_apartments
 from pegasus_spark.crawler.fetch import StoreFetcher, fetch_batch, rate_stats
 from pegasus_spark.crawler.frontier import (
@@ -105,6 +106,11 @@ class CrawlScheduler:
         self.now_ts = int(now_ts if now_ts is not None else time.time())
         self.bloom = bloom or BloomShards(n_shards=16, m_bits=1 << 17, k=7)
         self._intervals: dict[str, int] | None = None
+        self._robots: dict[str, list[str]] | None = None
+        # driver-held merged bloom bitsets, ORed incrementally per round (the
+        # persisted shard versions remain the source of truth for resume)
+        self._bloom_arrays: dict | None = None
+        self._bloom_loaded: tuple[int, ...] = ()
 
     # -- helpers -------------------------------------------------------------
 
@@ -114,6 +120,36 @@ class CrawlScheduler:
                 r["host"]: int(r["min_interval_ms"]) for r in self.budget.collect()
             }
         return self._intervals
+
+    def _robots_map(self) -> dict[str, list[str]]:
+        if self._robots is None:
+            self._robots = {
+                r["host"]: list(r["robots_disallow"] or [])
+                for r in self.budget.select("host", "robots_disallow").collect()
+            }
+        return self._robots
+
+    def _bloom_dict(self, ckpt: Checkpoint) -> dict:
+        """Merged bloom bitsets, loaded once per (resume) and kept on the
+        driver across rounds; new shard versions are ORed in by
+        ``_bloom_absorb``."""
+        if self._bloom_arrays is None or self._bloom_loaded != tuple(ckpt.bloom_versions):
+            shards = self.store.read_bloom(ckpt.bloom_versions)
+            self._bloom_arrays = {} if shards is None else self.bloom.to_dict(shards)
+            self._bloom_loaded = tuple(ckpt.bloom_versions)
+        return self._bloom_arrays
+
+    def _bloom_absorb(self, shard_rows: list, version: int, versions: list[int]) -> None:
+        import numpy as np
+
+        assert self._bloom_arrays is not None
+        for r in shard_rows:
+            arr = np.frombuffer(r["bitset"], dtype=np.uint8)
+            cur = self._bloom_arrays.get(int(r["shard"]))
+            self._bloom_arrays[int(r["shard"])] = (
+                arr.copy() if cur is None else np.bitwise_or(cur, arr)
+            )
+        self._bloom_loaded = tuple(versions)
 
     def _discoveries_from(self, parsed: DataFrame) -> DataFrame:
         """③ route: per parent kind, emit raw child rows (url, kind, priority,
@@ -206,94 +242,52 @@ class CrawlScheduler:
         round_no = ckpt.round + 1
         frontier = self.store.read_frontier(ckpt.frontier_version)
         dq = with_dequeue_seq(dequeue(frontier, self.budget), round_no).cache()
-        n_dq = dq.count()
+        kind_counts = {r["kind"]: r["count"] for r in dq.groupBy("kind").count().collect()}
+        n_dq = sum(kind_counts.values())
         if n_dq == 0:
             dq.unpersist()
             return ckpt, {"dequeued": 0}
 
-        # golden ordering log (append BEFORE fetch: the dequeue decision IS
-        # the contract, independent of fetch outcome)
-        self.store.append(
-            "fetch_log",
-            dq.select("round", "seq", "url", "host", "kind", "priority", "region", "page"),
-            round_no,
-        )
-
         fetcher = StoreFetcher(
             self.page_store_path, self._interval_map(),
             round_start_ms=round_no * 10_000_000,
+            robots=self._robots_map(),
         )
-        fetched = fetch_batch(dq.drop("round", "seq"), fetcher, self.n_partitions).cache()
-        # per-fetch audit rows (politeness property tests + throughput bench)
+        # explicit parallelism for the CPU-bound Python stage, sized from the
+        # known dequeue count (~32 pages/task floor, capped at n_partitions)
+        fetch_parts = max(1, min(self.n_partitions, n_dq // 32 + 1))
+        fetched = fetch_batch(dq.drop("round", "seq"), fetcher, fetch_parts).cache()
+        # golden ordering log + per-fetch audit in ONE append. seq was
+        # assigned at dequeue time, so the ordering contract is a pure
+        # function of the dequeue decision, independent of fetch outcome.
         self.store.append(
-            "fetches",
-            fetched.select(
-                F.lit(round_no).alias("round"), "url", "host", "kind", "status",
-                "nbytes", "duration_ms", "fetch_ts_ms",
+            "fetch_log",
+            fetched.join(dq.select("round", "seq", "url"), "url").select(
+                "round", "seq", "url", "host", "kind", "priority", "region", "page",
+                "status", "nbytes", "duration_ms", "fetch_ts_ms",
             ),
             round_no,
         )
         parsed = parsed_body(fetched.filter(F.col("status") == 200)).cache()
 
-        # ④ cards → CDC merge
-        cards_all = parse_cards(parsed.filter(F.col("kind") == "listing_page"))
-        cards_ok, cards_bad = split_malformed(cards_all)
-        cards = dedupe_cards(cards_ok).cache()
-        n_cards = cards.count()
-        apt_version = ckpt.apartments_version
-        if n_cards:
-            old = (
-                self.store.read_apartments(apt_version)
-                if apt_version >= 0
-                else empty_apartments(self.spark)
+        # ④-⑦ run as CONCURRENT job chains: a sequential driver loop would
+        # serialize ~14 small Spark jobs and pay their scheduling latency
+        # end-to-end (the reference has the same concurrency — master
+        # dispatches while workers fetch, masterjob.go:399-434). All chains
+        # read only the materialized `fetched` cache; their outputs are
+        # disjoint tables, so ordering across chains is irrelevant.
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_metrics = ex.submit(
+                self.store.append, "metrics", rate_stats(fetched, round_no), round_no
             )
-            batch = cards.select(
-                "location", "aid", "price", "size", "total", "subway", "station",
-                "smeter", "floor", "tfloor", "year", "withlift", "visitcnt", "region",
-            )
-            merged, changes, meta_changes, stats = merge_apartments(old, batch, self.now_ts)
-            apt_version = round_no
-            self.store.write_apartments(merged, apt_version)
-            self.store.append("changes", changes, round_no)
-            self.store.append("meta_changes", meta_changes, round_no)
-            self.store.append("merge_stats", stats, round_no)
-            # ⑤ payload join-back
-            image_store = self.spark.read.parquet(self.image_store_path)
-            self.store.append("items", extract_items(cards, image_store), round_no)
-        self.store.append("errors", cards_bad, round_no)
+            f_cdc = ex.submit(self._cdc_chain, parsed, kind_counts, ckpt, round_no)
+            f_enq = ex.submit(self._enqueue_chain, parsed, frontier, fetched, ckpt, round_no)
+            f_metrics.result()
+            apt_version, n_cards = f_cdc.result()
+            n_new, bloom_versions, new_frontier = f_enq.result()
 
-        # ⑥ discoveries → enqueue
-        discoveries = self._discoveries_from(parsed)
-        cand = prepare_candidates(discoveries, self.budget, round_no)
-        bloom_shards = self.store.read_bloom(ckpt.bloom_versions)
-        new_rows = filter_unseen(self.spark, cand, frontier, self.bloom, bloom_shards).cache()
-        n_new = new_rows.count()
-        bloom_versions = list(ckpt.bloom_versions)
-        if n_new:
-            self.store.write_bloom(self.bloom.build(new_rows, version=round_no), round_no)
-            bloom_versions.append(round_no)
-
-        # frontier state transition + snapshot
-        res = fetched.select("url", "status")
-        updated = (
-            frontier.join(res, "url", "left")
-            .withColumn(
-                "state",
-                F.when(F.col("status") == 200, "fetched")
-                .when(F.col("status").isNotNull(), "failed")
-                .otherwise(F.col("state")),
-            )
-            .drop("status")
-        )
-        new_frontier = updated.unionByName(new_rows)
-        self.store.write_frontier(new_frontier, round_no, self.n_partitions)
-
-        # ⑦ metrics + lineage
-        self.store.append("metrics", rate_stats(fetched, round_no), round_no)
-        lineage_rows = (
-            self.store.read_frontier(round_no)
-            .groupBy("host", "state").count().collect()
-        )
+        lineage_rows = new_frontier.groupBy("host", "state").count().collect()
+        new_frontier.unpersist()
         lineage: dict[str, dict[str, int]] = {}
         for r in lineage_rows:
             lineage.setdefault(r["host"], {})[r["state"]] = r["count"]
@@ -313,9 +307,88 @@ class CrawlScheduler:
             counters=counters,
         )
         self.store.write_checkpoint(new_ckpt)
-        for df in (dq, fetched, parsed, cards, new_rows):
+        for df in (dq, fetched, parsed):
             df.unpersist()
         return new_ckpt, {"dequeued": n_dq, "new_urls": n_new, "cards": n_cards}
+
+    # -- round chains (run concurrently per round) ---------------------------
+
+    def _cdc_chain(self, parsed, kind_counts, ckpt: Checkpoint, round_no: int):
+        """④+⑤: cards → CDC merge → side outputs → items payload join-back.
+        Returns (apartments_version, n_cards)."""
+        apt_version = ckpt.apartments_version
+        if not kind_counts.get("listing_page", 0):
+            return apt_version, 0
+        cards_all = parse_cards(parsed.filter(F.col("kind") == "listing_page"))
+        cards_ok, cards_bad = split_malformed(cards_all)
+        cards = dedupe_cards(cards_ok).cache()
+        n_cards = cards.count()
+        if n_cards:
+            old = (
+                self.store.read_apartments(apt_version)
+                if apt_version >= 0
+                else empty_apartments(self.spark)
+            )
+            batch = cards.select(
+                "location", "aid", "price", "size", "total", "subway", "station",
+                "smeter", "floor", "tfloor", "year", "withlift", "visitcnt", "region",
+            )
+            merged, changes, meta_changes, stats = merge_apartments(old, batch, self.now_ts)
+            apt_version = round_no
+            self.store.write_apartments(merged, apt_version)
+            image_store = self.spark.read.parquet(self.image_store_path)
+            item_parts = max(1, min(self.n_partitions, n_cards // 256 + 1))
+            with ThreadPoolExecutor(max_workers=5) as ex:
+                for fut in [
+                    ex.submit(self.store.append, "changes", changes, round_no),
+                    ex.submit(self.store.append, "meta_changes", meta_changes, round_no),
+                    ex.submit(self.store.append, "merge_stats", stats, round_no),
+                    ex.submit(self.store.append, "items",
+                              extract_items(cards, image_store, item_parts), round_no),
+                    ex.submit(self.store.append, "errors", cards_bad, round_no),
+                ]:
+                    fut.result()
+        else:
+            self.store.append("errors", cards_bad, round_no)
+        cards.unpersist()
+        return apt_version, n_cards
+
+    def _enqueue_chain(self, parsed, frontier, fetched, ckpt: Checkpoint, round_no: int):
+        """⑥: discoveries → canonicalize → bloom/left_anti dedup → bloom
+        version append → frontier snapshot. Returns
+        (n_new, bloom_versions, cached new_frontier)."""
+        discoveries = self._discoveries_from(parsed)
+        cand = prepare_candidates(discoveries, self.budget, round_no)
+        new_rows = filter_unseen(
+            self.spark, cand, frontier, self.bloom,
+            bloom_arrays=self._bloom_dict(ckpt),
+        ).cache()
+        n_new = new_rows.count()
+        bloom_versions = list(ckpt.bloom_versions)
+        if n_new:
+            shard_rows = self.bloom.build(new_rows, version=round_no).collect()
+            bloom_versions.append(round_no)
+            self.store.write_bloom(
+                self.spark.createDataFrame(shard_rows, SHARD_SCHEMA), round_no
+            )
+            self._bloom_absorb(shard_rows, round_no, bloom_versions)
+
+        res = fetched.select("url", "status")
+        updated = (
+            frontier.join(res, "url", "left")
+            .withColumn(
+                "state",
+                F.when(F.col("status") == 200, "fetched")
+                .when(F.col("status") == 451, "robots_blocked")
+                .when(F.col("status").isNotNull(), "failed")
+                .otherwise(F.col("state")),
+            )
+            .drop("status")
+        )
+        new_frontier = updated.unionByName(new_rows).cache()
+        self.store.write_frontier(new_frontier, round_no, self.n_partitions)
+        new_rows.unpersist()
+        return n_new, bloom_versions, new_frontier
 
     # -- full run ------------------------------------------------------------
 

@@ -58,7 +58,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce by SIZE, not default parallelism: with parallelismFirst
+        # (the default) a 10-row frontier shuffle still schedules `cpus`
+        # tasks; 8 MB advisory keeps real data parallel while collapsing the
+        # scheduler's many tiny exchanges. CPU-bound pandas-UDF stages pin
+        # their own partition counts explicitly (fetch_batch, extract_items).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # without this, caching a DataFrame pins its shuffle partitioning and
+        # AQE stops coalescing tiny shuffles → 32-96 task stages on 10-row
+        # frontier rounds (measured 3-5× round overhead in the crawl loop)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

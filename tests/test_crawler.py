@@ -95,7 +95,7 @@ def test_politeness_budget_per_round(crawl):
 
 def test_politeness_spacing_within_round(crawl):
     spec, sched, _, ckpt = crawl
-    fetches = sched.store.read_appended("fetches", ckpt.appended_rounds).toPandas()
+    fetches = sched.store.read_appended("fetch_log", ckpt.appended_rounds).toPandas()
     for (rnd, host), grp in fetches.groupby(["round", "host"]):
         ts = np.sort(grp["fetch_ts_ms"].to_numpy())
         if len(ts) > 1:

@@ -1,0 +1,56 @@
+"""Pure-pandas unit tests for the fetch batch protocol (no Spark session):
+in-batch robots refusal, per-host spacing, deterministic latency."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pegasus_spark.crawler.fetch import STATUS_ROBOTS, _robots_disallowed
+
+
+def _pdf():
+    return pd.DataFrame(
+        {
+            "url": [
+                "https://h0.test/ershoufang/a/",
+                "https://h0.test/private/x/",
+                "https://h1.test/private/x/",
+                "https://h1.test/ok/",
+            ],
+            "host": ["h0.test", "h0.test", "h1.test", "h1.test"],
+            "priority": [1, 1, 1, 1],
+            "url_hash64": [1, 2, 3, 4],
+        }
+    )
+
+
+def test_robots_disallowed_mask():
+    robots = {"h0.test": ["/private/"], "h1.test": []}
+    mask = _robots_disallowed(_pdf(), robots)
+    assert mask.tolist() == [False, True, False, False]
+
+
+def test_robots_none_means_open():
+    assert not _robots_disallowed(_pdf(), None).any()
+    assert not _robots_disallowed(_pdf(), {}).any()
+
+
+def test_store_fetcher_blocks_in_batch(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pegasus_spark.crawler.fetch import StoreFetcher
+
+    store = str(tmp_path / "store.parquet")
+    pq.write_table(
+        pa.table({"url": ["https://h0.test/ershoufang/a/", "https://h0.test/private/x/"],
+                  "body": ["BODY-A", "SECRET"]}),
+        store,
+    )
+    f = StoreFetcher(store, {"h0.test": 10}, round_start_ms=0,
+                     robots={"h0.test": ["/private/"]})
+    out = f(_pdf()[_pdf()["host"] == "h0.test"]).set_index("url")
+    assert out.loc["https://h0.test/ershoufang/a/", "status"] == 200
+    assert out.loc["https://h0.test/private/x/", "status"] == STATUS_ROBOTS
+    # the disallowed row's body was never read
+    assert out.loc["https://h0.test/private/x/", "body"] is None
