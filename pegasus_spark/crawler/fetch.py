@@ -101,7 +101,11 @@ class StoreFetcher:
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["host", "priority", "url"], ascending=[True, False, True]).copy()
         blocked = _robots_disallowed(pdf, self.robots)
-        bodies = _fetch_bodies(self.store_path, pdf.loc[~blocked, "url"]).reindex(pdf.index)
+        bodies = (
+            _fetch_bodies(self.store_path, pdf.loc[~blocked, "url"])
+            .reindex(pdf.index)
+            .astype(object)  # an all-miss batch would otherwise be float64 NaN
+        )
         found = bodies.notna()
         pdf["status"] = found.map({True: 200, False: 404}).astype("int32")
         pdf.loc[blocked, "status"] = STATUS_ROBOTS

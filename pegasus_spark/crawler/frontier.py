@@ -40,7 +40,7 @@ from pegasus_spark.crawler.urlnorm import host_of, with_url_columns
 FRONTIER_DDL = (
     "url string, url_hash int, url_hash64 bigint, host string, kind string, "
     "priority int, page int, depth int, region string, state string, "
-    "discovered_round int"
+    "discovered_round int, retry_cnt int"
 )
 
 N_SALTS = 8  # hot-host write-skew breaker
@@ -116,6 +116,7 @@ def prepare_candidates(discoveries: DataFrame, budget: DataFrame, round_no: int)
         "depth", "region",
         _robots_state(budget).alias("state"),
         F.lit(round_no).alias("discovered_round"),
+        F.lit(0).alias("retry_cnt"),
     )
 
 

@@ -94,6 +94,7 @@ class CrawlScheduler:
         n_partitions: int = 8,
         now_ts: int | None = None,
         bloom: BloomShards | None = None,
+        max_retries: int = 3,
     ):
         self.spark = spark
         self.store = FrontierStore(spark, workdir)
@@ -107,6 +108,12 @@ class CrawlScheduler:
         self.bloom = bloom or BloomShards(n_shards=16, m_bits=1 << 17, k=7)
         self._intervals: dict[str, int] | None = None
         self._robots: dict[str, list[str]] | None = None
+        # fetch-level fault tolerance: a failed URL re-enters the pending
+        # pool up to max_retries times before resting at state='failed' —
+        # the rebuild of the reference's ≤3 tasklet retries
+        # (workertask.go:23,218-224); unlike TASK_MAX_ERR=0 job aborts
+        # (masterjob.go:19), a permanently failing URL never kills the crawl
+        self.max_retries = max_retries
         # driver-held merged bloom bitsets, ORed incrementally per round (the
         # persisted shard versions remain the source of truth for resume)
         self._bloom_arrays: dict | None = None
@@ -374,14 +381,21 @@ class CrawlScheduler:
             self._bloom_absorb(shard_rows, round_no, bloom_versions)
 
         res = fetched.select("url", "status")
+        retryable = F.col("retry_cnt") + 1 <= F.lit(self.max_retries)
+        is_err = F.col("status").isNotNull() & ~F.col("status").isin(200, 451)
         updated = (
             frontier.join(res, "url", "left")
             .withColumn(
                 "state",
                 F.when(F.col("status") == 200, "fetched")
                 .when(F.col("status") == 451, "robots_blocked")
-                .when(F.col("status").isNotNull(), "failed")
+                .when(is_err & retryable, "pending")     # re-enqueue
+                .when(is_err, "failed")                  # retries exhausted
                 .otherwise(F.col("state")),
+            )
+            .withColumn(
+                "retry_cnt",
+                F.when(is_err, F.col("retry_cnt") + 1).otherwise(F.col("retry_cnt")),
             )
             .drop("status")
         )
