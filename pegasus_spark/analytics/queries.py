@@ -429,6 +429,128 @@ SELECT day, COUNT(*) AS active_users FROM days GROUP BY day ORDER BY day
 
 
 # ---------------------------------------------------------------------------
+# Multi-join rollups — the deep-join/agg surface a 100 TB warehouse needs
+# (beyond the reference's single-table analytics; TPC-H Q3/Q5 shapes)
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, revenue per
+    order, top 10. Scale: both filters push to scans; customer side
+    broadcasts; the lineitem join shuffles on orderkey once; final top-K is
+    TakeOrderedAndProject."""
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    dec = lambda cn: F.col(cn).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("decimal(28,8)")
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 5-way join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region)
+    rolled up per nation. Scale: nation/region broadcast; customer broadcasts
+    under the 64 MB threshold at sf≤1; the two fact joins shuffle on their
+    keys; group-by output is nation-cardinality tiny."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dec = lambda cn: F.col(cn).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("decimal(28,8)")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name AS nation,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS revenue,
+       COUNT(*) AS line_cnt
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, nation ASC
+"""
+
+
+def q_supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-side rollup: supplier ⋈ nation ⋈ region account balances —
+    exercises multi-broadcast star joins with a grouping-set-free rollup."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)")).alias("total_bal"),
+            F.count(F.lit(1)).alias("supplier_cnt"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+ORACLE_SUPPLIER_BALANCE_BY_REGION = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS total_bal,
+       COUNT(*) AS supplier_cnt
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY region_name, nation_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mergesort demo: S8 seeded source + K4 distributed sort (SURVEY §2.1/§2.6)
 # ---------------------------------------------------------------------------
 
@@ -486,6 +608,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_value_per_key": q_first_value_per_key,
     "day_sweep_active": q_day_sweep_active,
     "mergesort": q_mergesort,
+    "shipping_priority": q_shipping_priority,
+    "revenue_by_nation": q_revenue_by_nation,
+    "supplier_balance_by_region": q_supplier_balance_by_region,
     **PIPELINE_QUERIES,
 }
 
@@ -503,5 +628,8 @@ ORACLE_SQL: dict[str, str] = {
     "first_value_per_key": ORACLE_FIRST_VALUE_PER_KEY,
     "day_sweep_active": ORACLE_DAY_SWEEP_ACTIVE,
     "mergesort": ORACLE_MERGESORT,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "supplier_balance_by_region": ORACLE_SUPPLIER_BALANCE_BY_REGION,
     **PIPELINE_ORACLES,
 }

@@ -234,6 +234,11 @@ class BloomShards:
 
 # ---------------------------------------------------------------------------
 # Cuckoo filter fallback (deletion support, north_rule)
+#
+# Distributed form (CuckooShards) mirrors BloomShards: per-shard tables built
+# in applyInPandas groups, stored as rows (shard, version, table bytes),
+# membership via broadcast. Deletion is what bloom cannot do — e.g. purging
+# a host's URL-seen entries after a robots change so they can be re-enqueued.
 # ---------------------------------------------------------------------------
 
 class CuckooFilter:
@@ -295,3 +300,108 @@ class CuckooFilter:
                 self.table[b, hit[0]] = 0
                 return True
         return False
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int, seed: int = 7) -> "CuckooFilter":
+        cf = cls(n_buckets=n_buckets, seed=seed)
+        cf.table = np.frombuffer(data, dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
+        return cf
+
+
+class CuckooShards:
+    """Sharded cuckoo filter over a DataFrame of 64-bit hashes — the
+    deletion-capable URL-seen variant. Same shard key as BloomShards
+    (``shard_of``), so a deployment can swap filters without repartitioning."""
+
+    def __init__(self, n_shards: int = 16, n_buckets: int = 1 << 12):
+        self.n_shards = n_shards
+        self.n_buckets = n_buckets
+
+    def _apply(self, df: DataFrame, shards_df: DataFrame | None,
+               op: str, hash_col: str, version: int) -> DataFrame:
+        """Cogroup new keys with their shard's prior table (the table bytes
+        are never replicated per key) and emit the updated shard row. Shards
+        untouched by this batch re-emit unchanged, so the output is a
+        complete new filter version."""
+        n_buckets = self.n_buckets
+
+        def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(right):
+                shard = int(right["shard"].iloc[0])
+                cf = CuckooFilter.from_bytes(right["bitset"].iloc[0], n_buckets)
+            else:
+                shard = int(left["shard"].iloc[0])
+                cf = CuckooFilter(n_buckets=n_buckets)
+            if len(left):
+                for h in left["h64"].astype("int64"):
+                    (cf.insert if op == "insert" else cf.delete)(int(h))
+            return pd.DataFrame(
+                {"shard": [shard], "version": [version], "bitset": [cf.to_bytes()]}
+            )
+
+        keys = df.select(F.col(hash_col).alias("h64")).withColumn(
+            "shard", shard_of(F.col("h64"), self.n_shards)
+        )
+        if shards_df is None:
+            empty = keys.sparkSession.createDataFrame([], SHARD_SCHEMA)
+            shards_df = empty
+        return (
+            keys.groupBy("shard")
+            .cogroup(self.latest(shards_df).groupBy("shard"))
+            .applyInPandas(run, SHARD_SCHEMA)
+        )
+
+    def build(self, df: DataFrame, hash_col: str = "url_hash64", version: int = 0) -> DataFrame:
+        return self._apply(df, None, "insert", hash_col, version)
+
+    def insert(self, shards_df: DataFrame, df: DataFrame,
+               hash_col: str = "url_hash64", version: int = 1) -> DataFrame:
+        """Complete new filter version with df's keys added."""
+        return self._apply(df, shards_df, "insert", hash_col, version)
+
+    def delete(self, shards_df: DataFrame, df: DataFrame,
+               hash_col: str = "url_hash64", version: int = 1) -> DataFrame:
+        """New shard version with df's keys REMOVED — the operation bloom
+        fundamentally cannot do."""
+        return self._apply(df, shards_df, "delete", hash_col, version)
+
+    @staticmethod
+    def latest(shards_df: DataFrame) -> DataFrame:
+        """Resolve stacked versions: keep each shard's highest version."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard").orderBy(F.desc("version"))
+        return (
+            shards_df.withColumn("_rk", F.row_number().over(w))
+            .filter("_rk = 1").drop("_rk")
+        )
+
+    def check_broadcast(
+        self, spark: SparkSession, df: DataFrame, shards_df: DataFrame,
+        hash_col: str = "url_hash64", out_col: str = "maybe_seen",
+    ) -> DataFrame:
+        tables = {
+            int(r["shard"]): CuckooFilter.from_bytes(r["bitset"], self.n_buckets)
+            for r in self.latest(shards_df).collect()
+        }
+        bc = spark.sparkContext.broadcast(tables)
+        n_shards = self.n_shards
+        schema = StructType(df.schema.fields + [StructField(out_col, BooleanType())])
+
+        def probe(batches):
+            shards = bc.value
+            for pdf in batches:
+                h = pdf[hash_col].to_numpy(dtype=np.int64)
+                sh = (h % n_shards + n_shards) % n_shards
+                out = np.zeros(len(h), dtype=bool)
+                for i in range(len(h)):
+                    cf = shards.get(int(sh[i]))
+                    out[i] = cf.contains(int(h[i])) if cf is not None else False
+                pdf = pdf.copy()
+                pdf[out_col] = out
+                yield pdf
+
+        return df.mapInPandas(probe, schema)

@@ -238,6 +238,58 @@ class FrontierStore:
     def read_apartments(self, version: int) -> DataFrame:
         return self.spark.read.parquet(self._p("apartments", f"v{version}"))
 
+    # snapshot lifecycle -----------------------------------------------------
+    def snapshot_diff(self, v_old: int, v_new: int) -> DataFrame:
+        """Row-level diff between two frontier snapshots — the local
+        equivalent of an Iceberg changelog scan (ST4 incremental semantics):
+        change_type ∈ {added, state_changed}. Join on the canonical URL
+        (the identity column), one shuffle."""
+        old = self.read_frontier(v_old).select(
+            "url", F.col("state").alias("old_state")
+        )
+        new = self.read_frontier(v_new)
+        joined = new.join(old, "url", "left")
+        return (
+            joined.filter(
+                F.col("old_state").isNull() | (F.col("old_state") != F.col("state"))
+            )
+            .withColumn(
+                "change_type",
+                F.when(F.col("old_state").isNull(), "added").otherwise("state_changed"),
+            )
+            .select("url", "host", "kind", "old_state", "state", "change_type")
+        )
+
+    def compact(self, keep_last: int = 2) -> list[str]:
+        """Drop frontier/bloom versions no checkpoint needs: everything older
+        than the manifest's referenced versions minus ``keep_last`` history.
+        Returns removed paths. (Iceberg equivalent: expire_snapshots.)"""
+        import shutil
+
+        ckpt = self.load_checkpoint()
+        if ckpt is None:
+            return []
+        removed: list[str] = []
+        keep_f = {ckpt.frontier_version}
+        fdir = self._p("frontier")
+        if os.path.isdir(fdir):
+            versions = sorted(
+                int(d[1:]) for d in os.listdir(fdir) if d.startswith("v")
+            )
+            for v in versions[:-keep_last] if len(versions) > keep_last else []:
+                if v not in keep_f:
+                    shutil.rmtree(os.path.join(fdir, f"v{v}"), ignore_errors=True)
+                    removed.append(f"frontier/v{v}")
+        bdir = self._p("bloom")
+        keep_b = set(ckpt.bloom_versions)
+        if os.path.isdir(bdir):
+            for d in os.listdir(bdir):
+                v = int(d[1:])
+                if v not in keep_b:
+                    shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+                    removed.append(f"bloom/v{v}")
+        return removed
+
     # append-only tables -----------------------------------------------------
     def append(self, name: str, df: DataFrame, round_no: int) -> None:
         df.write.mode("overwrite").parquet(self._p(name, f"r{round_no}"))
