@@ -115,8 +115,12 @@ FROM s ORDER BY doc_id
 
 
 def q_fingerprint(spark, sf_dir):
+    # single-file table ⇒ single scan partition; spread the md5-window work
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
-        T.with_fingerprint(_docs(spark, sf_dir), k=8)
+        T.with_fingerprint(docs, k=8)
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )
@@ -315,6 +319,52 @@ ORDER BY id_a, id_b
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Composed training-data curation: exact-dedup (min-id keeper) →
+    quality floor → language allowlist → the surviving corpus with its
+    quality score. The end-to-end shape of a pretraining data filter;
+    each stage is narrow or a single hash-shuffle."""
+    docs = T.with_quality(T.with_lang_guess(_docs(spark, sf_dir)))
+    deduped = D.exact_dedupe(docs)
+    return (
+        deduped.filter(F.col("quality") >= 0.5)
+        .filter(F.col("lang_guess").isin("en", "de"))
+        .select("doc_id", "lang", "lang_guess", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CURATION_PIPELINE = r"""
+WITH t AS (
+  SELECT doc_id, lang, trim(text) AS tt,
+         regexp_split_to_array(trim(text), '\s+') AS toks, text
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, text, length(tt) AS tlen, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS hits_en,
+         len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','zu'], x))) AS hits_de,
+         len(list_filter(toks, x -> list_contains(['el','los','las','es','y','que'], x))) AS hits_es,
+         len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que'], x))) AS hits_fr
+  FROM t
+), scored AS (
+  SELECT doc_id, lang, text, n AS n_tokens,
+    CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS lang_guess,
+    round(least(n / 64.0, 1.0) * 0.5
+          + (1.0 - least(hits_en * 1.0 / n, 1.0)) * 0.3
+          + least(((tlen - (n - 1)) * 1.0 / n) / 8.0, 1.0) * 0.2, 4) AS quality
+  FROM m
+), deduped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM scored
+)
+SELECT doc_id, lang, lang_guess, n_tokens, quality
+FROM deduped
+WHERE rk = 1 AND quality >= 0.5 AND lang_guess IN ('en', 'de')
+ORDER BY doc_id
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Approximate NN via random-hyperplane buckets — numpy path, no SQL
     twin (recall property-tested in tests/test_textops.py); driver records
@@ -334,6 +384,7 @@ PIPELINE_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "curation_pipeline": q_curation_pipeline,
     "ann_topk": q_ann_topk,
 }
 
@@ -349,5 +400,6 @@ PIPELINE_ORACLES = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "curation_pipeline": ORACLE_CURATION_PIPELINE,
     # ann_topk: intentionally no oracle (approximate, numpy-seeded)
 }
