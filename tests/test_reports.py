@@ -1,0 +1,110 @@
+"""Report-suite parity over crawled tables vs a pure-pandas oracle — the
+rebuild of tools/report.py + tools/lianjia_avg.py (entry point C)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from crawl_oracle import expected_after_run2, expected_apartments_run1
+from pegasus_spark.analytics.reports import (
+    daily_price_series,
+    price_changes_with_location,
+    tfloor_histogram,
+    top_by_price,
+    top_by_size,
+    top_by_total,
+)
+from pegasus_spark.crawler.fixtures import budget_df, make_site_spec, write_fixture
+from pegasus_spark.crawler.scheduler import CrawlScheduler
+
+TS1, TS2 = 1_700_000_000, 1_700_086_400  # consecutive days (UTC)
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    spec = make_site_spec(n_districts=3, regions_per_district=2, pages_per_region_max=4)
+    fx = str(tmp_path_factory.mktemp("fx"))
+    write_fixture(spark, spec, fx, round_no=1)
+    write_fixture(spark, spec, fx, round_no=2)
+    work = str(tmp_path_factory.mktemp("work"))
+    sched = CrawlScheduler(
+        spark, work, f"{fx}/site_pages_r1.parquet", f"{fx}/items_r1.parquet",
+        budget_df(spark, spec), seed_urls=[spec.root_url], now_ts=TS1,
+    )
+    sched.run()
+    run1_rounds = list(sched.store.load_checkpoint().appended_rounds)
+    sched.new_run(f"{fx}/site_pages_r2.parquet", now_ts=TS2)
+    sched.image_store_path = f"{fx}/items_r2.parquet"
+    sched.run()
+    ckpt = sched.store.load_checkpoint()
+    run2_rounds = [r for r in ckpt.appended_rounds if r not in run1_rounds]
+    apartments = sched.store.read_apartments(ckpt.apartments_version).cache()
+    changes = sched.store.read_appended("changes", run2_rounds).cache()
+    exp_final, exp_changes, _ = expected_after_run2(spec, TS1, TS2)
+    return spec, apartments, changes, exp_final, exp_changes
+
+
+def test_top_by_total(crawled):
+    _, apartments, _, exp_final, _ = crawled
+    got = [(r["aid"], r["total"]) for r in top_by_total(apartments, 10).collect()]
+    exp = sorted(exp_final.values(), key=lambda r: (-r["total"], r["aid"]))[:10]
+    assert got == [(r["aid"], r["total"]) for r in exp]
+
+
+def test_top_by_price_and_size(crawled):
+    _, apartments, _, exp_final, _ = crawled
+    got_p = [r["aid"] for r in top_by_price(apartments, 10).collect()]
+    exp_p = [r["aid"] for r in
+             sorted(exp_final.values(), key=lambda r: (-r["price"], r["aid"]))[:10]]
+    assert got_p == exp_p
+    got_s = [r["aid"] for r in top_by_size(apartments, 10).collect()]
+    exp_s = [r["aid"] for r in
+             sorted(exp_final.values(), key=lambda r: (-float(r["size"]), r["aid"]))[:10]]
+    assert got_s == exp_s
+
+
+def test_tfloor_histogram(crawled):
+    _, apartments, _, exp_final, _ = crawled
+    got = {r["tfloor"]: r["count"] for r in tfloor_histogram(apartments).collect()}
+    exp: dict[int, int] = {}
+    for r in exp_final.values():
+        exp[r["tfloor"]] = exp.get(r["tfloor"], 0) + 1
+    assert got == exp
+
+
+def test_price_increases_with_location(crawled):
+    _, apartments, changes, exp_final, exp_changes = crawled
+    got = price_changes_with_location(apartments, changes, "inc", 10).collect()
+    exp_inc = [c for c in exp_changes if c["new_price"] > c["old_price"]]
+    exp_inc.sort(key=lambda c: (-(c["new_price"] - c["old_price"]), c["aid"]))
+    assert [r["aid"] for r in got] == [c["aid"] for c in exp_inc[:10]]
+    # location joined back correctly (J5 decorrelated lookup)
+    locs = {(r["region"], r["aid"]): r["location"] for r in got}
+    for (region, aid), loc in locs.items():
+        assert loc == exp_final[(region, aid)]["location"]
+
+
+def test_daily_price_series(crawled):
+    _, apartments, changes, exp_final, exp_changes = crawled
+    got = {r["day"]: r for r in daily_price_series(apartments, changes).collect()}
+    d1 = dt.datetime.fromtimestamp(TS1, dt.timezone.utc).date()
+    d2 = dt.datetime.fromtimestamp(TS2, dt.timezone.utc).date()
+    assert set(got) == {d1, d2}
+
+    # pandas oracle: day1 = all run-1 listings at run-1 prices; day2 = all
+    # run-2-active listings at their final prices
+    run1 = expected_apartments_run1(
+        # spec is first element of the fixture tuple
+        crawled[0], TS1
+    )
+    day1_prices = [r["price"] for r in run1.values()]
+    day2_prices = [r["price"] for r in exp_final.values() if r["uts"] == TS2]
+    assert got[d1]["active_cnt"] == len(day1_prices)
+    assert got[d2]["active_cnt"] == len(day2_prices)
+    assert float(got[d1]["avg_price"]) == round(sum(day1_prices) / len(day1_prices), 2)
+    assert float(got[d2]["avg_price"]) == round(sum(day2_prices) / len(day2_prices), 2)
+    assert got[d1]["median_price"] == float(pd.Series(day1_prices).median())
+    assert got[d2]["median_price"] == float(pd.Series(day2_prices).median())
