@@ -113,6 +113,21 @@ def run_crawl_bench(spark: SparkSession, scale: str | None = None) -> dict:
     urls = ckpt.counters.get("urls_enqueued", 0)
     sus_pages = sum(d for d, _ in round_walls if d >= 100)
     sus_wall = sum(w for d, w in round_walls if d >= 100)
+    # determinism digests: identical across ANY parallelism level for the
+    # same fixture (the §4.3 contract, checked cross-JVM by scaling_bench)
+    import hashlib
+
+    log = sched.store.read_appended("fetch_log", ckpt.appended_rounds)
+    log_rows = sorted(
+        (r["round"], r["seq"], r["url"]) for r in log.select("round", "seq", "url").collect()
+    )
+    fetch_log_hash = hashlib.sha256(str(log_rows).encode()).hexdigest()[:16]
+    frontier = sched.store.read_frontier(ckpt.frontier_version)
+    seen_rows = sorted(
+        (r["url"], r["state"]) for r in frontier.select("url", "state").collect()
+    )
+    url_seen_hash = hashlib.sha256(str(seen_rows).encode()).hexdigest()[:16]
+
     out = {
         "crawl_scale": scale,
         "crawl_rounds": len(round_walls),
@@ -122,6 +137,8 @@ def run_crawl_bench(spark: SparkSession, scale: str | None = None) -> dict:
         "pages_per_sec": round(pages / wall, 2),
         "urls_per_sec": round(urls / wall, 2),
         "sustained_pages_per_sec": round(sus_pages / sus_wall, 2) if sus_wall else 0.0,
+        "fetch_log_hash": fetch_log_hash,
+        "url_seen_hash": url_seen_hash,
     }
     shutil.rmtree(work, ignore_errors=True)
     return out

@@ -74,6 +74,11 @@ def main() -> None:
     s8 = best_of(reps, 8, "large")
     strong_eff = round((s8["pages_per_sec"] / s2["pages_per_sec"]) / 4, 3)
 
+    # cross-JVM determinism: identical fixture ⇒ identical golden ordering
+    # and URL-seen set at both parallelism levels (§4.3 contract)
+    assert s2["fetch_log_hash"] == s8["fetch_log_hash"], "fetch-log hash diverged!"
+    assert s2["url_seen_hash"] == s8["url_seen_hash"], "URL-seen hash diverged!"
+
     result = {
         "component": {"local2": c2, "local8": c8, "efficiency": comp_eff},
         "weak": {"local8_weak1": w8, "local32_weak4": w32, "efficiency": weak_eff},
@@ -123,6 +128,10 @@ frontier). weak4 ≈ 4× weak1's pages with 4× the per-round dequeue budget.
 |---|---|---|---|
 | local[2] (N)  | {s2["pages_per_sec"]} | {s2["sustained_pages_per_sec"]} | {s2["crawl_wall_s"]} |
 | local[8] (4N) | {s8["pages_per_sec"]} | {s8["sustained_pages_per_sec"]} | {s8["crawl_wall_s"]} |
+
+Cross-JVM determinism: both runs produced identical golden-ordering and
+URL-seen digests (fetch_log_hash = `{s2["fetch_log_hash"]}`, url_seen_hash =
+`{s2["url_seen_hash"]}`) — asserted by this harness on every run.
 
 Strong efficiency: **{strong_eff}**. Bounded by two sandbox artifacts that do
 not exist on a real cluster: (a) each scheduler round pays a fixed ~3-5 s of

@@ -3,17 +3,20 @@
 Re-expresses the query/data-processing capabilities of the reference crawler
 framework (nju04zq/pegasus, studied at /root/reference) as idiomatic Spark:
 
-- ``pegasus_spark.session``   — SparkSession factory (AQE, Arrow, UTC).
-- ``pegasus_spark.tables``    — snapshot-versioned parquet tables (Iceberg
-  stand-in for this sandbox; no Iceberg runtime jar is available).
-- ``pegasus_spark.crawler``   — URL frontier + fetch scheduler (the north
-  rule): politeness, robots, bloom URL-seen, priority dequeue, CDC merge.
-- ``pegasus_spark.operators`` — relational/top-K/window/dedup/similarity/
-  text operators used by the analytics surface.
-- ``pegasus_spark.analytics`` — the reference's report/time-series queries
-  re-expressed over DataFrames.
-- ``pegasus_spark.fixtures``  — deterministic synthetic site + image payload
-  generators (seed=42) for tests and benchmarks.
+- ``pegasus_spark.session``    — SparkSession factory (AQE tuning, Arrow,
+  UTC, executor PYTHONPATH).
+- ``pegasus_spark.crawler``    — URL frontier + fetch scheduler (the north
+  rule): politeness + robots.txt in-batch, bloom/cuckoo URL-seen, priority
+  dequeue, CDC merge, versioned snapshots + checkpoint manifest, retries.
+- ``pegasus_spark.analytics``  — the oracle-checked query registry
+  (reference reports, TPC-H-shaped joins, training-data pipeline queries)
+  plus the crawled-table report suite.
+- ``pegasus_spark.textops``    — dedup (exact/MinHash-LSH/SimHash/Jaccard),
+  similarity search (cosine/sign-LSH/hyperplane ANN), text analysis.
+- ``pegasus_spark.multimodal`` — image/audio/video binary-column operators.
+- ``pegasus_spark.streaming``  — watermarked metrics stream + stateful
+  per-host counters.
+- ``pegasus_spark.io_utils``   — CSV/JSON export-import with count verify.
 """
 
 __version__ = "0.1.0"

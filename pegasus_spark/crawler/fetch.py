@@ -68,6 +68,47 @@ def _fetch_bodies(path: str, urls: "pd.Series") -> "pd.Series":
 
 STATUS_ROBOTS = 451  # in-batch robots refusal (never actually requested)
 
+_ROBOTS_CACHE: dict[tuple[str, str], list[str]] = {}
+
+
+def parse_robots_txt(body: str | None) -> list[str]:
+    """Disallow prefixes for User-agent: * (minimal RFC 9309 subset: UA
+    groups, Disallow lines; Allow and wildcards out of scope)."""
+    if not body:
+        return []
+    out: list[str] = []
+    applies = False
+    for line in body.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            applies = val == "*"
+        elif key == "disallow" and applies and val:
+            out.append(val)
+    return out
+
+
+def _store_robots(store_path: str, hosts: "pd.Series") -> dict[str, list[str]]:
+    """Per-batch robots.txt retrieval: fetch https://{host}/robots.txt from
+    the page store for every host in the batch, parse, cache per process
+    (the 'robots cache per batch fn' of SURVEY §2.10 — one lookup per host,
+    not per URL)."""
+    result: dict[str, list[str]] = {}
+    missing = [h for h in hosts.unique() if (store_path, h) not in _ROBOTS_CACHE]
+    if missing:
+        urls = pd.Series([f"https://{h}/robots.txt" for h in missing])
+        bodies = _fetch_bodies(store_path, urls)
+        for h, body in zip(missing, bodies):
+            _ROBOTS_CACHE[(store_path, h)] = parse_robots_txt(
+                body if isinstance(body, str) else None
+            )
+    for h in hosts.unique():
+        result[h] = _ROBOTS_CACHE[(store_path, h)]
+    return result
+
 
 def _robots_disallowed(pdf: pd.DataFrame, robots: dict[str, list[str]] | None) -> pd.Series:
     """Vectorized in-batch robots check — the frontier already marks
@@ -100,7 +141,14 @@ class StoreFetcher:
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["host", "priority", "url"], ascending=[True, False, True]).copy()
-        blocked = _robots_disallowed(pdf, self.robots)
+        # live robots.txt per host (fetched from the store, cached per
+        # process) merged with any statically-configured disallows
+        live = _store_robots(self.store_path, pdf["host"])
+        merged = {
+            h: sorted(set(live.get(h, [])) | set((self.robots or {}).get(h, [])))
+            for h in pdf["host"].unique()
+        }
+        blocked = _robots_disallowed(pdf, merged)
         bodies = (
             _fetch_bodies(self.store_path, pdf.loc[~blocked, "url"])
             .reindex(pdf.index)

@@ -283,8 +283,20 @@ def _noncanonical(url: str, salt: str) -> str:
 # page store + items generation (Spark-distributed for the big parts)
 # ---------------------------------------------------------------------------
 
+def robots_txt_body(prefixes: list[str]) -> str:
+    """A real robots.txt payload (User-agent: * with Disallow lines) — the
+    fetch layer downloads and parses this per host (north rule: robots.txt
+    enforcement inside the fetch batch)."""
+    return "User-agent: *\n" + "\n".join(f"Disallow: {p}" for p in prefixes) + "\n"
+
+
 def _structure_pages(spec: SiteSpec) -> list[tuple]:
     rows: list[tuple] = []
+    for h in HOSTS:
+        rows.append(
+            (f"https://{h}/robots.txt", h, "robots",
+             robots_txt_body(spec.robots.get(h, [])), 0)
+        )
     root_children = [_noncanonical(spec.district_url(d), "root") for d in spec.districts]
     root_children.append(f"https://{ROOT_HOST}/private/stats/")  # robots trap
     rows.append(

@@ -54,3 +54,44 @@ def test_store_fetcher_blocks_in_batch(tmp_path):
     assert out.loc["https://h0.test/private/x/", "status"] == STATUS_ROBOTS
     # the disallowed row's body was never read
     assert out.loc["https://h0.test/private/x/", "body"] is None
+
+
+def test_parse_robots_txt():
+    from pegasus_spark.crawler.fetch import parse_robots_txt
+
+    body = (
+        "# comment\nUser-agent: google\nDisallow: /google-only/\n\n"
+        "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n"
+    )
+    assert parse_robots_txt(body) == ["/private/", "/tmp/"]
+    assert parse_robots_txt(None) == []
+    assert parse_robots_txt("User-agent: *\nDisallow:\n") == []  # empty = allow all
+
+
+def test_store_fetcher_live_robots_txt(tmp_path):
+    """robots.txt fetched from the store blocks in-batch even with NO static
+    robots configuration (the north rule's in-batch robots.txt enforcement)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pegasus_spark.crawler.fetch import STATUS_ROBOTS, StoreFetcher
+
+    store = str(tmp_path / "store2.parquet")
+    pq.write_table(
+        pa.table({
+            "url": [
+                "https://h9.test/robots.txt",
+                "https://h9.test/ok/",
+                "https://h9.test/private/x/",
+            ],
+            "body": ["User-agent: *\nDisallow: /private/\n", "OK", "SECRET"],
+        }),
+        store,
+    )
+    pdf = pd.DataFrame(
+        {"url": ["https://h9.test/ok/", "https://h9.test/private/x/"],
+         "host": ["h9.test"] * 2, "priority": [1, 1], "url_hash64": [1, 2]}
+    )
+    out = StoreFetcher(store, {"h9.test": 10}, 0, robots=None)(pdf).set_index("url")
+    assert out.loc["https://h9.test/ok/", "status"] == 200
+    assert out.loc["https://h9.test/private/x/", "status"] == STATUS_ROBOTS
