@@ -551,6 +551,38 @@ ORDER BY region_name, nation_name
 
 
 # ---------------------------------------------------------------------------
+# As-of join (custom operator — pegasus_spark.operators.asof_join)
+# ---------------------------------------------------------------------------
+
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'click' event, the most recent 'error' event value at or
+    before its timestamp for the same user — the point-in-time lookup as a
+    single-shuffle as-of join. Oracle = DuckDB's native ASOF JOIN.
+    """
+    from pegasus_spark.operators import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("last_error_value")
+    )
+    return (
+        asof_join(clicks, errors, keys=["user_id"], how="inner")
+        .select("event_id", "user_id", "last_error_value")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF_LAST_ERROR = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errs AS (SELECT user_id, ts, value AS last_error_value FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, e.last_error_value
+FROM clicks c ASOF JOIN errs e ON c.user_id = e.user_id AND c.ts >= e.ts
+ORDER BY c.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mergesort demo: S8 seeded source + K4 distributed sort (SURVEY §2.1/§2.6)
 # ---------------------------------------------------------------------------
 
@@ -608,6 +640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_value_per_key": q_first_value_per_key,
     "day_sweep_active": q_day_sweep_active,
     "mergesort": q_mergesort,
+    "asof_last_error": q_asof_last_error,
     "shipping_priority": q_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
     "supplier_balance_by_region": q_supplier_balance_by_region,
@@ -628,6 +661,7 @@ ORACLE_SQL: dict[str, str] = {
     "first_value_per_key": ORACLE_FIRST_VALUE_PER_KEY,
     "day_sweep_active": ORACLE_DAY_SWEEP_ACTIVE,
     "mergesort": ORACLE_MERGESORT,
+    "asof_last_error": ORACLE_ASOF_LAST_ERROR,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "supplier_balance_by_region": ORACLE_SUPPLIER_BALANCE_BY_REGION,
