@@ -214,7 +214,7 @@ bits AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -298,7 +298,12 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return S.embedding_near_dup_pairs(_emb(spark, sf_dir), tau=0.3).orderBy("id_a", "id_b")
+    # 10 sign bits + tau=0.25: non-vacuous on the driver's near-orthogonal
+    # synthetic embeddings (16 bits / tau=0.3 bucketed every vector alone →
+    # the round-1 gate passed on 0 rows and verified nothing).
+    return S.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), tau=0.25, n_bits=10
+    ).orderBy("id_a", "id_b")
 
 
 ORACLE_EMBEDDING_NEAR_DUP = """
@@ -306,7 +311,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (
   SELECT vec_id, v,
     (SELECT SUM(CASE WHEN v[2*j+1] > v[2*j+2] THEN (1::BIGINT << j) ELSE 0 END)
-     FROM unnest(generate_series(0, 15)) AS t(j)) AS bucket
+     FROM unnest(generate_series(0, 9)) AS t(j)) AS bucket
   FROM e
 )
 SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
@@ -314,7 +319,7 @@ SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) AS cos
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE round(list_dot_product(a.v, b2.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.3
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.25
 ORDER BY id_a, id_b
 """
 

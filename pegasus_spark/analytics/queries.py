@@ -45,9 +45,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-side partial aggregation + a tiny shuffle of one row per
     (flag,status) group; decimal sums keep the result exact at any
     parallelism. Pushed filter on l_shipdate; only 7 columns read.
+
+    Output parity: aggregate in DECIMAL (exact, order-independent), then cast
+    the FINAL columns to DOUBLE+round(4) — DuckDB's fetchdf converts DECIMAL
+    sums to float64 and the driver's value hash includes types, so both
+    engines must emit the same final dtype (see CLAUDE.md parity rules).
     """
     li = load(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    out_d = lambda c: F.round(F.col(c).cast("double"), 4).alias(c)  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -63,18 +69,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(dec("l_quantity")).alias("max_qty"),
             F.min(dec("l_quantity")).alias("min_qty"),
         )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            out_d("sum_qty"),
+            out_d("sum_base_price"),
+            out_d("sum_disc_price"),
+            "count_order",
+            out_d("max_qty"),
+            out_d("min_qty"),
+        )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_disc_price,
        COUNT(*) AS count_order,
-       MAX(CAST(l_quantity AS DECIMAL(18,4))) AS max_qty,
-       MIN(CAST(l_quantity AS DECIMAL(18,4))) AS min_qty
+       ROUND(CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS max_qty,
+       ROUND(CAST(MIN(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS min_qty
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -91,14 +107,25 @@ def q_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(18,4)")
+    out_d = lambda c: F.round(F.col(c).cast("double"), 4).alias(c)  # noqa: E731
     return (
         ev.groupBy("event_type")
         .agg(
             F.sum(v).alias("total_value"),
             F.count(F.lit(1)).alias("total_cnt"),
-            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("failure_cnt"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("failure_cnt"),
             F.max(v).alias("max_value"),
             F.min(v).alias("min_value"),
+        )
+        .select(
+            "event_type",
+            out_d("total_value"),
+            "total_cnt",
+            "failure_cnt",
+            out_d("max_value"),
+            out_d("min_value"),
         )
         .orderBy("event_type")
     )
@@ -106,11 +133,11 @@ def q_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RATE_STATS = """
 SELECT event_type,
-       SUM(CAST(value AS DECIMAL(18,4))) AS total_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value,
        COUNT(*) AS total_cnt,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failure_cnt,
-       MAX(CAST(value AS DECIMAL(18,4))) AS max_value,
-       MIN(CAST(value AS DECIMAL(18,4))) AS min_value
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failure_cnt,
+       ROUND(CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS max_value,
+       ROUND(CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS min_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -132,7 +159,9 @@ def q_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("day", F.to_date("ts"))
         .groupBy("day")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
         )
@@ -142,7 +171,7 @@ def q_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DAILY_STATS = """
 SELECT CAST(ts AS DATE) AS day,
-       SUM(CAST(value AS DECIMAL(18,4))) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,
        COUNT(*) AS cnt,
        ROUND(CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE), 4) AS median_value
 FROM events
@@ -273,9 +302,13 @@ def q_anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this is THE frontier-enqueue op; at 10^10 rows it runs bloom-first
     (pegasus_spark.crawler.bloom) and left_anti only on the bloom-positive
     remainder.
+
+    The "seen" side is the vec_id%3==0 subset of embeddings so the gate is
+    non-vacuous: at every sf roughly 2/3 of documents survive the anti-join
+    (the full table covers every doc_id, which made the old gate 0-row).
     """
     docs = load(spark, sf_dir, "documents")
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
     return (
         docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
@@ -286,7 +319,7 @@ def q_anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANTI_JOIN_UNSEEN = """
 SELECT doc_id, lang, source, n_chars
 FROM documents d
-WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id AND e.vec_id % 3 = 0)
 ORDER BY doc_id
 """
 
@@ -448,9 +481,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-                .cast("decimal(28,8)")
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                    .cast("decimal(28,8)")
+                ).cast("double"),
+                4,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -460,9 +496,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SHIPPING_PRIORITY = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                AS DECIMAL(28,8))) AS revenue
+                AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -493,9 +529,12 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-                .cast("decimal(28,8)")
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                    .cast("decimal(28,8)")
+                ).cast("double"),
+                4,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("line_cnt"),
         )
@@ -505,9 +544,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REVENUE_BY_NATION = """
 SELECT n_name AS nation,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                AS DECIMAL(28,8))) AS revenue,
+                AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue,
        COUNT(*) AS line_cnt
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -531,7 +570,9 @@ def q_supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.sum(F.col("s_acctbal").cast("decimal(18,4)")).alias("total_bal"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "total_bal"
+            ),
             F.count(F.lit(1)).alias("supplier_cnt"),
         )
         .orderBy("region_name", "nation_name")
@@ -540,7 +581,7 @@ def q_supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SUPPLIER_BALANCE_BY_REGION = """
 SELECT r_name AS region_name, n_name AS nation_name,
-       SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS total_bal,
+       ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_bal,
        COUNT(*) AS supplier_cnt
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey

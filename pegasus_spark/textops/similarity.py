@@ -80,11 +80,14 @@ def sign_bucket(vec_col: str = "embedding", n_bits: int = N_SIGN_BITS):
 def embedding_near_dup_pairs(
     df: DataFrame, tau: float = 0.99,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_bits: int = N_SIGN_BITS,
 ) -> DataFrame:
     """Embedding-cosine near-dup: sign-LSH bucket equality join → exact
     cosine ≥ tau verify within buckets. No all-pairs scan; shuffle key is
-    the bucket."""
-    b = df.withColumn("bucket", sign_bucket(vec_col))
+    the bucket. `n_bits` trades candidate recall vs bucket size: fewer bits
+    → bigger buckets → more exact-verify work (pick ~log2(n_rows) bits so
+    expected bucket occupancy stays O(1) as the table grows)."""
+    b = df.withColumn("bucket", sign_bucket(vec_col, n_bits))
     a1 = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     a2 = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     cos = _dot(F.col("va"), F.col("vb")) / (
