@@ -19,10 +19,17 @@ equality authority, so bloom FPs cost a probe, never a lost URL. Writes are
 salted-repartitioned on (host, salt) to break hot-host file skew.
 
 Persistence is a versioned-parquet stand-in for Iceberg snapshots (no
-Iceberg runtime jar in the sandbox): each round writes ``frontier/v{N}`` and
-a checkpoint manifest with per-partition lineage; on a cluster the same
-calls become Iceberg ``MERGE INTO`` + snapshot metadata, and resume =
-time-travel to the manifest's snapshot id.
+Iceberg runtime jar in the sandbox): writes are INCREMENTAL at partition
+granularity — the frontier is bucketed by ``crc32(host) % n_buckets`` (the
+north rule's "partitioned by hash(host)") and each round rewrites ONLY the
+dirty buckets (buckets containing this round's dequeued hosts or newly
+discovered URLs); a per-version ``parts.json`` manifest maps every bucket to
+the version directory that owns its current rows, exactly like Iceberg's
+snapshot → manifest → data-file indirection where a ``MERGE INTO`` commits
+new files only for touched partitions. Apartments use the same scheme keyed
+by region. Per-round IO is therefore O(dirty partitions + new rows), not
+O(table) — the property that keeps a 10^10-URL frontier writable at a
+per-round cadence. Resume = time-travel to the checkpoint's version ids.
 """
 
 from __future__ import annotations
@@ -44,6 +51,20 @@ FRONTIER_DDL = (
 )
 
 N_SALTS = 8  # hot-host write-skew breaker
+N_FRONTIER_BUCKETS = 32  # hash(host) partition count (thousands at 10^10 scale)
+
+
+def host_bucket(n_buckets: int = N_FRONTIER_BUCKETS, host_col: str = "host"):
+    """Frontier partition key: crc32(host) % n_buckets. crc32 is the standard
+    zlib polynomial on both Spark and Python, so the driver can compute the
+    same bucket for lineage bookkeeping without a Spark job."""
+    return F.pmod(F.crc32(F.col(host_col).cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def host_bucket_py(host: str, n_buckets: int = N_FRONTIER_BUCKETS) -> int:
+    import zlib
+
+    return zlib.crc32(host.encode("utf-8")) % n_buckets
 
 
 # ---------------------------------------------------------------------------
@@ -70,17 +91,64 @@ def dequeue(frontier: DataFrame, budget: DataFrame) -> DataFrame:
     )
 
 
-def with_dequeue_seq(dequeued: DataFrame, round_no: int) -> DataFrame:
-    """Global canonical sequence over this round's batch — the golden crawl
-    ordering (parallelism-independent by construction; §4.3 contract)."""
-    w = Window.orderBy(
+SEQ_SCALABLE_THRESHOLD = 100_000  # rows/round above which the global window loses
+
+
+def _seq_keys():
+    return [
         F.desc("priority"),
         F.asc(F.coalesce("region", F.lit(""))),
         F.asc("page"),
         F.asc("url"),
+    ]
+
+
+def with_dequeue_seq(
+    dequeued: DataFrame, round_no: int, n_rows: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global canonical sequence over this round's batch — the golden crawl
+    ordering (parallelism-independent by construction; §4.3 contract).
+
+    Two physical strategies, same logical result (the order keys end in the
+    unique url, so the total order — and therefore every seq — is identical):
+
+    - small batches (≤ SEQ_SCALABLE_THRESHOLD, or unknown): one global
+      row_number window. A single-partition exchange, but for 10^3-10^4 rows
+      it is one cheap task — faster than a range-sampling pass.
+    - large batches: repartitionByRange on the canonical keys →
+      sortWithinPartitions → per-partition row_number + per-partition offset
+      (a ≤n_partitions-row collect). No single-partition exchange anywhere;
+      millions of rows/round sequence at full parallelism. Range boundaries
+      only decide placement, never the seq value, so sampling nondeterminism
+      cannot leak into the golden ordering.
+    """
+    keys = _seq_keys()
+    if n_rows is None or n_rows <= SEQ_SCALABLE_THRESHOLD:
+        w = Window.orderBy(*keys)
+        return dequeued.withColumn("seq", F.row_number().over(w)).withColumn(
+            "round", F.lit(round_no)
+        )
+    n = n_partitions or dequeued.sparkSession.sparkContext.defaultParallelism
+    d = (
+        dequeued.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    return dequeued.withColumn("seq", F.row_number().over(w)).withColumn(
-        "round", F.lit(round_no)
+    counts = {int(r["_pid"]): r["count"] for r in d.groupBy("_pid").count().collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):  # range partitions are ordered by the sort keys
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    return (
+        d.withColumn("seq", (F.row_number().over(w) + off_map[F.col("_pid")]).cast("int"))
+        .drop("_pid")
+        .withColumn("round", F.lit(round_no))
     )
 
 
@@ -209,12 +277,96 @@ class FrontierStore:
             json.dump(asdict(ckpt), f, indent=1)
         os.replace(tmp, self.manifest_path)  # atomic commit point
 
+    # partition manifests ------------------------------------------------------
+    # Each version dir holds data for its DIRTY partitions only plus a
+    # parts.json mapping every live partition -> the version that owns its
+    # current rows (Iceberg manifest-list stand-in). Readers union the
+    # referenced paths; clean partitions are never rewritten.
+
+    def _parts_path(self, table: str, version: int) -> str:
+        return self._p(table, f"v{version}", "parts.json")
+
+    def _load_parts(self, table: str, version: int) -> dict[str, int] | None:
+        p = self._parts_path(table, version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_parts(self, table: str, version: int, parts: dict[str, int]) -> None:
+        tmp = self._parts_path(table, version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(parts, f, sort_keys=True)
+        os.replace(tmp, self._parts_path(table, version))
+
+    def _read_parts(self, table: str, parts: dict[str, int], keys=None) -> DataFrame:
+        sel = parts if keys is None else {k: parts[k] for k in map(str, keys) if k in parts}
+        paths = [self._p(table, f"v{v}", "data", f"pk={k}") for k, v in sorted(sel.items())]
+        if not paths:
+            raise FileNotFoundError(f"{table}: no partitions for {keys}")
+        return self.spark.read.parquet(*paths)
+
+    def _write_partitioned(
+        self, table: str, df: DataFrame, version: int, key_col, n_partitions: int | None
+    ) -> list[str]:
+        """Write df's rows under v{version}/data/pk=<key>/ and return the keys
+        written. The pk partition column is a duplicate of the key expression
+        so the data files keep their original schema."""
+        out = df.withColumn("pk", key_col).withColumn(
+            "_salt", F.pmod(F.coalesce(F.col("url_hash"), F.lit(0)), F.lit(N_SALTS))
+            if "url_hash" in df.columns
+            else F.lit(0)
+        )
+        n = n_partitions or out.sparkSession.sparkContext.defaultParallelism
+        out = out.repartition(n, "pk", "_salt").drop("_salt")
+        out.write.mode("overwrite").partitionBy("pk").parquet(
+            self._p(table, f"v{version}", "data")
+        )
+        dd = self._p(table, f"v{version}", "data")
+        return sorted(
+            d.split("=", 1)[1] for d in os.listdir(dd) if d.startswith("pk=")
+        )
+
     # frontier snapshots -----------------------------------------------------
     def write_frontier(self, df: DataFrame, version: int, n_partitions: int | None = None) -> None:
-        salted(df).write.mode("overwrite").parquet(self._p("frontier", f"v{version}"))
+        """Full rewrite (bootstrap / re-seed): every bucket is dirty."""
+        written = self._write_partitioned(
+            "frontier", df, version, host_bucket(), n_partitions
+        )
+        self._write_parts("frontier", version, {k: version for k in written})
+
+    def write_frontier_delta(
+        self,
+        df: DataFrame,
+        version: int,
+        prev_version: int,
+        n_partitions: int | None = None,
+    ) -> None:
+        """Incremental commit: ``df`` carries the complete new contents of the
+        dirty buckets (and nothing else); clean buckets inherit the previous
+        manifest's version pointers. This is the Iceberg ``MERGE INTO``
+        shape — per-round write IO is O(dirty buckets)."""
+        prev = self._load_parts("frontier", prev_version) or {}
+        written = self._write_partitioned(
+            "frontier", df, version, host_bucket(), n_partitions
+        )
+        parts = dict(prev)
+        parts.update({k: version for k in written})
+        self._write_parts("frontier", version, parts)
 
     def read_frontier(self, version: int) -> DataFrame:
-        return self.spark.read.parquet(self._p("frontier", f"v{version}"))
+        parts = self._load_parts("frontier", version)
+        if parts is None:  # legacy flat snapshot
+            return self.spark.read.parquet(self._p("frontier", f"v{version}"))
+        return self._read_parts("frontier", parts)
+
+    def read_frontier_buckets(self, version: int, buckets) -> DataFrame:
+        """Only the named host-buckets' rows — the partition-pruned scan that
+        makes the round's state-update join O(dirty buckets)."""
+        parts = self._load_parts("frontier", version)
+        if parts is None:
+            return self.spark.read.parquet(self._p("frontier", f"v{version}"))
+        return self._read_parts("frontier", parts, keys=buckets)
 
     # bloom shard versions ---------------------------------------------------
     def write_bloom(self, shards: DataFrame, version: int) -> None:
@@ -230,24 +382,77 @@ class FrontierStore:
         return out
 
     # apartments snapshots ---------------------------------------------------
-    def write_apartments(self, df: DataFrame, version: int) -> None:
-        df.repartition("region").write.mode("overwrite").partitionBy("region").parquet(
-            self._p("apartments", f"v{version}")
+    # Region-partitioned with the same dirty-partition manifest scheme: a
+    # listing round that touches one region rewrites one region (the Iceberg
+    # MERGE the reference's table-per-region MySQL layout maps to,
+    # updatedb.go:238-249).
+
+    def write_apartments(self, df: DataFrame, version: int, n_partitions: int | None = None) -> None:
+        written = self._write_partitioned(
+            "apartments", df, version, F.col("region"), n_partitions
         )
+        self._write_parts("apartments", version, {k: version for k in written})
+
+    def write_apartments_delta(
+        self, df: DataFrame, version: int, prev_version: int, n_partitions: int | None = None
+    ) -> None:
+        """``df`` = complete new contents of the dirty regions only."""
+        prev = self._load_parts("apartments", prev_version) or {}
+        written = self._write_partitioned(
+            "apartments", df, version, F.col("region"), n_partitions
+        )
+        parts = dict(prev)
+        parts.update({k: version for k in written})
+        self._write_parts("apartments", version, parts)
 
     def read_apartments(self, version: int) -> DataFrame:
-        return self.spark.read.parquet(self._p("apartments", f"v{version}"))
+        parts = self._load_parts("apartments", version)
+        if parts is None:  # legacy flat snapshot
+            return self.spark.read.parquet(self._p("apartments", f"v{version}"))
+        return self._read_parts("apartments", parts)
+
+    def read_apartments_regions(self, version: int, regions) -> DataFrame | None:
+        """Partition-pruned read of the named regions (None if none exist yet
+        — e.g. every region in the batch is brand new)."""
+        parts = self._load_parts("apartments", version)
+        if parts is None:
+            return self.spark.read.parquet(self._p("apartments", f"v{version}"))
+        try:
+            return self._read_parts("apartments", parts, keys=regions)
+        except FileNotFoundError:
+            return None
 
     # snapshot lifecycle -----------------------------------------------------
     def snapshot_diff(self, v_old: int, v_new: int) -> DataFrame:
         """Row-level diff between two frontier snapshots — the local
         equivalent of an Iceberg changelog scan (ST4 incremental semantics):
         change_type ∈ {added, state_changed}. Join on the canonical URL
-        (the identity column), one shuffle."""
-        old = self.read_frontier(v_old).select(
-            "url", F.col("state").alias("old_state")
-        )
-        new = self.read_frontier(v_new)
+        (the identity column), one shuffle. With manifest-based incremental
+        writes, only buckets whose version pointer moved can differ — the
+        scan prunes to those (clean buckets share physical files)."""
+        po = self._load_parts("frontier", v_old)
+        pn = self._load_parts("frontier", v_new)
+        if po is not None and pn is not None:
+            changed = [k for k, v in pn.items() if po.get(k) != v]
+            if not changed:
+                return self.spark.createDataFrame(
+                    [],
+                    "url string, host string, kind string, old_state string, "
+                    "state string, change_type string",
+                )
+            new = self._read_parts("frontier", pn, keys=changed)
+            old_keys = [k for k in changed if k in po]
+            if old_keys:
+                old = self._read_parts("frontier", po, keys=old_keys).select(
+                    "url", F.col("state").alias("old_state")
+                )
+            else:
+                old = self.spark.createDataFrame([], "url string, old_state string")
+        else:
+            old = self.read_frontier(v_old).select(
+                "url", F.col("state").alias("old_state")
+            )
+            new = self.read_frontier(v_new)
         joined = new.join(old, "url", "left")
         return (
             joined.filter(
@@ -261,9 +466,11 @@ class FrontierStore:
         )
 
     def compact(self, keep_last: int = 2) -> list[str]:
-        """Drop frontier/bloom versions no checkpoint needs: everything older
-        than the manifest's referenced versions minus ``keep_last`` history.
-        Returns removed paths. (Iceberg equivalent: expire_snapshots.)"""
+        """Drop frontier/bloom versions no checkpoint needs. A version dir is
+        LIVE if the current checkpoint's manifest chain references it — with
+        incremental writes a clean bucket's data may live many versions back,
+        so liveness comes from parts.json, not recency. Returns removed paths.
+        (Iceberg equivalent: expire_snapshots.)"""
         import shutil
 
         ckpt = self.load_checkpoint()
@@ -271,15 +478,27 @@ class FrontierStore:
             return []
         removed: list[str] = []
         keep_f = {ckpt.frontier_version}
-        fdir = self._p("frontier")
-        if os.path.isdir(fdir):
-            versions = sorted(
-                int(d[1:]) for d in os.listdir(fdir) if d.startswith("v")
-            )
-            for v in versions[:-keep_last] if len(versions) > keep_last else []:
-                if v not in keep_f:
-                    shutil.rmtree(os.path.join(fdir, f"v{v}"), ignore_errors=True)
-                    removed.append(f"frontier/v{v}")
+        parts = self._load_parts("frontier", ckpt.frontier_version)
+        if parts:
+            keep_f |= set(parts.values())
+        if ckpt.apartments_version >= 0:
+            aparts = self._load_parts("apartments", ckpt.apartments_version)
+            if aparts:
+                keep_a = set(aparts.values()) | {ckpt.apartments_version}
+            else:
+                keep_a = {ckpt.apartments_version}
+        else:
+            keep_a = set()
+        for table, keep in (("frontier", keep_f), ("apartments", keep_a)):
+            tdir = self._p(table)
+            if not os.path.isdir(tdir):
+                continue
+            versions = sorted(int(d[1:]) for d in os.listdir(tdir) if d.startswith("v"))
+            expirable = versions[:-keep_last] if len(versions) > keep_last else []
+            for v in expirable:
+                if v not in keep:
+                    shutil.rmtree(os.path.join(tdir, f"v{v}"), ignore_errors=True)
+                    removed.append(f"{table}/v{v}")
         bdir = self._p("bloom")
         keep_b = set(ckpt.bloom_versions)
         if os.path.isdir(bdir):

@@ -47,6 +47,7 @@ from pegasus_spark.crawler.frontier import (
     FrontierStore,
     dequeue,
     filter_unseen,
+    host_bucket_py,
     prepare_candidates,
     with_dequeue_seq,
 )
@@ -248,12 +249,17 @@ class CrawlScheduler:
     def run_round(self, ckpt: Checkpoint) -> tuple[Checkpoint, dict]:
         round_no = ckpt.round + 1
         frontier = self.store.read_frontier(ckpt.frontier_version)
-        dq = with_dequeue_seq(dequeue(frontier, self.budget), round_no).cache()
-        kind_counts = {r["kind"]: r["count"] for r in dq.groupBy("kind").count().collect()}
+        dq_raw = dequeue(frontier, self.budget).cache()
+        kind_counts = {r["kind"]: r["count"] for r in dq_raw.groupBy("kind").count().collect()}
         n_dq = sum(kind_counts.values())
         if n_dq == 0:
-            dq.unpersist()
+            dq_raw.unpersist()
             return ckpt, {"dequeued": 0}
+        # seq strategy switches on the known batch size: global window for
+        # small rounds, range-partitioned two-phase rank for big ones
+        dq = with_dequeue_seq(
+            dq_raw, round_no, n_rows=n_dq, n_partitions=self.n_partitions
+        ).cache()
 
         fetcher = StoreFetcher(
             self.page_store_path, self._interval_map(),
@@ -291,12 +297,20 @@ class CrawlScheduler:
             f_enq = ex.submit(self._enqueue_chain, parsed, frontier, fetched, ckpt, round_no)
             f_metrics.result()
             apt_version, n_cards = f_cdc.result()
-            n_new, bloom_versions, new_frontier = f_enq.result()
+            n_new, bloom_versions, delta, dirty_buckets = f_enq.result()
 
-        lineage_rows = new_frontier.groupBy("host", "state").count().collect()
-        new_frontier.unpersist()
-        lineage: dict[str, dict[str, int]] = {}
-        for r in lineage_rows:
+        # per-partition lineage, updated INCREMENTALLY: a dirty bucket's delta
+        # carries all of its hosts' rows, so prior entries for dirty-bucket
+        # hosts are replaced wholesale and clean buckets keep theirs — no
+        # full-frontier scan (O(dirty buckets) like the write itself).
+        delta_rows = delta.groupBy("host", "state").count().collect()
+        delta.unpersist()
+        lineage: dict[str, dict[str, int]] = {
+            h: dict(v)
+            for h, v in ckpt.partition_lineage.items()
+            if host_bucket_py(h) not in dirty_buckets
+        }
+        for r in delta_rows:
             lineage.setdefault(r["host"], {})[r["state"]] = r["count"]
 
         counters = dict(ckpt.counters)
@@ -314,7 +328,7 @@ class CrawlScheduler:
             counters=counters,
         )
         self.store.write_checkpoint(new_ckpt)
-        for df in (dq, fetched, parsed):
+        for df in (dq_raw, dq, fetched, parsed):
             df.unpersist()
         return new_ckpt, {"dequeued": n_dq, "new_urls": n_new, "cards": n_cards}
 
@@ -331,18 +345,30 @@ class CrawlScheduler:
         cards = dedupe_cards(cards_ok).cache()
         n_cards = cards.count()
         if n_cards:
-            old = (
-                self.store.read_apartments(apt_version)
-                if apt_version >= 0
-                else empty_apartments(self.spark)
+            # MERGE at partition granularity: only the batch's regions are
+            # dirty — read and rewrite those regions alone, inherit the rest
+            # via the manifest (per-round apartments IO is O(dirty regions),
+            # not O(table)).
+            dirty_regions = sorted(
+                r[0] for r in cards.select("region").distinct().collect() if r[0]
             )
+            old = (
+                self.store.read_apartments_regions(apt_version, dirty_regions)
+                if apt_version >= 0
+                else None
+            ) or empty_apartments(self.spark)
             batch = cards.select(
                 "location", "aid", "price", "size", "total", "subway", "station",
                 "smeter", "floor", "tfloor", "year", "withlift", "visitcnt", "region",
             )
             merged, changes, meta_changes, stats = merge_apartments(old, batch, self.now_ts)
+            if apt_version >= 0:
+                self.store.write_apartments_delta(
+                    merged, round_no, apt_version, self.n_partitions
+                )
+            else:
+                self.store.write_apartments(merged, round_no, self.n_partitions)
             apt_version = round_no
-            self.store.write_apartments(merged, apt_version)
             image_store = self.spark.read.parquet(self.image_store_path)
             item_parts = max(1, min(self.n_partitions, n_cards // 256 + 1))
             with ThreadPoolExecutor(max_workers=5) as ex:
@@ -362,8 +388,12 @@ class CrawlScheduler:
 
     def _enqueue_chain(self, parsed, frontier, fetched, ckpt: Checkpoint, round_no: int):
         """⑥: discoveries → canonicalize → bloom/left_anti dedup → bloom
-        version append → frontier snapshot. Returns
-        (n_new, bloom_versions, cached new_frontier)."""
+        version append → INCREMENTAL frontier commit. Only the dirty host
+        buckets (dequeued hosts + hosts of new URLs) are read for the state
+        update and rewritten; clean buckets are inherited through the version
+        manifest — per-round frontier IO is O(dirty buckets + new rows), the
+        Iceberg-MERGE shape the 10^10-URL design point needs. Returns
+        (n_new, bloom_versions, cached delta df, dirty bucket set)."""
         discoveries = self._discoveries_from(parsed)
         cand = prepare_candidates(discoveries, self.budget, round_no)
         new_rows = filter_unseen(
@@ -380,11 +410,19 @@ class CrawlScheduler:
             )
             self._bloom_absorb(shard_rows, round_no, bloom_versions)
 
+        dirty_hosts = {r[0] for r in fetched.select("host").distinct().collect()}
+        if n_new:
+            dirty_hosts |= {r[0] for r in new_rows.select("host").distinct().collect()}
+        dirty_buckets = {host_bucket_py(h) for h in dirty_hosts}
+        old_dirty = self.store.read_frontier_buckets(
+            ckpt.frontier_version, sorted(dirty_buckets)
+        )
+
         res = fetched.select("url", "status")
         retryable = F.col("retry_cnt") + 1 <= F.lit(self.max_retries)
         is_err = F.col("status").isNotNull() & ~F.col("status").isin(200, 451)
         updated = (
-            frontier.join(res, "url", "left")
+            old_dirty.join(res, "url", "left")
             .withColumn(
                 "state",
                 F.when(F.col("status") == 200, "fetched")
@@ -399,10 +437,12 @@ class CrawlScheduler:
             )
             .drop("status")
         )
-        new_frontier = updated.unionByName(new_rows).cache()
-        self.store.write_frontier(new_frontier, round_no, self.n_partitions)
+        delta = updated.unionByName(new_rows).cache()
+        self.store.write_frontier_delta(
+            delta, round_no, ckpt.frontier_version, self.n_partitions
+        )
         new_rows.unpersist()
-        return n_new, bloom_versions, new_frontier
+        return n_new, bloom_versions, delta, dirty_buckets
 
     # -- full run ------------------------------------------------------------
 

@@ -184,3 +184,37 @@ def test_crawl_run_history(crawl):
     row = runs.collect()[0]
     assert row["end"] >= row["start"]
     assert "pages_fetched" in row["result"]
+
+
+def test_incremental_store_reuses_clean_partitions(crawl):
+    """Dirty-partition MERGE emulation: later frontier versions must INHERIT
+    clean buckets from earlier versions through parts.json (no full-snapshot
+    rewrite), every referenced path must exist, and compact() must never
+    expire a version some live manifest pointer still references."""
+    import json
+    import os
+
+    spec, sched, _, ckpt = crawl
+    store = sched.store
+    parts = store._load_parts("frontier", ckpt.frontier_version)
+    assert parts, "manifest missing for the final frontier version"
+    assert len(set(parts.values())) > 1, (
+        "every bucket rewritten every round — incremental write not happening"
+    )
+    for k, v in parts.items():
+        assert os.path.isdir(store._p("frontier", f"v{v}", "data", f"pk={k}"))
+    # apartments: region pointers spread across versions too
+    aparts = store._load_parts("apartments", ckpt.apartments_version)
+    assert aparts
+    for k, v in aparts.items():
+        assert os.path.isdir(store._p("apartments", f"v{v}", "data", f"pk={k}"))
+    # compact respects manifest references: everything still readable after
+    n_before = store.read_frontier(ckpt.frontier_version).count()
+    store.compact(keep_last=1)
+    assert store.read_frontier(ckpt.frontier_version).count() == n_before
+    assert store.read_apartments(ckpt.apartments_version).count() > 0
+    # checkpoint JSON stays the commit point: manifest references only
+    # versions <= checkpointed version
+    assert max(parts.values()) <= ckpt.frontier_version
+    with open(store.manifest_path) as f:
+        assert json.load(f)["frontier_version"] == ckpt.frontier_version

@@ -104,3 +104,32 @@ def test_checkpoint_lineage_fields(spark, fixture_dir, tmp_path_factory):
     for host, states in ckpt.partition_lineage.items():
         assert host.endswith(".lianjia.test")
         assert sum(states.values()) > 0
+
+
+def test_scalable_seq_matches_window_seq(spark):
+    """The range-partitioned two-phase seq (large-batch path) must assign the
+    EXACT same seq as the global-window path, and its plan must not contain a
+    single-partition exchange (the scale bottleneck it exists to remove)."""
+    import pyspark.sql.functions as F
+
+    from pegasus_spark.crawler.frontier import with_dequeue_seq
+
+    rows = [
+        (f"http://h{i % 7}.lianjia.test/pg{i}/", f"h{i % 7}.lianjia.test",
+         "listing_page", 1_000_000 + (i % 13), i % 40, 3, f"r{i % 5}",
+         "pending", 1, 0)
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, host string, kind string, priority int, page int, "
+        "depth int, region string, state string, discovered_round int, "
+        "retry_cnt int",
+    ).repartition(8)
+    small = with_dequeue_seq(df, 3, n_rows=10).select("url", "seq")
+    big = with_dequeue_seq(df, 3, n_rows=10_000_000, n_partitions=8)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "scalable seq path must not funnel"
+    got = {r["url"]: r["seq"] for r in big.select("url", "seq").collect()}
+    want = {r["url"]: r["seq"] for r in small.collect()}
+    assert got == want
