@@ -336,8 +336,22 @@ class CuckooShards:
                 shard = int(left["shard"].iloc[0])
                 cf = CuckooFilter(n_buckets=n_buckets)
             if len(left):
+                overflowed = 0
                 for h in left["h64"].astype("int64"):
-                    (cf.insert if op == "insert" else cf.delete)(int(h))
+                    if op == "insert":
+                        if not cf.insert(int(h)):
+                            overflowed += 1
+                    else:
+                        cf.delete(int(h))
+                if overflowed:
+                    # a full shard must be DETECTED, not silently lose
+                    # membership (a false negative here re-crawls a URL at
+                    # best, corrupts the seen-set contract at worst)
+                    raise ValueError(
+                        f"cuckoo shard {shard} overflow: {overflowed} keys did "
+                        f"not fit in {n_buckets} buckets — rebuild the filter "
+                        "with more buckets (CuckooShards(n_buckets=...))"
+                    )
             return pd.DataFrame(
                 {"shard": [shard], "version": [version], "bitset": [cf.to_bytes()]}
             )

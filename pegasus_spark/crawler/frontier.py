@@ -195,11 +195,18 @@ def filter_unseen(
     bloom: BloomShards,
     bloom_shards=None,
     bloom_arrays=None,
+    bloom_shards_partitioned=None,
 ) -> DataFrame:
     """Two-tier URL-seen prune. Bloom-negative → new with zero join work;
     bloom-positive → exact left_anti on the canonical URL. Pass
-    ``bloom_arrays`` (driver-held dict) to skip the shard merge job."""
-    if bloom_arrays is not None:
+    ``bloom_arrays`` (driver-held dict) to skip the shard merge job, or
+    ``bloom_shards_partitioned`` (shard-row DataFrame) for the 10^10-key path
+    where the filter no longer fits a broadcast: probes cogroup with their
+    shard's bitset, so membership shuffles only (hash, shard) pairs and each
+    task holds exactly one shard."""
+    if bloom_shards_partitioned is not None:
+        checked = bloom.check_partitioned(candidates, bloom_shards_partitioned)
+    elif bloom_arrays is not None:
         checked = bloom.check_with_dict(spark, candidates, bloom_arrays)
     elif bloom_shards is not None:
         checked = bloom.check_broadcast(spark, candidates, bloom_shards)

@@ -96,6 +96,7 @@ class CrawlScheduler:
         now_ts: int | None = None,
         bloom: BloomShards | None = None,
         max_retries: int = 3,
+        bloom_partitioned_threshold: int = 100_000_000,
     ):
         self.spark = spark
         self.store = FrontierStore(spark, workdir)
@@ -119,6 +120,11 @@ class CrawlScheduler:
         # persisted shard versions remain the source of truth for resume)
         self._bloom_arrays: dict | None = None
         self._bloom_loaded: tuple[int, ...] = ()
+        # above this many seen keys the merged filter stops fitting a
+        # broadcast (~1.2 bytes/key at 1% FPR ⇒ 10^8 keys ≈ 120 MB); the
+        # membership probe then switches to the shard-cogrouped path where
+        # bitsets never leave their task (bloom.check_partitioned)
+        self.bloom_partitioned_threshold = bloom_partitioned_threshold
 
     # -- helpers -------------------------------------------------------------
 
@@ -396,19 +402,36 @@ class CrawlScheduler:
         (n_new, bloom_versions, cached delta df, dirty bucket set)."""
         discoveries = self._discoveries_from(parsed)
         cand = prepare_candidates(discoveries, self.budget, round_no)
-        new_rows = filter_unseen(
-            self.spark, cand, frontier, self.bloom,
-            bloom_arrays=self._bloom_dict(ckpt),
-        ).cache()
+        n_seen = ckpt.counters.get("urls_enqueued", 0)
+        if n_seen > self.bloom_partitioned_threshold:
+            # filter too big to broadcast: probe via shard cogroup
+            shards = self.store.read_bloom(ckpt.bloom_versions)
+            new_rows = filter_unseen(
+                self.spark, cand, frontier, self.bloom,
+                bloom_shards_partitioned=shards,
+            ).cache()
+        else:
+            new_rows = filter_unseen(
+                self.spark, cand, frontier, self.bloom,
+                bloom_arrays=self._bloom_dict(ckpt),
+            ).cache()
         n_new = new_rows.count()
         bloom_versions = list(ckpt.bloom_versions)
         if n_new:
-            shard_rows = self.bloom.build(new_rows, version=round_no).collect()
             bloom_versions.append(round_no)
-            self.store.write_bloom(
-                self.spark.createDataFrame(shard_rows, SHARD_SCHEMA), round_no
-            )
-            self._bloom_absorb(shard_rows, round_no, bloom_versions)
+            if n_seen > self.bloom_partitioned_threshold:
+                # scale path: shard bytes go straight to the store — they are
+                # too big to collect, and no driver dict exists to absorb into
+                self.store.write_bloom(
+                    self.bloom.build(new_rows, version=round_no), round_no
+                )
+            else:
+                shard_rows = self.bloom.build(new_rows, version=round_no).collect()
+                self.store.write_bloom(
+                    self.spark.createDataFrame(shard_rows, SHARD_SCHEMA), round_no
+                )
+                if self._bloom_arrays is not None:
+                    self._bloom_absorb(shard_rows, round_no, bloom_versions)
 
         dirty_hosts = {r[0] for r in fetched.select("host").distinct().collect()}
         if n_new:

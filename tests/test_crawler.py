@@ -218,3 +218,31 @@ def test_incremental_store_reuses_clean_partitions(crawl):
     assert max(parts.values()) <= ckpt.frontier_version
     with open(store.manifest_path) as f:
         assert json.load(f)["frontier_version"] == ckpt.frontier_version
+
+
+def test_partitioned_bloom_path_end_to_end(spark, tmp_path_factory):
+    """Force the 10^10-key membership path (bloom_partitioned_threshold=-1 ⇒
+    every round probes via shard cogroup, no driver dict / broadcast) through
+    a FULL crawl and require the identical URL-seen set and fetched set as
+    the oracle — the size switch must be a pure physical choice."""
+    spec = make_site_spec(pages_per_region_max=4)
+    fx = str(tmp_path_factory.mktemp("fxp"))
+    write_fixture(spark, spec, fx, round_no=1)
+    work = str(tmp_path_factory.mktemp("workp"))
+    sched = CrawlScheduler(
+        spark, work,
+        page_store_path=f"{fx}/site_pages_r1.parquet",
+        image_store_path=f"{fx}/items_r1.parquet",
+        budget=budget_df(spark, spec),
+        seed_urls=[spec.root_url],
+        now_ts=TS1,
+        bloom_partitioned_threshold=-1,
+    )
+    sched.run()
+    assert sched._bloom_arrays is None, "partitioned path must not build the driver dict"
+    ckpt = sched.store.load_checkpoint()
+    frontier = sched.store.read_frontier(ckpt.frontier_version)
+    seen = {r["url"] for r in frontier.select("url").collect()}
+    assert seen == expected_url_set(spec)
+    fetched = {r["url"] for r in frontier.filter("state='fetched'").collect()}
+    assert fetched == expected_fetched_set(spec)

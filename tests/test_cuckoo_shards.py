@@ -95,3 +95,17 @@ class TestSnapshotLifecycle:
         # current snapshot still readable; resume state intact
         assert crawl.store.read_frontier(ckpt.frontier_version).count() > 0
         assert crawl.store.read_bloom(ckpt.bloom_versions) is not None
+
+
+def test_cuckoo_shard_overflow_detected(spark):
+    """A full cuckoo shard must fail the build loudly instead of silently
+    dropping keys (silent drops = false negatives in the URL-seen filter)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from pegasus_spark.crawler.bloom import CuckooShards
+
+    cs = CuckooShards(n_shards=1, n_buckets=4)  # capacity 16 slots
+    keys = spark.range(0, 500).selectExpr("CAST(id * 2654435761 AS BIGINT) AS url_hash64")
+    with pytest.raises((Py4JJavaError, Exception), match="overflow"):
+        cs.build(keys).collect()
