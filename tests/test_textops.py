@@ -98,3 +98,52 @@ class TestANN:
             .filter("hd <= 4").count()
         )
         assert probed < emb.count()
+
+
+class TestSimhashRecallContract:
+    def test_simhash_near_dup_recall_at_hamming_14(self, spark, sf_dir):
+        """Quantifies the documented APPROXIMATE regime: with 4 chunks the
+        pigeonhole guarantee covers hamming ≤ 3 only, so at max_hamming=14
+        recall vs the brute-force all-pairs truth is < 1 but must stay
+        useful; at max_hamming=3 recall must be exactly 1 (the guarantee)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+        sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        ids = sorted(sh)
+        truth14 = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(sh[a] ^ sh[b]).count("1") <= 14
+        }
+        truth3 = {p for p in truth14 if bin(sh[p[0]] ^ sh[p[1]]).count("1") <= 3}
+        got14 = {(r["id_a"], r["id_b"])
+                 for r in simhash_near_dups(docs, max_hamming=14).collect()}
+        got3 = {(r["id_a"], r["id_b"])
+                for r in simhash_near_dups(docs, max_hamming=3).collect()}
+        assert got3 == truth3, "hamming ≤ chunks-1 must be exhaustive"
+        assert got14 <= truth14, "no false positives ever (exact verify)"
+        if truth14:
+            recall = len(got14) / len(truth14)
+            # Measured ≈ 0.09 on this corpus (near-random hashes at distance
+            # 14 rarely share a full 15-bit chunk). The point of this test is
+            # that the number is KNOWN — it is exactly why the registry query
+            # runs at max_hamming=3 (exhaustive), not 14.
+            assert 0.02 <= recall < 1.0, f"measured recall moved: {recall}"
+
+
+class TestNgramDfCut:
+    def test_df_cut_drops_hot_gram_pairs_only(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            # docs 3-9 share ONLY the hot gram "the of and"
+            *[(i, f"the of and unique{i} words{i} here{i}") for i in range(3, 10)],
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(df, n=3, tau=0.05).collect()}
+        cut = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(df, n=3, tau=0.05, max_df_frac=0.5).collect()}
+        assert (1, 2) in full and (1, 2) in cut  # rare-gram pair survives
+        assert any(p[0] >= 3 for p in full)      # hot-gram pairs exist un-cut
+        assert not any(p[0] >= 3 for p in cut)   # and are gone with the cut
