@@ -364,6 +364,66 @@ ORDER BY o.user_id
 """
 
 
+def q_price_change_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """priceIncRatio faithfully, driver-gated over the events table
+    (reference: tools/report.py:301-317): per-key first→last change rows,
+    a DATEDIFF ≤ 3-day recency window (NOW() pinned deterministically at the
+    stream's max date), DATE_FORMAT date column, ordered by (new-old)/old
+    desc — the ratio, NOT the absolute diff.
+
+    Scale: one shuffle on user_id for the change windows; the NOW() scalar
+    is a broadcast single-row agg; final top-K is TakeOrderedAndProject.
+    """
+    ev = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_asc = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ch = (
+        ev.withColumn("rk", F.row_number().over(w_asc))
+        .withColumn("old_value", F.first("value").over(w_all))
+        .withColumn("new_value", F.last("value").over(w_all))
+        .withColumn("last_ts", F.last("ts").over(w_all))
+        .filter(F.col("rk") == 1)
+        .filter((F.col("old_value") != F.col("new_value")) & (F.col("old_value") != 0))
+    )
+    now = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    ratio = (F.col("new_value") - F.col("old_value")) / F.col("old_value")
+    return (
+        ch.crossJoin(F.broadcast(now))
+        .filter(F.datediff(F.col("maxd"), F.to_date("last_ts")) <= 3)
+        .withColumn("ratio_pct", F.round(ratio * 100, 4))
+        .withColumn("change_date", F.date_format("last_ts", "yyyy-MM-dd"))
+        .orderBy(F.desc(F.round(ratio, 6)), F.asc("user_id"))
+        .limit(10)
+        .select("user_id", "old_value", "new_value", "ratio_pct", "change_date")
+    )
+
+
+ORACLE_PRICE_CHANGE_RATIO_REPORT = """
+WITH ranked AS (
+  SELECT user_id, value, ts,
+         ROW_NUMBER() OVER w AS rk,
+         FIRST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS old_value,
+         LAST_VALUE(value)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS new_value,
+         LAST_VALUE(ts)     OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+ch AS (
+  SELECT * FROM ranked WHERE rk = 1 AND old_value <> new_value AND old_value <> 0
+),
+m AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events)
+SELECT user_id, old_value, new_value,
+       ROUND((new_value - old_value) / old_value * 100, 4) AS ratio_pct,
+       strftime(last_ts, '%Y-%m-%d') AS change_date
+FROM ch, m
+WHERE date_diff('day', CAST(last_ts AS DATE), maxd) <= 3
+ORDER BY ROUND((new_value - old_value) / old_value, 6) DESC, user_id ASC
+LIMIT 10
+"""
+
+
 def q_meta_change_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: generic field-level diff via melt/stack — the reference's
     reflection loop over struct fields emitting (key, item, value) rows
@@ -677,6 +737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_lookup": q_correlated_lookup,
     "anti_join_unseen": q_anti_join_unseen,
     "cdc_price_change": q_cdc_price_change,
+    "price_change_ratio_report": q_price_change_ratio_report,
     "meta_change_melt": q_meta_change_melt,
     "first_value_per_key": q_first_value_per_key,
     "day_sweep_active": q_day_sweep_active,
@@ -698,6 +759,7 @@ ORACLE_SQL: dict[str, str] = {
     "correlated_lookup": ORACLE_CORRELATED_LOOKUP,
     "anti_join_unseen": ORACLE_ANTI_JOIN_UNSEEN,
     "cdc_price_change": ORACLE_CDC_PRICE_CHANGE,
+    "price_change_ratio_report": ORACLE_PRICE_CHANGE_RATIO_REPORT,
     "meta_change_melt": ORACLE_META_CHANGE_MELT,
     "first_value_per_key": ORACLE_FIRST_VALUE_PER_KEY,
     "day_sweep_active": ORACLE_DAY_SWEEP_ACTIVE,

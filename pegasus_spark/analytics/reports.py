@@ -26,57 +26,123 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def top_by_total(apartments: DataFrame, n: int = 10) -> DataFrame:
-    """report.py total1: ORDER BY total DESC LIMIT n (global, all regions)."""
+def _fresh(now_ts: int | None, day_offset: int = 0):
+    """The reference's freshness predicate, carried by EVERY top-K:
+    ``DAYOFMONTH(FROM_UNIXTIME(uts)) = DAYOFMONTH(NOW()) - day_offset``
+    (report.py:197,208,218,238,247,257; price1 alone uses the -1 quirk,
+    report.py:228). ``now_ts`` pins NOW() for determinism; None skips the
+    filter (the pre-fidelity behavior, kept for ad-hoc use)."""
+    if now_ts is None:
+        return F.lit(True)
+    return F.dayofmonth(F.from_unixtime("uts")) == (
+        F.dayofmonth(F.from_unixtime(F.lit(now_ts))) - day_offset
+    )
+
+
+def top_by_total(
+    apartments: DataFrame, n: int = 10, ascending: bool = False,
+    now_ts: int | None = None,
+) -> DataFrame:
+    """report.py total1 (desc) / total2 (asc): ORDER BY total LIMIT n with
+    the day-of-month freshness filter."""
+    order = F.asc("total") if ascending else F.desc("total")
     return (
-        apartments.select("region", "aid", "location", "total", "price")
-        .orderBy(F.desc("total"), F.asc("aid"))
+        apartments.filter(_fresh(now_ts))
+        .select("region", "aid", "location", "total", "price")
+        .orderBy(order, F.asc("aid"))
         .limit(n)
     )
 
 
-def top_by_price(apartments: DataFrame, n: int = 10) -> DataFrame:
-    """report.py price1: unit price desc."""
+def top_by_price(
+    apartments: DataFrame, n: int = 10, ascending: bool = False,
+    now_ts: int | None = None,
+) -> DataFrame:
+    """report.py price1 (desc, with the DAYOFMONTH(NOW())-1 quirk —
+    report.py:228) / price2 (asc, same-day)."""
+    order = F.asc("price") if ascending else F.desc("price")
     return (
-        apartments.select("region", "aid", "location", "price", "size")
-        .orderBy(F.desc("price"), F.asc("aid"))
+        apartments.filter(_fresh(now_ts, day_offset=0 if ascending else 1))
+        .select("region", "aid", "location", "price", "total")
+        .orderBy(order, F.asc("aid"))
         .limit(n)
     )
 
 
-def top_by_size(apartments: DataFrame, n: int = 10) -> DataFrame:
-    """report.py size1/size2: CONVERT(size, DECIMAL) desc (P11 — size is a
-    STRING column, cast at query time exactly like the reference)."""
+def top_by_size(
+    apartments: DataFrame, n: int = 10, ascending: bool = False,
+    now_ts: int | None = None,
+) -> DataFrame:
+    """report.py size1/size2: CONVERT(size, DECIMAL) — size is a STRING
+    column cast at query time; MySQL's bare DECIMAL is (10,0), i.e. rounds
+    to an integer m², reproduced here."""
+    order = F.asc("size_num") if ascending else F.desc("size_num")
     return (
-        apartments.withColumn("size_num", F.col("size").cast("decimal(10,2)"))
-        .select("region", "aid", "location", "size_num", "total")
-        .orderBy(F.desc("size_num"), F.asc("aid"))
+        apartments.filter(_fresh(now_ts))
+        .withColumn("size_num", F.col("size").cast("decimal(10,0)"))
+        .select("region", "aid", "location", "size_num", "price", "total")
+        .orderBy(order, F.asc("aid"))
+        .limit(n)
+    )
+
+
+def top_by_total_with_tfloor(
+    apartments: DataFrame, n: int = 10, now_ts: int | None = None
+) -> DataFrame:
+    """report.py tfloor (report.py:216-224): NOT a histogram — the bottom-10
+    by total, displaying the tfloor column."""
+    return (
+        apartments.filter(_fresh(now_ts))
+        .select("region", "aid", "location", "price", "total", "tfloor")
+        .orderBy(F.asc("total"), F.asc("aid"))
         .limit(n)
     )
 
 
 def tfloor_histogram(apartments: DataFrame) -> DataFrame:
-    """report.py tfloor: listings per total-floor count."""
+    """Rebuild extra (not in the reference): listings per total-floor count."""
     return apartments.groupBy("tfloor").count().orderBy("tfloor")
 
 
-def price_changes_with_location(
-    apartments: DataFrame, changes: DataFrame, direction: str = "inc", n: int = 10
+def total_changes_report(
+    apartments: DataFrame, changes: DataFrame, direction: str = "inc", n: int = 10,
+    by_ratio: bool = False, now_ts: int | None = None, window_days: int = 3,
 ) -> DataFrame:
-    """report.py priceInc/priceDec (+ ratio): change rows joined back to the
-    listing's location, ordered by absolute move (or ratio) desc."""
-    diff = F.col("new_price") - F.col("old_price")
-    ratio = F.round(diff / F.col("old_price") * 100, 2)
-    filtered = changes.filter(diff > 0 if direction == "inc" else diff < 0)
-    loc = apartments.select("aid", "region", "location")
+    """report.py priceInc/priceDec/priceIncRatio/priceDecRatio
+    (report.py:266-335), faithfully:
+
+    - diffs **total** (old_total/new_total), not unit price;
+    - only changes inside ``DATEDIFF(NOW(), FROM_UNIXTIME(ts)) <= 3``;
+    - a ``DATE_FORMAT(FROM_UNIXTIME(ts),'%Y-%m-%d')`` date column;
+    - ratio variants ORDER BY (new-old)/old (displayed ×100);
+    - the correlated location subquery (on aid alone) decorrelated to a
+      broadcast equi-join (J5).
+    Tie-break aid asc added per §4.3 (MySQL's LIMIT order is undefined on
+    ties; ours must not be)."""
+    diff = F.col("new_total") - F.col("old_total")
+    ratio = diff / F.col("old_total")
+    filtered = changes
+    if now_ts is not None:
+        filtered = filtered.filter(
+            F.datediff(
+                F.to_date(F.from_unixtime(F.lit(now_ts))),
+                F.to_date(F.from_unixtime("ts")),
+            )
+            <= window_days
+        )
+    loc = apartments.select("aid", "location").distinct()
+    key = F.round(ratio, 6) if by_ratio else diff
     out = (
-        filtered.join(loc, ["aid", "region"], "left")
-        .withColumn("price_diff", diff)
-        .withColumn("pct", ratio)
-        .select("region", "aid", "location", "old_price", "new_price", "price_diff", "pct")
+        filtered.join(F.broadcast(loc), "aid", "left")
+        .withColumn("change", diff)
+        .withColumn("ratio_pct", F.round(ratio * 100, 2))
+        .withColumn("date", F.date_format(F.from_unixtime("ts"), "yyyy-MM-dd"))
+        .withColumn("_key", key)
     )
-    order = F.desc("price_diff") if direction == "inc" else F.asc("price_diff")
-    return out.orderBy(order, F.asc("aid")).limit(n)
+    order = F.desc("_key") if direction == "inc" else F.asc("_key")
+    cols = ["aid", "location", "old_total", "new_total",
+            "ratio_pct" if by_ratio else "change", "date"]
+    return out.orderBy(order, F.asc("aid")).limit(n).select(*cols)
 
 
 def first_price(apartments: DataFrame, changes: DataFrame) -> DataFrame:
@@ -106,31 +172,40 @@ def daily_price_series(apartments: DataFrame, changes: DataFrame) -> DataFrame:
     100 TB the same plan holds because explode is narrow and the final agg
     is map-side combinable (median would switch to percentile_approx)."""
     base = first_price(apartments, changes)
-    grid = base.select(
-        "aid", "region",
-        F.explode(
-            F.sequence(F.to_date(F.from_unixtime("nts")), F.to_date(F.from_unixtime("uts")))
-        ).alias("day"),
-    ).withColumn("event_price", F.lit(None).cast("int")).withColumn("is_event", F.lit(0))
+    grid = (
+        base.select(
+            "aid", "region",
+            F.explode(
+                F.sequence(F.to_date(F.from_unixtime("nts")), F.to_date(F.from_unixtime("uts")))
+            ).alias("day"),
+        )
+        .withColumn("event_price", F.lit(None).cast("int"))
+        .withColumn("is_event", F.lit(0))
+        .withColumn("ev_ts", F.lit(0).cast("bigint"))
+    )
 
     p0_events = base.select(
         "aid", "region",
         F.to_date(F.from_unixtime("nts")).alias("day"),
         F.col("p0").alias("event_price"),
         F.lit(1).alias("is_event"),
+        F.col("nts").alias("ev_ts"),
     )
     change_events = changes.select(
         "aid", "region",
         F.to_date(F.from_unixtime("ts")).alias("day"),
         F.col("new_price").alias("event_price"),
         F.lit(1).alias("is_event"),
+        F.col("ts").alias("ev_ts"),
     )
     unioned = grid.unionByName(p0_events).unionByName(change_events)
     # forward fill: events sort before grid rows on the same day via
-    # is_event desc, so a change applies from its own day onward
+    # is_event desc; two same-day events for one aid tie-break on the raw
+    # change ts then price, so the as-of price is a total order (§4.3 —
+    # without ev_ts the winner depended on partitioning)
     w = (
         Window.partitionBy("aid", "region")
-        .orderBy(F.asc("day"), F.desc("is_event"))
+        .orderBy(F.asc("day"), F.desc("is_event"), F.asc("ev_ts"), F.asc("event_price"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumn(

@@ -253,6 +253,7 @@ class CrawlScheduler:
     # -- one round -----------------------------------------------------------
 
     def run_round(self, ckpt: Checkpoint) -> tuple[Checkpoint, dict]:
+        t_round = time.perf_counter()
         round_no = ckpt.round + 1
         frontier = self.store.read_frontier(ckpt.frontier_version)
         dq_raw = dequeue(frontier, self.budget).cache()
@@ -334,6 +335,27 @@ class CrawlScheduler:
             counters=counters,
         )
         self.store.write_checkpoint(new_ckpt)
+        # queryable per-round progress row (entry point B — the reference's
+        # status surface, cli/status.go:473-498 / masterproj.go:223-238):
+        # dequeue/new/cards counts + global frontier state totals + wall.
+        state_totals: dict[str, int] = {}
+        for states in lineage.values():
+            for s, c in states.items():
+                state_totals[s] = state_totals.get(s, 0) + c
+        self.store.append(
+            "rounds",
+            self.spark.createDataFrame(
+                [(
+                    round_no, n_dq, n_new, n_cards,
+                    state_totals.get("pending", 0), state_totals.get("fetched", 0),
+                    state_totals.get("failed", 0), state_totals.get("robots_blocked", 0),
+                    float(time.perf_counter() - t_round),
+                )],
+                "round int, dequeued int, new_urls int, cards int, pending bigint, "
+                "fetched bigint, failed bigint, robots_blocked bigint, wall_s double",
+            ),
+            round_no,
+        )
         for df in (dq_raw, dq, fetched, parsed):
             df.unpersist()
         return new_ckpt, {"dequeued": n_dq, "new_urls": n_new, "cards": n_cards}
@@ -498,11 +520,26 @@ class CrawlScheduler:
         )
 
     def _write_run_history(self, ckpt: Checkpoint, start_ts: int, wall_s: float) -> None:
-        """crawl_runs lineage row — UpdateHistory rebuild (proj.go:90-127)."""
+        """crawl_runs lineage row — UpdateHistory rebuild (proj.go:90-127).
+        The reference's ``log`` column is a per-job start-time SERIES
+        (proj.go:97-127, one line per job with its start time); the rebuild's
+        analog is the per-round series read back from the rounds table."""
+        series = []
+        rounds_df = self.store.read_appended("rounds", ckpt.appended_rounds)
+        if rounds_df is not None:
+            offset = 0.0
+            for r in sorted(rounds_df.collect(), key=lambda x: x["round"]):
+                series.append({
+                    "round": int(r["round"]),
+                    "start": start_ts + int(offset),
+                    "dequeued": int(r["dequeued"]),
+                    "wall_s": round(float(r["wall_s"]), 3),
+                })
+                offset += float(r["wall_s"])
         row = [(
             start_ts,
             start_ts + int(wall_s) + 1,
-            json.dumps({"rounds": ckpt.round}),
+            json.dumps({"rounds": ckpt.round, "series": series}),
             json.dumps(ckpt.counters),
         )]
         self.store.append(

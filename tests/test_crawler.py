@@ -246,3 +246,29 @@ def test_partitioned_bloom_path_end_to_end(spark, tmp_path_factory):
     assert seen == expected_url_set(spec)
     fetched = {r["url"] for r in frontier.filter("state='fetched'").collect()}
     assert fetched == expected_fetched_set(spec)
+
+
+def test_rounds_progress_table(crawl):
+    """Entry point B (cli/status.go:473-498): per-round progress must be a
+    queryable table — round counters plus global frontier state totals that
+    reconcile with the final frontier — and crawl_runs.log must carry the
+    per-round series (proj.go:97-127 rebuild)."""
+    import json
+
+    spec, sched, result, ckpt = crawl
+    rounds = sched.store.read_appended("rounds", ckpt.appended_rounds)
+    rows = sorted(rounds.collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == list(range(1, result.rounds + 1))
+    assert sum(r["dequeued"] for r in rows) == result.pages_fetched
+    assert sum(r["new_urls"] for r in rows) == result.urls_enqueued
+    assert all(r["wall_s"] > 0 for r in rows)
+    # final row's state totals reconcile with the actual frontier
+    frontier = sched.store.read_frontier(ckpt.frontier_version)
+    actual = {r["state"]: r["count"] for r in frontier.groupBy("state").count().collect()}
+    last = rows[-1]
+    for state, col in (("fetched", "fetched"), ("robots_blocked", "robots_blocked")):
+        assert last[col] == actual.get(state, 0)
+    runs = sched.store.read_appended("crawl_runs", ckpt.appended_rounds)
+    log = json.loads(runs.collect()[0]["log"])
+    assert log["rounds"] == ckpt.round
+    assert [e["round"] for e in log["series"]] == [r["round"] for r in rows]

@@ -11,11 +11,12 @@ import pytest
 from crawl_oracle import expected_after_run2, expected_apartments_run1
 from pegasus_spark.analytics.reports import (
     daily_price_series,
-    price_changes_with_location,
     tfloor_histogram,
     top_by_price,
     top_by_size,
     top_by_total,
+    top_by_total_with_tfloor,
+    total_changes_report,
 )
 from pegasus_spark.crawler.fixtures import budget_df, make_site_spec, write_fixture
 from pegasus_spark.crawler.scheduler import CrawlScheduler
@@ -54,6 +55,13 @@ def test_top_by_total(crawled):
     assert got == [(r["aid"], r["total"]) for r in exp]
 
 
+def _mysql_decimal(s: str) -> int:
+    """MySQL CONVERT(x, DECIMAL) = DECIMAL(10,0): round-half-up to integer."""
+    import decimal
+
+    return int(decimal.Decimal(s).quantize(0, rounding=decimal.ROUND_HALF_UP))
+
+
 def test_top_by_price_and_size(crawled):
     _, apartments, _, exp_final, _ = crawled
     got_p = [r["aid"] for r in top_by_price(apartments, 10).collect()]
@@ -62,8 +70,39 @@ def test_top_by_price_and_size(crawled):
     assert got_p == exp_p
     got_s = [r["aid"] for r in top_by_size(apartments, 10).collect()]
     exp_s = [r["aid"] for r in
-             sorted(exp_final.values(), key=lambda r: (-float(r["size"]), r["aid"]))[:10]]
+             sorted(exp_final.values(),
+                    key=lambda r: (-_mysql_decimal(r["size"]), r["aid"]))[:10]]
     assert got_s == exp_s
+
+
+def test_ascending_variants_and_freshness(crawled):
+    """total2/price2/size2 (report.py:205-263) + the DAYOFMONTH freshness
+    filter every reference top-K carries: with now_ts=TS2 only listings
+    updated on day-of-month(TS2) qualify; price1's quirk selects
+    day-of-month(NOW())-1 instead (report.py:228)."""
+    _, apartments, _, exp_final, _ = crawled
+    d2 = dt.datetime.fromtimestamp(TS2, dt.timezone.utc).day
+    fresh2 = [r for r in exp_final.values()
+              if dt.datetime.fromtimestamp(r["uts"], dt.timezone.utc).day == d2]
+    fresh1 = [r for r in exp_final.values()
+              if dt.datetime.fromtimestamp(r["uts"], dt.timezone.utc).day == d2 - 1]
+    got_t2 = [r["aid"] for r in
+              top_by_total(apartments, 10, ascending=True, now_ts=TS2).collect()]
+    exp_t2 = [r["aid"] for r in sorted(fresh2, key=lambda r: (r["total"], r["aid"]))[:10]]
+    assert got_t2 == exp_t2
+    got_p1 = [r["aid"] for r in top_by_price(apartments, 10, now_ts=TS2).collect()]
+    exp_p1 = [r["aid"] for r in sorted(fresh1, key=lambda r: (-r["price"], r["aid"]))[:10]]
+    assert got_p1 == exp_p1
+    got_s2 = [r["aid"] for r in
+              top_by_size(apartments, 10, ascending=True, now_ts=TS2).collect()]
+    exp_s2 = [r["aid"] for r in
+              sorted(fresh2, key=lambda r: (_mysql_decimal(r["size"]), r["aid"]))[:10]]
+    assert got_s2 == exp_s2
+    got_tf = [(r["aid"], r["tfloor"]) for r in
+              top_by_total_with_tfloor(apartments, 10, now_ts=TS2).collect()]
+    exp_tf = [(r["aid"], r["tfloor"]) for r in
+              sorted(fresh2, key=lambda r: (r["total"], r["aid"]))[:10]]
+    assert got_tf == exp_tf
 
 
 def test_tfloor_histogram(crawled):
@@ -75,16 +114,61 @@ def test_tfloor_histogram(crawled):
     assert got == exp
 
 
-def test_price_increases_with_location(crawled):
+def test_total_changes_report_faithful(crawled):
+    """priceInc faithfully diffs TOTAL (report.py:268-270), applies the
+    DATEDIFF(NOW(), ts) <= 3 window (report.py:273) and emits the
+    DATE_FORMAT date column (report.py:274)."""
     _, apartments, changes, exp_final, exp_changes = crawled
-    got = price_changes_with_location(apartments, changes, "inc", 10).collect()
-    exp_inc = [c for c in exp_changes if c["new_price"] > c["old_price"]]
-    exp_inc.sort(key=lambda c: (-(c["new_price"] - c["old_price"]), c["aid"]))
+    got = total_changes_report(apartments, changes, "inc", 10, now_ts=TS2).collect()
+    exp_inc = sorted(
+        exp_changes, key=lambda c: (-(c["new_total"] - c["old_total"]), c["aid"])
+    )
     assert [r["aid"] for r in got] == [c["aid"] for c in exp_inc[:10]]
+    assert [r["change"] for r in got] == [
+        c["new_total"] - c["old_total"] for c in exp_inc[:10]
+    ]
+    d2 = dt.datetime.fromtimestamp(TS2, dt.timezone.utc).date().isoformat()
+    assert all(r["date"] == d2 for r in got)  # all changes happened at TS2
     # location joined back correctly (J5 decorrelated lookup)
-    locs = {(r["region"], r["aid"]): r["location"] for r in got}
-    for (region, aid), loc in locs.items():
-        assert loc == exp_final[(region, aid)]["location"]
+    by_aid = {r["aid"]: r["location"] for r in got}
+    locs = {r["aid"]: r["location"] for r in exp_final.values()}
+    for aid, loc in by_aid.items():
+        assert loc == locs[aid]
+    # window excludes everything when NOW is far past the change stream
+    later = TS2 + 10 * 86400
+    assert total_changes_report(apartments, changes, "inc", 10, now_ts=later).count() == 0
+
+
+def test_total_changes_ratio_order(crawled):
+    """priceIncRatio/priceDecRatio (report.py:301-335): ordered by
+    (new-old)/old, not the absolute diff; ratio displayed ×100."""
+    _, apartments, changes, _, exp_changes = crawled
+    got = total_changes_report(
+        apartments, changes, "inc", 10, by_ratio=True, now_ts=TS2
+    ).collect()
+    exp = sorted(
+        exp_changes,
+        key=lambda c: (
+            -round((c["new_total"] - c["old_total"]) / c["old_total"], 6),
+            c["aid"],
+        ),
+    )[:10]
+    assert [r["aid"] for r in got] == [c["aid"] for c in exp]
+    for r, c in zip(got, exp):
+        assert float(r["ratio_pct"]) == round(
+            (c["new_total"] - c["old_total"]) / c["old_total"] * 100, 2
+        )
+    dec = total_changes_report(
+        apartments, changes, "dec", 10, by_ratio=True, now_ts=TS2
+    ).collect()
+    exp_dec = sorted(
+        exp_changes,
+        key=lambda c: (
+            round((c["new_total"] - c["old_total"]) / c["old_total"], 6),
+            c["aid"],
+        ),
+    )[:10]
+    assert [r["aid"] for r in dec] == [c["aid"] for c in exp_dec]
 
 
 def test_daily_price_series(crawled):
