@@ -197,6 +197,70 @@ ORDER BY id_a, id_b
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive dedup: connected components over the minhash near-dup pair
+    graph; cluster_id = min reachable doc_id (singletons keep their own).
+    Oracle = DuckDB recursive CTE transitive closure over the same pairs —
+    genuinely iterative on the Spark side (min-label propagation, converges
+    in O(component diameter) rounds), exactly SQL-expressible at oracle
+    scale."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
+    ).select("id_a", "id_b")
+    return D.near_dup_clusters(docs, pairs).orderBy("doc_id")
+
+
+ORACLE_NEAR_DUP_CLUSTERS = r"""
+WITH RECURSIVE t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+p AS (
+  SELECT id_a, id_b
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+  WHERE (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) >= 4
+),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+)
+SELECT v.doc_id,
+       CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+GROUP BY v.doc_id
+ORDER BY v.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -397,6 +461,7 @@ PIPELINE_QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
+    "near_dup_clusters": q_near_dup_clusters,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -413,6 +478,7 @@ PIPELINE_ORACLES = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
+    "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
     "simhash": ORACLE_SIMHASH,
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -200,8 +200,12 @@ class HttpFetcher:
                 with urllib.request.urlopen(url, timeout=self.timeout_s) as r:
                     body = r.read().decode("utf-8", "replace")
                     status = r.status
+            except urllib.error.HTTPError as e:
+                # a 4xx/5xx response IS a response — keep the real status so
+                # the retry budget and fetch_log see 404 vs 500 vs timeout
+                body, status = None, e.code
             except Exception:
-                body, status = None, 599
+                body, status = None, 599  # transport failure (refused/timeout/DNS)
             last_by_host[host] = time.monotonic()
             rows.append(
                 (status, body, len(body) if body else 0,

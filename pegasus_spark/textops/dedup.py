@@ -154,6 +154,58 @@ def minhash_near_dups(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs — the keeper-selection step
+    of a dedup pipeline: every doc gets ``cluster_id`` = the minimum doc id
+    reachable through the pair graph (singletons keep their own id); keeping
+    ``cluster_id == doc_id`` rows then dedups transitively (A~B, B~C ⇒ one
+    keeper for {A,B,C}, which pairwise dedup alone cannot guarantee).
+
+    Algorithm: iterative min-label propagation (the standard large-graph CC
+    — HashToMin / GraphX-style): each round every vertex takes the min of
+    its own label and its neighbors' labels; converges in O(max component
+    diameter) rounds, each one equality join + min-aggregate (both shuffle
+    on the vertex id, so AQE reuses the partitioning). Lineage is truncated
+    per round with localCheckpoint — without it the iterative plan grows
+    exponentially. Near-dup components are shallow (near-dups of a doc are
+    near-dups of each other), so rounds ≈ 2-4 in practice; ``max_iter`` is a
+    backstop and convergence is detected exactly (0 label changes).
+    """
+    # materialize the (possibly expensive) pair plan ONCE — both edge
+    # directions and every iteration read the checkpointed rows
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = p.select(F.col("id_a").alias("s"), F.col("id_b").alias("t")).unionByName(
+        p.select(F.col("id_b").alias("s"), F.col("id_a").alias("t"))
+    )
+    labels = df.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nb = edges.join(labels, edges["t"] == labels["v"]).select(
+            F.col("s").alias("v"), "label"
+        )
+        new = (
+            labels.unionByName(nb)
+            .groupBy("v")
+            .agg(F.min("label").alias("new_label"))
+        )
+        joined = labels.withColumnRenamed("label", "old_label").join(new, "v")
+        # pointer jump (path compression): follow new_label one more hop
+        # through the label table — rounds drop from O(diameter) to
+        # O(log diameter); a vertex-sized join, far cheaper than the edge step
+        jump = joined.join(
+            new.select(F.col("v").alias("new_label"), F.col("new_label").alias("ll")),
+            "new_label",
+        ).select("v", "old_label", F.least("new_label", "ll").alias("new_label"))
+        jump = jump.localCheckpoint(eager=True)
+        changed = jump.filter(F.col("new_label") < F.col("old_label")).count()
+        labels = jump.select("v", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -95,3 +95,79 @@ def test_store_fetcher_live_robots_txt(tmp_path):
     out = StoreFetcher(store, {"h9.test": 10}, 0, robots=None)(pdf).set_index("url")
     assert out.loc["https://h9.test/ok/", "status"] == 200
     assert out.loc["https://h9.test/private/x/", "status"] == STATUS_ROBOTS
+
+
+class _QuietHandler:
+    pass
+
+
+def _serve(pages: dict[str, str]):
+    """Tiny local HTTP server on an ephemeral port; returns (server, port)."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = pages.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+def test_http_fetcher_against_local_server():
+    """The real-network fetcher (cluster path): statuses/bodies from a live
+    local http.server, per-host min-interval honored between requests, robots
+    refusal without a request, 599 on connection failure."""
+    import time
+
+    from pegasus_spark.crawler.fetch import HttpFetcher
+
+    srv, port = _serve({"/a/": "<html>page-a</html>", "/b/": "<html>page-b</html>"})
+    try:
+        host = f"127.0.0.1:{port}"
+        dead = "127.0.0.1:1"  # closed port → connection refused
+        pdf = pd.DataFrame(
+            {
+                "url": [
+                    f"http://{host}/a/",
+                    f"http://{host}/b/",
+                    f"http://{host}/missing/",
+                    f"http://{host}/private/x/",
+                    f"http://{dead}/a/",
+                ],
+                "host": [host, host, host, host, dead],
+                "priority": [5, 4, 3, 2, 1],
+                "url_hash64": [1, 2, 3, 4, 5],
+            }
+        )
+        fetcher = HttpFetcher(
+            {host: 150, dead: 0}, timeout_s=2.0, robots={host: ["/private/"]}
+        )
+        t0 = time.monotonic()
+        out = fetcher(pdf).set_index("url")
+        wall = time.monotonic() - t0
+        assert out.loc[f"http://{host}/a/", "status"] == 200
+        assert out.loc[f"http://{host}/a/", "body"] == "<html>page-a</html>"
+        assert out.loc[f"http://{host}/b/", "status"] == 200
+        assert out.loc[f"http://{host}/missing/", "status"] == 404
+        assert out.loc[f"http://{host}/private/x/", "status"] == STATUS_ROBOTS
+        assert out.loc[f"http://{dead}/a/", "status"] == 599
+        # 3 live requests to the same host at 150 ms spacing ⇒ ≥ 300 ms wall
+        # (robots row must NOT consume politeness budget: no request made)
+        assert wall >= 0.3
+        assert out.loc[f"http://{host}/private/x/", "nbytes"] == 0
+    finally:
+        srv.shutdown()

@@ -147,3 +147,31 @@ class TestNgramDfCut:
         assert (1, 2) in full and (1, 2) in cut  # rare-gram pair survives
         assert any(p[0] >= 3 for p in full)      # hot-gram pairs exist un-cut
         assert not any(p[0] >= 3 for p in cut)   # and are gone with the cut
+
+
+class TestNearDupClusters:
+    def test_transitive_chain_and_singletons(self, spark):
+        """A~B, B~C must land A,B,C in one cluster keyed by min id (pairwise
+        dedup alone can't guarantee one keeper); untouched docs stay
+        singletons under their own id."""
+        from pegasus_spark.textops.dedup import near_dup_clusters
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 4), (4, 6), (2, 3), (6, 7)], "id_a long, id_b long"
+        )
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in near_dup_clusters(docs, pairs).collect()}
+        assert got == {1: 1, 4: 1, 6: 1, 7: 1, 2: 2, 3: 2, 5: 5}
+
+    def test_matches_minhash_pipeline(self, doc_df):
+        from pegasus_spark.textops.dedup import minhash_near_dups, near_dup_clusters
+
+        pairs = minhash_near_dups(doc_df, min_sig_match=4).select("id_a", "id_b")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in near_dup_clusters(doc_df, pairs).collect()}
+        # 1,2,5 exact dups (+3,6 near dups chained in) share keeper 1; 4 alone
+        assert got[1] == got[2] == got[5] == 1
+        assert got[4] == 4
