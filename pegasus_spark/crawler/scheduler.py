@@ -253,7 +253,12 @@ class CrawlScheduler:
     # -- one round -----------------------------------------------------------
 
     def run_round(self, ckpt: Checkpoint) -> tuple[Checkpoint, dict]:
+        import os
+
+        phase_log = bool(os.environ.get("SPARK_GRAFT_PHASE_LOG"))
+        phases: dict[str, float] = {}
         t_round = time.perf_counter()
+        t = t_round
         round_no = ckpt.round + 1
         frontier = self.store.read_frontier(ckpt.frontier_version)
         dq_raw = dequeue(frontier, self.budget).cache()
@@ -267,6 +272,9 @@ class CrawlScheduler:
         dq = with_dequeue_seq(
             dq_raw, round_no, n_rows=n_dq, n_partitions=self.n_partitions
         ).cache()
+        if phase_log:
+            phases["dequeue"] = time.perf_counter() - t
+            t = time.perf_counter()
 
         fetcher = StoreFetcher(
             self.page_store_path, self._interval_map(),
@@ -289,6 +297,9 @@ class CrawlScheduler:
             round_no,
         )
         parsed = parsed_body(fetched.filter(F.col("status") == 200)).cache()
+        if phase_log:
+            phases["fetch+log"] = time.perf_counter() - t
+            t = time.perf_counter()
 
         # ④-⑦ run as CONCURRENT job chains: a sequential driver loop would
         # serialize ~14 small Spark jobs and pay their scheduling latency
@@ -304,7 +315,13 @@ class CrawlScheduler:
             f_enq = ex.submit(self._enqueue_chain, parsed, frontier, fetched, ckpt, round_no)
             f_metrics.result()
             apt_version, n_cards = f_cdc.result()
+            if phase_log:
+                phases["chains:cdc_done"] = time.perf_counter() - t
+                t_enq = time.perf_counter()
             n_new, bloom_versions, delta, dirty_buckets = f_enq.result()
+            if phase_log:
+                phases["chains:enq_extra"] = time.perf_counter() - t_enq
+                t = time.perf_counter()
 
         # per-partition lineage, updated INCREMENTALLY: a dirty bucket's delta
         # carries all of its hosts' rows, so prior entries for dirty-bucket
@@ -358,6 +375,13 @@ class CrawlScheduler:
         )
         for df in (dq_raw, dq, fetched, parsed):
             df.unpersist()
+        if phase_log:
+            phases["lineage+ckpt"] = time.perf_counter() - t
+            print(
+                f"PHASES round={round_no} dq={n_dq} "
+                + " ".join(f"{k}={v:.2f}s" for k, v in phases.items()),
+                flush=True,
+            )
         return new_ckpt, {"dequeued": n_dq, "new_urls": n_new, "cards": n_cards}
 
     # -- round chains (run concurrently per round) ---------------------------
@@ -365,6 +389,18 @@ class CrawlScheduler:
     def _cdc_chain(self, parsed, kind_counts, ckpt: Checkpoint, round_no: int):
         """④+⑤: cards → CDC merge → side outputs → items payload join-back.
         Returns (apartments_version, n_cards)."""
+        import os
+
+        phase_log = bool(os.environ.get("SPARK_GRAFT_PHASE_LOG"))
+        t = time.perf_counter()
+        cdc_phases: dict[str, float] = {}
+
+        def mark(name):
+            nonlocal t
+            if phase_log:
+                cdc_phases[name] = time.perf_counter() - t
+                t = time.perf_counter()
+
         apt_version = ckpt.apartments_version
         if not kind_counts.get("listing_page", 0):
             return apt_version, 0
@@ -372,6 +408,7 @@ class CrawlScheduler:
         cards_ok, cards_bad = split_malformed(cards_all)
         cards = dedupe_cards(cards_ok).cache()
         n_cards = cards.count()
+        mark("parse+dedupe")
         if n_cards:
             # MERGE at partition granularity: only the batch's regions are
             # dirty — read and rewrite those regions alone, inherit the rest
@@ -397,21 +434,42 @@ class CrawlScheduler:
             else:
                 self.store.write_apartments(merged, round_no, self.n_partitions)
             apt_version = round_no
+            mark("merge+write")
             image_store = self.spark.read.parquet(self.image_store_path)
             item_parts = max(1, min(self.n_partitions, n_cards // 256 + 1))
             with ThreadPoolExecutor(max_workers=5) as ex:
-                for fut in [
-                    ex.submit(self.store.append, "changes", changes, round_no),
-                    ex.submit(self.store.append, "meta_changes", meta_changes, round_no),
-                    ex.submit(self.store.append, "merge_stats", stats, round_no),
-                    ex.submit(self.store.append, "items",
-                              extract_items(cards, image_store, item_parts), round_no),
-                    ex.submit(self.store.append, "errors", cards_bad, round_no),
-                ]:
+                futs = {
+                    "changes": ex.submit(self.store.append, "changes", changes, round_no),
+                    "meta": ex.submit(
+                        self.store.append, "meta_changes", meta_changes, round_no
+                    ),
+                    "stats": ex.submit(self.store.append, "merge_stats", stats, round_no),
+                    "errors": ex.submit(self.store.append, "errors", cards_bad, round_no),
+                }
+                for name, fut in futs.items():
                     fut.result()
+                mark("side_outputs")
+                # card side broadcasts while it plausibly fits (ids+captions,
+                # ~100 B/row ⇒ 200k ≈ 20 MB); beyond that fall back to the
+                # shuffle join with pinned decode parallelism
+                self.store.append(
+                    "items",
+                    extract_items(
+                        cards, image_store, item_parts,
+                        broadcast_cards=n_cards <= 200_000,
+                    ),
+                    round_no,
+                )
+                mark("items")
         else:
             self.store.append("errors", cards_bad, round_no)
         cards.unpersist()
+        if phase_log and cdc_phases:
+            print(
+                f"CDC round={round_no} cards={n_cards} "
+                + " ".join(f"{k}={v:.2f}s" for k, v in cdc_phases.items()),
+                flush=True,
+            )
         return apt_version, n_cards
 
     def _enqueue_chain(self, parsed, frontier, fetched, ckpt: Checkpoint, round_no: int):
