@@ -454,6 +454,37 @@ def q_ann_topk(spark, sf_dir):
     return S.ann_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, dim=64)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize to 16 cells, probe the 4 nearest, exact
+    cosine only within probed cells. Unlike ann_topk this variant is fully
+    SQL-expressible, so the oracle runs the same algorithm end to end."""
+    return S.ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, n_cells=16, nprobe=4)
+
+
+ORACLE_IVF_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id,
+         c.cid,
+         CAST(round(list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                    * 10000, 0) AS BIGINT) * 1000000 - c.cid AS val
+  FROM e, c
+),
+assign AS (SELECT vec_id, arg_max(cid, val) AS cell FROM scored GROUP BY vec_id),
+probe AS (SELECT cid AS cell FROM scored WHERE vec_id = 0 ORDER BY val DESC LIMIT 4),
+cand AS (SELECT vec_id FROM assign WHERE cell IN (SELECT cell FROM probe)),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM e JOIN cand USING (vec_id), q
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -469,6 +500,7 @@ PIPELINE_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "curation_pipeline": q_curation_pipeline,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
 }
 
 PIPELINE_ORACLES = {
@@ -486,4 +518,5 @@ PIPELINE_ORACLES = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     # ann_topk: intentionally no oracle (approximate, numpy-seeded)
+    "ivf_topk": ORACLE_IVF_TOPK,
 }

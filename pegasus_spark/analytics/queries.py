@@ -683,6 +683,103 @@ ORDER BY c.event_id
 """
 
 
+def q_range_join_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event, count and sum the 'click' events within
+    ±5 minutes — an equality-free interval join. Spark would execute the
+    naive inequality condition as BroadcastNestedLoopJoin (O(L·R));
+    range_join_binned rewrites it as a 300 s-bin equality join + exact
+    filter, so the oracle is the plain non-equi join and this side is the
+    scale-safe plan producing identical pairs. Timestamps compare at
+    microsecond precision (unix_micros / epoch_us) so the window boundary is
+    bit-identical across engines; click values sum as DECIMAL(18,2) (exact)
+    before the final DOUBLE cast.
+    """
+    from pegasus_spark.operators import range_join_binned
+
+    # events.ts is TIMESTAMP_NTZ: derive epoch micros with pure NTZ
+    # arithmetic (no session-timezone dependency) to match DuckDB epoch_us
+    micros = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.expr(micros).alias("t_err")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.expr(micros).alias("t_clk"),
+        F.col("value").cast("decimal(18,2)").alias("click_value"),
+    )
+    pairs = range_join_binned(
+        errs, clicks, "t_err", "t_clk", lo=-300_000_000, hi=300_000_000
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nearby"),
+            F.sum("click_value").cast("double").alias("sum_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_RANGE_JOIN_NEARBY_CLICKS = """
+WITH errs AS (
+  SELECT event_id, epoch_us(ts) AS t_err FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT epoch_us(ts) AS t_clk, CAST(value AS DECIMAL(18,2)) AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_nearby,
+       CAST(SUM(click_value) AS DOUBLE) AS sum_click_value
+FROM errs JOIN clicks ON t_clk BETWEEN t_err - 300000000 AND t_err + 300000000
+GROUP BY event_id
+ORDER BY event_id
+"""
+
+
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup of the events stream: one
+    pass emits (type, day, hour), (type, day), (type) and grand-total
+    aggregates via ROLLUP — Spark executes it as a single Expand + partial
+    agg (each level map-side combined, one shuffle), which is exactly the
+    continuous-aggregate ladder a time-series store materializes. Day is a
+    DATE and hour a TIMESTAMP on both engines; the value sum aggregates
+    DECIMAL (exact) and casts DOUBLE at the edge per the parity rule. Null
+    group keys from rolled-up levels disambiguate the level, so no
+    grouping_id column is needed (its bit order differs across engines).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        ev.rollup("event_type", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "day", "hour")
+    )
+
+
+ORACLE_MULTIRES_ROLLUP = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         date_trunc('hour', ts) AS hour,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT event_type, day, hour,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM ev
+GROUP BY ROLLUP (event_type, day, hour)
+ORDER BY event_type, day, hour
+"""
+
+
 # ---------------------------------------------------------------------------
 # Mergesort demo: S8 seeded source + K4 distributed sort (SURVEY §2.1/§2.6)
 # ---------------------------------------------------------------------------
@@ -743,6 +840,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "day_sweep_active": q_day_sweep_active,
     "mergesort": q_mergesort,
     "asof_last_error": q_asof_last_error,
+    "range_join_nearby_clicks": q_range_join_nearby_clicks,
+    "multires_rollup": q_multires_rollup,
     "shipping_priority": q_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
     "supplier_balance_by_region": q_supplier_balance_by_region,
@@ -765,6 +864,8 @@ ORACLE_SQL: dict[str, str] = {
     "day_sweep_active": ORACLE_DAY_SWEEP_ACTIVE,
     "mergesort": ORACLE_MERGESORT,
     "asof_last_error": ORACLE_ASOF_LAST_ERROR,
+    "range_join_nearby_clicks": ORACLE_RANGE_JOIN_NEARBY_CLICKS,
+    "multires_rollup": ORACLE_MULTIRES_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "supplier_balance_by_region": ORACLE_SUPPLIER_BALANCE_BY_REGION,

@@ -71,3 +71,47 @@ def asof_join(
         F.col(f"_match.{c}").alias(c) for c in right_value_cols
     ]
     return filled.select(*out_cols)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    lo: int,
+    hi: int,
+    bin_size: int | None = None,
+) -> DataFrame:
+    """All (left, right) row pairs with ``right_on - left_on`` in [lo, hi]
+    (a pure range/interval join, no equality key — e.g. "events within ±5
+    minutes of each alert").
+
+    Naive Spark turns an inequality-only join condition into
+    BroadcastNestedLoopJoin — O(|L|·|R|) and a driver OOM at scale. This is
+    the standard binned rewrite instead: bucket the right side by
+    ``floor(t / bin_size)`` (each right row lands in exactly ONE bin),
+    explode each left row to the bins its window [t+lo, t+hi] overlaps
+    (ceil((hi-lo)/bin_size)+1 of them, 2 with the default bin), then a plain
+    shuffle EQUALITY join on the bin plus the exact range filter. Each
+    qualifying pair is produced exactly once (the matching right row's single
+    bin). Shuffle key is the bin — time-local, so skew only where event time
+    itself is skewed (pick bin_size ≈ hi-lo to bound the fan-out at 2×|L|).
+
+    ``left_on``/``right_on`` must be integer columns (e.g. unix_micros) with
+    distinct names; all left and right columns pass through."""
+    bin_size = bin_size or max(hi - lo, 1)
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(left_on) + F.lit(lo)) / F.lit(bin_size)),
+                F.floor((F.col(left_on) + F.lit(hi)) / F.lit(bin_size)),
+            )
+        ),
+    )
+    rb = right.withColumn("_bin", F.floor(F.col(right_on) / F.lit(bin_size)))
+    return (
+        lb.join(rb, "_bin")
+        .filter(F.col(right_on).between(F.col(left_on) + F.lit(lo), F.col(left_on) + F.lit(hi)))
+        .drop("_bin")
+    )

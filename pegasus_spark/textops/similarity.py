@@ -150,3 +150,95 @@ def ann_topk(
     )
     probed = df.join(cand, id_col, "left_semi")
     return cosine_topk(probed, query_vec_id, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantize to cells, probe nearest cells
+# ---------------------------------------------------------------------------
+
+def ivf_assign_cells(
+    df: DataFrame, n_cells: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (IVF coarse
+    quantization). Centroids are the first ``n_cells`` vectors by id — the
+    deterministic stand-in for a k-means codebook (random-sample init IS the
+    standard k-means seeding; training iterations would only move the
+    centroids, not this assignment machinery), chosen so the DuckDB oracle
+    reproduces the cells bit-for-bit.
+
+    Shape: centroids broadcast (n_cells rows) → crossJoin is narrow row
+    amplification ×n_cells inside each scan partition → per-vector argmax
+    collapses map-side (max_by partial agg), so the only shuffle moves ONE
+    row per vector. At 100 TB with a larger codebook (n_cells ~ √n) the same
+    plan holds while the codebook fits a broadcast (~10^5 × dim floats);
+    beyond that the assignment becomes a pandas-UDF matmul against the
+    broadcast codebook — the cell→probe machinery downstream is unchanged.
+
+    Ties: cosine is rounded to 4dp and encoded as the exact integer
+    ``round(cos·10⁴)·10⁶ − cid`` so argmax tie-breaks to the LOWEST centroid
+    id identically on both engines (float round-then-cast is exact: the
+    rounded value is an integer-valued double).
+
+    Returns (id_col, cell) plus pass-through of ``vec_col``."""
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    cos = _dot(F.col(vec_col), F.col("_cvec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(_dot(F.col("_cvec"), F.col("_cvec")))
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_val",
+            F.round(cos * 10000, 0).cast("bigint") * F.lit(1_000_000) - F.col("_cid"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by("_cid", "_val").alias("cell"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def ivf_topk(
+    df: DataFrame, query_vec_id: int, k: int = 10,
+    n_cells: int = 16, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize all vectors to ``n_cells``
+    cells, probe the ``nprobe`` cells nearest the query vector, brute-force
+    cosine only within the probed cells (the classic inverted-file ANN scale
+    path — scan cost drops to ~nprobe/n_cells of the table, and the probed
+    subset arrives via a broadcast semi-join on the tiny probe-cell list).
+
+    Fully SQL-expressible (unlike the seeded-Gaussian hyperplane ANN), so
+    the DuckDB oracle runs the SAME algorithm and the result is
+    deterministic: cell assignment and probe ranking use the 4dp-rounded
+    integer encoding from ``ivf_assign_cells``; the final top-k orders by
+    (cos desc, id asc). The query's own cell is always its top-1 probe, so
+    the query row itself is in the probed set (then excluded from results,
+    like cosine_topk)."""
+    assigned = ivf_assign_cells(df, n_cells, id_col, vec_col)
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qvec"))
+    qcos = _dot(F.col("_qvec"), F.col("_cvec")) / (
+        F.sqrt(_dot(F.col("_qvec"), F.col("_qvec")))
+        * F.sqrt(_dot(F.col("_cvec"), F.col("_cvec")))
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "_val",
+            F.round(qcos * 10000, 0).cast("bigint") * F.lit(1_000_000) - F.col("_cid"),
+        )
+        .orderBy(F.desc("_val"))
+        .limit(nprobe)
+        .select(F.col("_cid").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(probe), "cell", "left_semi").select(id_col)
+    probed = df.join(cand, id_col, "left_semi")
+    return cosine_topk(probed, query_vec_id, k, id_col, vec_col)

@@ -100,6 +100,48 @@ class TestANN:
         assert probed < emb.count()
 
 
+class TestIVF:
+    def test_cells_partition_the_table(self, spark, sf_dir):
+        from pegasus_spark.textops.similarity import ivf_assign_cells
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned = ivf_assign_cells(emb, n_cells=16)
+        assert assigned.count() == emb.count()          # every vector, once
+        cells = assigned.select("cell").distinct().collect()
+        assert all(0 <= r["cell"] < 16 for r in cells)
+        # each centroid sits in its own cell (cos(self)=1 is the max)
+        own = assigned.filter(F.col("vec_id") < 16).collect()
+        assert all(r["cell"] == r["vec_id"] for r in own)
+
+    def test_probes_subset_and_recall(self, spark, sf_dir):
+        from pegasus_spark.textops.similarity import ivf_assign_cells, ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        approx = [r["vec_id"] for r in ivf_topk(emb, 0, k=10, n_cells=16, nprobe=4).collect()]
+        assert len(approx) == 10
+        # the probed fraction really prunes: the 4 probed cells hold well
+        # under the full table
+        assigned = ivf_assign_cells(emb, n_cells=16)
+        largest4 = (
+            assigned.groupBy("cell").count().orderBy(F.desc("count")).limit(4)
+            .agg(F.sum("count")).collect()[0][0]
+        )
+        assert largest4 < emb.count()
+        exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        # near-orthogonal synthetic vectors are LSH/IVF worst case; still
+        # expect the nearest cells to hold a fair share of true neighbors
+        assert recall >= 0.3, f"IVF recall {recall} too low"
+
+    def test_nprobe_all_cells_equals_brute_force(self, spark, sf_dir):
+        from pegasus_spark.textops.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        full = [r["vec_id"] for r in ivf_topk(emb, 0, k=10, n_cells=16, nprobe=16).collect()]
+        exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()]
+        assert full == exact
+
+
 class TestSimhashRecallContract:
     def test_simhash_near_dup_recall_at_hamming_14(self, spark, sf_dir):
         """Quantifies the documented APPROXIMATE regime: with 4 chunks the
