@@ -111,6 +111,29 @@ def image_thumbnail(df: DataFrame, d: int = 8, n_partitions: int | None = None) 
     return src.mapInPandas(run, "image_id string, thumb binary, w int, h int")
 
 
+def image_near_dups(
+    features: DataFrame, max_hamming: int = 3, chunks: int = 4,
+) -> DataFrame:
+    """Perceptual image dedup: pairs of images whose 64-bit phash differs by
+    ≤ ``max_hamming`` bits — catches the same picture re-encoded (png vs
+    jpeg), mildly requantized, or lightly edited, which exact byte dedup
+    misses. Runs on the OUTPUT of image_features (or the crawl items table,
+    which carries a recomputed phash per fetched payload), so the image
+    bytes themselves never enter the pair search.
+
+    Same scale shape as text simhash: pigeonhole chunk equality join via the
+    generic hamming_near_dups, exhaustive for max_hamming ≤ chunks − 1.
+    Output: (id_a, id_b, hamming), each pair once. Feed the pairs to
+    textops.dedup.near_dup_clusters for transitive keeper selection."""
+    from pegasus_spark.textops.dedup import hamming_near_dups
+
+    return hamming_near_dups(
+        features.select("image_id", "phash"),
+        hash_col="phash", max_hamming=max_hamming, chunks=chunks,
+        id_col="image_id", n_bits=64,
+    )
+
+
 def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio stub: interprets `bytes` as PCM16 mono (the deterministic fake
     for containers without torchaudio/soundfile; a real build branches on

@@ -264,15 +264,36 @@ def simhash_near_dups(
     in tests/test_textops.py (test_simhash_near_dup_recall_at_hamming_14);
     pick max_hamming ≤ chunks-1 when exhaustiveness matters."""
     sh = simhash(df, text_col, id_col)
-    width = SIMHASH_BITS // chunks
-    chunked = sh.select(
-        id_col, "simhash",
+    return hamming_near_dups(
+        sh, hash_col="simhash", max_hamming=max_hamming, chunks=chunks,
+        id_col=id_col, n_bits=SIMHASH_BITS,
+    )
+
+
+def hamming_near_dups(
+    df: DataFrame, hash_col: str, max_hamming: int = 3, chunks: int = 4,
+    id_col: str = "doc_id", n_bits: int = 64,
+) -> DataFrame:
+    """Generic Hamming-ball pair search over ANY precomputed n-bit bigint
+    hash column (simhash, image phash, audio fingerprint) via the pigeonhole
+    chunk trick: explode each hash into ``chunks`` equal bit-slices, equality
+    join on (chunk_idx, chunk_val), exact-verify bit_count(xor) ≤ max_hamming.
+    Exhaustive iff max_hamming ≤ chunks − 1 (see simhash_near_dups for the
+    recall contract). Shuffle key is the chunk value — never all-pairs.
+
+    Uses unsigned shifts so full-width signed 64-bit hashes (e.g. the image
+    phash, whose top bit may be set) chunk correctly; for non-negative
+    hashes this is bit-identical to the arithmetic shift the SQL oracles use.
+    Output: (id_a, id_b, hamming) with id_a < id_b, each pair once."""
+    width = n_bits // chunks
+    chunked = df.select(
+        id_col, hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright("simhash", c * width)
+                        F.shiftrightunsigned(hash_col, c * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("cv"),
                     )
@@ -280,9 +301,9 @@ def simhash_near_dups(
                 ]
             )
         ).alias("e"),
-    ).select(id_col, "simhash", "e.c", "e.cv")
-    a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "c", "cv")
-    b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "c", "cv")
+    ).select(id_col, hash_col, "e.c", "e.cv")
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a"), "c", "cv")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b"), "c", "cv")
     return (
         a.join(b, ["c", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -44,6 +44,49 @@ def test_image_thumbnail_roundtrip(image_df):
         assert arr.shape == (8, 8, 3)
 
 
+def test_image_near_dups_pairs_reencodes_not_strangers(spark):
+    """The same picture in png AND jpeg must pair (perceptual hash survives
+    the 2-bit requantize); distinct source images must not."""
+    from pegasus_spark.multimodal import image_near_dups
+
+    rows = []
+    for i in range(8):
+        arr = synth_image(f"nd-{i}", 32, 64)
+        rows.append((f"nd-{i}-png", bytearray(encode_image(arr, "png")), "png"))
+        rows.append((f"nd-{i}-jpeg", bytearray(encode_image(arr, "jpeg")), "jpeg"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    feats = image_features(df)
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in image_near_dups(feats, max_hamming=3).collect()
+    }
+    for i in range(8):
+        assert (f"nd-{i}-jpeg", f"nd-{i}-png") in pairs, i
+    # no cross-source pairs
+    assert all(a.rsplit("-", 1)[0] == b.rsplit("-", 1)[0] for a, b in pairs)
+
+
+def test_image_near_dup_clusters_keeper_selection(spark):
+    from pegasus_spark.multimodal import image_near_dups
+    from pegasus_spark.textops.dedup import near_dup_clusters
+
+    rows = []
+    for i in range(4):
+        arr = synth_image(f"cl-{i}", 32, 64)
+        for fmt in ("png", "jpeg"):
+            rows.append((f"cl-{i}-{fmt}", bytearray(encode_image(arr, fmt)), fmt))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    feats = image_features(df)
+    pairs = image_near_dups(feats, max_hamming=3)
+    clusters = near_dup_clusters(feats.select("image_id"), pairs, id_col="image_id")
+    got = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
+    for i in range(4):
+        # jpeg/png of the same source collapse to one keeper (min id = jpeg)
+        assert got[f"cl-{i}-png"] == got[f"cl-{i}-jpeg"] == f"cl-{i}-jpeg"
+    keepers = {v for v in got.values()}
+    assert len(keepers) == 4
+
+
 def test_audio_features(spark):
     t = np.arange(16000)
     tone = (np.sin(2 * np.pi * 440 * t / 16000) * 0.5 * 32767).astype("<i2")
