@@ -241,4 +241,12 @@ def ivf_topk(
     )
     cand = assigned.join(F.broadcast(probe), "cell", "left_semi").select(id_col)
     probed = df.join(cand, id_col, "left_semi")
-    return cosine_topk(probed, query_vec_id, k, id_col, vec_col)
+    # take the query vector from the BASE table (1-row pushed-filter scan),
+    # not from `probed` — cosine_topk(probed, …) would re-derive the whole
+    # assignment subtree a second time just to re-find the query row
+    return (
+        with_cosine_to(probed.filter(F.col(id_col) != query_vec_id), q.select(F.col("_qvec").alias(vec_col)), vec_col)
+        .select(id_col, "cos")
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
