@@ -47,14 +47,24 @@ def main() -> None:
     from pegasus_spark.analytics.queries import QUERIES
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     # warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not session startup.
     QUERIES["pricing_summary"](spark, sf_dir).count()
 
+    # two executions per query: the FIRST pays whole-stage-codegen compile,
+    # shuffle-service setup, and Python-worker spin-up (one-time costs that
+    # amortize to zero on a long-lived cluster); the SECOND is steady state —
+    # the number that predicts 100 TB throughput. `value`/`queries` keep the
+    # cold protocol for round-over-round comparability; `queries_warm` /
+    # `warm_total` carry the steady-state story.
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        warm[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
 
@@ -71,6 +81,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_total": round(sum(warm.values()), 4),
+        "queries_warm": warm,
         "sf": sf,
         **extra,
     }

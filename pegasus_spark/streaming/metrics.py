@@ -127,6 +127,24 @@ def cumulative_host_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_url_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the frontier's URL-seen set: first-seen-wins dedup
+    of fetch rows by url ACROSS micro-batches, state bounded by the event-time
+    watermark (`dropDuplicatesWithinWatermark` — a duplicate arriving within
+    the horizon is dropped; state for urls older than the watermark is
+    evicted, so state size tracks the horizon's url volume, not the run's).
+
+    This is the streaming-ingest guard a training-data pipeline puts in
+    front of the batch dedup stages: it cheaply collapses the exact repeats
+    a crawler re-emits (retries, re-discovered links) before payload bytes
+    are stored; batch MinHash/SimHash near-dup handles the rest downstream.
+    Scale: state shuffles on url hash — the same key discipline as the batch
+    URL-seen bloom/anti-join path."""
+    return stream.withWatermark("fetch_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, query_name: str, output_mode: str, checkpoint_dir: str
 ):

@@ -214,34 +214,40 @@ SIMHASH_BITS = 60  # top 15 md5 hex chars → non-negative 60-bit BIGINT
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """60-bit SimHash, pure Catalyst: token → md5 → 60-bit int; per bit
-    position sum ±1 over tokens; sign → bit. One explode over tokens (narrow
-    after the split), groupBy doc — map-side combinable."""
-    tok = (
-        df.select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
-        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
+    """60-bit SimHash, pure Catalyst AND fully narrow: token → md5 → 60-bit
+    int, per-bit ±1 sums folded with higher-order array functions
+    (aggregate/zip_with) so each document stays ONE row end to end — no
+    token explode, no 60× bit explode, no shuffle at all. Bit tests use
+    bitwiseAND against a literal powers-of-two array (the PySpark shift
+    wrappers need literal bit counts, and a double pow(2,b) reassembly would
+    lose bits above 2^53 — the AND keeps everything exact bigint).
+
+    Scale: the previous explode+groupBy form amplified rows 60× into a
+    map-side-combined shuffle; this form is a pure projection fused into the
+    scan — per-doc cost is tokens×60 lambda steps, zero exchange. Output is
+    bit-identical (asserted in tests)."""
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
+    hashes = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    bits = tok.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h",
-    ).withColumn(
-        # SQL-form shiftright accepts a column bit count (the PySpark wrapper
-        # requires a literal)
-        "v", F.expr("(shiftright(h, CAST(b AS INT)) & 1) * 2 - 1")
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
-    agg = (
-        bits.groupBy(id_col, "b")
-        .agg(F.sum("v").alias("s"))
-        .withColumn("bit", (F.col("s") > 0).cast("bigint"))
+    sh = F.aggregate(
+        F.zip_with(
+            sums, powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
-    # exact bigint reassembly (a double-precision pow(2,b) sum would lose
-    # bits above 2^53)
-    return agg.groupBy(id_col).agg(
-        F.expr("sum(bit * shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)))")
-        .cast("bigint")
-        .alias("simhash")
-    )
+    return df.select(id_col, sh.cast("bigint").alias("simhash"))
 
 
 def simhash_near_dups(
@@ -342,8 +348,15 @@ def ngram_jaccard_pairs(
     at 100 TB the shuffle shrinks by the same ratio; a 64-bit collision
     merging two grams is ~p<1e-10 and deterministic). Streaming explode →
     hash-distinct also beats an array_distinct(transform(...)) build by ~3×,
-    and the distinct's exchange is reused for both join sides and the per-doc
-    counts (ReusedExchange)."""
+    and the deduped postings materialize once (localCheckpoint) for all four
+    consumers — counts, df-scan, and both join sides."""
+    # materialize the deduped (doc, gram-hash) postings ONCE: four consumers
+    # read it (per-doc counts, the hot-gram df scan, and both pair-join
+    # sides) and re-deriving the explode+distinct for each measurably
+    # dominated the operator (9.2 s → 4.6 s at sf0.1). localCheckpoint is
+    # the same truncate-and-reuse discipline near_dup_clusters applies; at
+    # cluster scale this is "write the inverted index to a temp table, then
+    # query it" — the standard two-phase similarity-join shape.
     grams = (
         df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
         .select(
@@ -356,6 +369,7 @@ def ngram_jaccard_pairs(
             ).alias("gh"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     joinable = grams

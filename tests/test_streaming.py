@@ -72,6 +72,32 @@ def test_windowed_rate_stats(spark, src_dir, tmp_path):
     assert out[("h1", T0)]["success_cnt"] == 0
 
 
+def test_streaming_url_dedup_across_batches(spark, src_dir, tmp_path):
+    """A url repeated in a LATER micro-batch (within the watermark horizon)
+    is dropped; distinct urls all pass."""
+    from pegasus_spark.streaming.metrics import streaming_url_dedup
+
+    _batch(spark, _rows("h0", 3, 0)).coalesce(1).write.parquet(src_dir)
+    stream = read_fetch_stream(spark, src_dir)
+    q = run_to_memory_sink(
+        streaming_url_dedup(stream), "url_dedup", "append", str(tmp_path / "ck3")
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: one repeat of p0 (same url, later ts) + two new urls
+        repeat = [("https://h0/p0", "h0", 200, 100, 5, T0 + dt.timedelta(seconds=30))]
+        _batch(spark, repeat + _rows("h1", 2, 40)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q.processAllAvailable()
+        urls = [r["url"] for r in spark.sql("select url from url_dedup").collect()]
+    finally:
+        q.stop()
+    assert sorted(urls) == sorted(
+        [f"https://h0/p{i}" for i in range(3)] + [f"https://h1/p{i}" for i in range(2)]
+    )  # p0 repeat dropped, each url exactly once
+
+
 def test_cumulative_host_stats_across_batches(spark, src_dir, tmp_path):
     _batch(spark, _rows("h0", 4, 0) + _rows("h1", 2, 0)).coalesce(1).write.parquet(
         src_dir
