@@ -198,7 +198,9 @@ def near_dup_clusters(
             new.select(F.col("v").alias("new_label"), F.col("new_label").alias("ll")),
             "new_label",
         ).select("v", "old_label", F.least("new_label", "ll").alias("new_label"))
-        jump = jump.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence count below is the action that
+        # materializes it, so each iteration runs ONE Spark job, not two
+        jump = jump.localCheckpoint(eager=False)
         changed = jump.filter(F.col("new_label") < F.col("old_label")).count()
         labels = jump.select("v", F.col("new_label").alias("label"))
         if changed == 0:
