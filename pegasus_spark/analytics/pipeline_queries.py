@@ -454,6 +454,107 @@ def q_ann_topk(spark, sf_dir):
     return S.ann_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, dim=64)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Training-data decontamination: flag corpus documents sharing any
+    4-token n-gram with the evaluation set (here the deterministic stand-in
+    eval set = doc_id % 101 == 0). THE canonical pre-training scrub — exact
+    n-gram overlap against held-out benchmarks.
+
+    Scale shape: the eval suite is tiny relative to the corpus, so its
+    distinct gram set collects into ONE broadcast row and the corpus scan
+    stays fully narrow — per doc, shared = array_intersect(doc grams, eval
+    grams); NO shuffle at all (contrast with a gram-join formulation, which
+    would shuffle the whole corpus's grams). Output: contaminated doc_id +
+    how many distinct eval grams it shares."""
+    docs = _docs(spark, sf_dir)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.size(F.split(F.trim(F.col("text")), r"\s+")) - F.lit(3), F.lit(1)
+                ),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), i, 4)
+            ),
+        )
+    )
+    with_grams = docs.select("doc_id", grams.alias("grams"))
+    eval_arr = (
+        with_grams.filter(F.col("doc_id") % 101 == 0)
+        .select(F.explode("grams").alias("g"))
+        .agg(F.collect_set("g").alias("eval_grams"))
+    )
+    return (
+        with_grams.filter(F.col("doc_id") % 101 != 0)
+        .crossJoin(F.broadcast(eval_arr))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("grams", "eval_grams")).cast("bigint").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 3, 1))) AS i FROM toks)
+),
+eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM g
+WHERE doc_id % 101 <> 0 AND gram IN (SELECT gram FROM eval_g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Intra-document repetition ratio (the Gopher/C4-style quality rule:
+    heavily self-repeating docs are boilerplate): fraction of a doc's token
+    3-grams that are duplicates of an earlier gram in the SAME doc. Fully
+    narrow — the gram array, its distinct size, and the ratio are one
+    projection fused into the scan; nothing shuffles (the global orderBy is
+    the driver-gate presentation sort only)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.size(grams).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_REPETITION = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT gram) * 1.0 / count(*), 4) AS rep_ratio
+FROM g GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize to 16 cells, probe the 4 nearest, exact
     cosine only within probed cells. Unlike ann_topk this variant is fully
@@ -501,6 +602,8 @@ PIPELINE_QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "decontaminate": q_decontaminate,
+    "doc_repetition": q_doc_repetition,
 }
 
 PIPELINE_ORACLES = {
@@ -519,4 +622,6 @@ PIPELINE_ORACLES = {
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     # ann_topk: intentionally no oracle (approximate, numpy-seeded)
     "ivf_topk": ORACLE_IVF_TOPK,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "doc_repetition": ORACLE_DOC_REPETITION,
 }
