@@ -100,16 +100,25 @@ def range_join_binned(
     ``left_on``/``right_on`` must be integer columns (e.g. unix_micros) with
     distinct names; all left and right columns pass through."""
     bin_size = bin_size or max(hi - lo, 1)
+
+    def _bin(col):
+        # exact floor-division for any bigint (including negatives and
+        # values beyond 2^53, e.g. nanosecond epochs): double division
+        # would round the quotient and misplace boundary rows into the
+        # wrong bin — a silent false NEGATIVE, since the exact range
+        # filter below only ever removes candidates
+        return F.floor(col.cast("decimal(38,0)") / F.lit(bin_size)).cast("bigint")
+
     lb = left.withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                F.floor((F.col(left_on) + F.lit(lo)) / F.lit(bin_size)),
-                F.floor((F.col(left_on) + F.lit(hi)) / F.lit(bin_size)),
+                _bin(F.col(left_on) + F.lit(lo)),
+                _bin(F.col(left_on) + F.lit(hi)),
             )
         ),
     )
-    rb = right.withColumn("_bin", F.floor(F.col(right_on) / F.lit(bin_size)))
+    rb = right.withColumn("_bin", _bin(F.col(right_on)))
     return (
         lb.join(rb, "_bin")
         .filter(F.col(right_on).between(F.col(left_on) + F.lit(lo), F.col(left_on) + F.lit(hi)))

@@ -59,6 +59,20 @@ def test_bin_size_independent_and_no_duplicates(frames):
         assert {(r["lid"], r["rid"]) for r in rows} == exp, bin_size
 
 
+def test_negative_and_beyond_double_precision_times(spark):
+    """Bins must be exact for negative epochs and values > 2^53 (nanosecond
+    timestamps) — double-division binning would misplace boundary rows."""
+    big = 2**60  # far beyond exact double integers
+    left = spark.createDataFrame(
+        [(1, -100), (2, big)], "lid long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, -110), (2, -89), (3, big + 10), (4, big - 11)], "rid long, rt long"
+    )
+    got = _pairs(range_join_binned(left, right, "lt", "rt", -10, 10))
+    assert got == {(1, 1), (2, 3)}
+
+
 def test_plan_is_equality_join_not_nested_loop(frames):
     left, right = frames
     plan = (
