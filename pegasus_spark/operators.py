@@ -102,11 +102,16 @@ def range_join_binned(
     bin_size = bin_size or max(hi - lo, 1)
 
     def _bin(col):
-        # exact floor-division for any bigint (including negatives and
-        # values beyond 2^53, e.g. nanosecond epochs): double division
-        # would round the quotient and misplace boundary rows into the
-        # wrong bin — a silent false NEGATIVE, since the exact range
-        # filter below only ever removes candidates
+        # Pair-exactness does NOT require the bin function to be a true
+        # floor-division — it requires only that (a) it is MONOTONE
+        # non-decreasing, so every right row in [t+lo, t+hi] lands in
+        # [_bin(t+lo), _bin(t+hi)], and (b) each right row gets exactly one
+        # bin; the exact range filter below then removes the slack. Decimal
+        # division keeps the quotient monotone and overflow-free for ANY
+        # bigint (a double path compresses distinct values beyond 2^53 into
+        # equal bins — still correct, but bins stop tracking the intended
+        # width, inflating fan-out). Note decimal(38,0)/int rounds at scale
+        # 6, so a bin boundary can shift by one ulp — covered by (a).
         return F.floor(col.cast("decimal(38,0)") / F.lit(bin_size)).cast("bigint")
 
     lb = left.withColumn(

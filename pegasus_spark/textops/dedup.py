@@ -227,7 +227,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Scale: the previous explode+groupBy form amplified rows 60× into a
     map-side-combined shuffle; this form is a pure projection fused into the
     scan — per-doc cost is tokens×60 lambda steps, zero exchange. Output is
-    bit-identical (asserted in tests)."""
+    bit-identical (asserted in tests). NULL-text rows are dropped, matching
+    both the old explode form (explode of a null array emits nothing) and
+    the SQL oracle's unnest."""
+    df = df.filter(F.col(text_col).isNotNull())
     powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
     hashes = F.transform(
         F.split(F.trim(F.col(text_col)), r"\s+"),
@@ -358,18 +361,15 @@ def ngram_jaccard_pairs(
     # dominated the operator (9.2 s → 4.6 s at sf0.1). localCheckpoint is
     # the same truncate-and-reuse discipline near_dup_clusters applies; at
     # cluster scale this is "write the inverted index to a temp table, then
-    # query it" — the standard two-phase similarity-join shape.
+    # query it" — the standard two-phase similarity-join shape. NOTE this
+    # makes DataFrame CONSTRUCTION eager (one Spark job runs here); the
+    # checkpoint blocks are reclaimed by Spark's ContextCleaner once the
+    # returned DataFrame is released, so storage is bounded by live results.
+    from pegasus_spark.textops.text import word_grams
+
     grams = (
-        df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))),
-                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, n))),
-                )
-            ).alias("gh"),
-        )
+        df.select(id_col, F.explode(word_grams(text_col, n)).alias("g"))
+        .select(id_col, F.xxhash64("g").alias("gh"))
         .distinct()
         .localCheckpoint(eager=True)
     )

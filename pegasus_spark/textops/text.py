@@ -31,6 +31,25 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def word_grams(text_col: str = "text", n: int = 3, clamp: bool = True) -> Column:
+    """Word n-grams as an array<string> column — the single source for every
+    gram-based operator (ngram Jaccard, decontamination, repetition), so a
+    tokenization change lands in one place (each SQL oracle mirrors this
+    construction; keep them in lockstep).
+
+    ``clamp=True`` (the dedup convention): a doc shorter than n tokens still
+    yields one (short) gram — sequence(1, greatest(size-n+1, 1)).
+    ``clamp=False``: no gram for short docs (callers filter size >= n)."""
+    toks = tokens_col(text_col)
+    hi = F.size(toks) - F.lit(n - 1)
+    if clamp:
+        hi = F.greatest(hi, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), hi),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
 def with_token_count(df: DataFrame) -> DataFrame:
     """Whitespace tokenization + a BPE-ish subword estimate (≈ chars/4,
     the common rule-of-thumb; kept as an exact integer formula so the SQL
