@@ -736,6 +736,64 @@ ORDER BY event_id
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream: a user's events belong
+    to one session while consecutive gaps are ≤ 30 min; a larger gap opens a
+    new session. The standard formulation — lag over (user, time) marks
+    session starts, a running sum of the marks numbers sessions, then one
+    aggregate per (user, session) — runs in a SINGLE shuffle on user_id
+    (both window functions and the final groupBy share the partitioning).
+    Event times compare at microsecond precision; ordering tie-breaks on
+    event_id so the session numbering is deterministic under any
+    partitioning (SURVEY §4.3 discipline)."""
+    micros = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr(micros).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > 1_800_000_000, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            # exact integer micros — a seconds double hits round-half
+            # boundaries where Spark (half-up) and DuckDB (half-even) differ
+            (F.max("t") - F.min("t")).cast("bigint").alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), marked AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), numbered AS (
+  SELECT user_id, t,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
 def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup of the events stream: one
     pass emits (type, day, hour), (type, day), (type) and grand-total
@@ -842,6 +900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_error": q_asof_last_error,
     "range_join_nearby_clicks": q_range_join_nearby_clicks,
     "multires_rollup": q_multires_rollup,
+    "sessionize": q_sessionize,
     "shipping_priority": q_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
     "supplier_balance_by_region": q_supplier_balance_by_region,
@@ -866,6 +925,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_last_error": ORACLE_ASOF_LAST_ERROR,
     "range_join_nearby_clicks": ORACLE_RANGE_JOIN_NEARBY_CLICKS,
     "multires_rollup": ORACLE_MULTIRES_ROLLUP,
+    "sessionize": ORACLE_SESSIONIZE,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "supplier_balance_by_region": ORACLE_SUPPLIER_BALANCE_BY_REGION,
