@@ -543,6 +543,44 @@ FROM g GROUP BY doc_id ORDER BY doc_id
 """
 
 
+MIX_RATES = {"src0": 100, "src1": 50, "src2": 25}  # percent; others 10
+MIX_DEFAULT = 10
+
+
+def q_source_mix(spark, sf_dir):
+    """Training-mixture weighting: sample each source at its configured
+    rate (the data-mixing step of a pre-training pipeline — upsample rare
+    high-quality sources, downsample bulk ones). Sampling is DETERMINISTIC:
+    a document's bucket is md5(doc_id) reduced mod 100, so reruns, both
+    engines, and any partitioning keep exactly the same rows — no RNG in
+    the plan (rand() cannot cross the oracle gate and is not reproducible
+    across retries at scale anyway). Fully narrow: filter fused into the
+    scan, no shuffle before the presentation sort."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.lit(MIX_DEFAULT)
+    for src, pct in MIX_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SOURCE_MIX = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 <
+      CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
+                  ELSE 10 END
+ORDER BY doc_id
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize to 16 cells, probe the 4 nearest, exact
     cosine only within probed cells. Unlike ann_topk this variant is fully
@@ -592,6 +630,7 @@ PIPELINE_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "decontaminate": q_decontaminate,
     "doc_repetition": q_doc_repetition,
+    "source_mix": q_source_mix,
 }
 
 PIPELINE_ORACLES = {
@@ -612,4 +651,5 @@ PIPELINE_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "decontaminate": ORACLE_DECONTAMINATE,
     "doc_repetition": ORACLE_DOC_REPETITION,
+    "source_mix": ORACLE_SOURCE_MIX,
 }
