@@ -1,0 +1,66 @@
+"""Crawl status surface — the rebuild of the reference's CLI status command
+(entry point B, /root/reference/src/pegasus/cli/status.go:473-498 and
+masterproj.go:223-238): given a crawl workdir, report overall progress, the
+per-round series, and the frontier's current state breakdown, without
+touching scheduler internals — everything comes from the committed store
+(checkpoint manifest + rounds table + frontier snapshot), so it is safe to
+run WHILE a crawl is in flight: it sees exactly the last committed round.
+
+Usage::
+
+    python -m pegasus_spark.crawler.status <workdir>        # JSON to stdout
+    crawl_status(spark, workdir)                            # dict
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from pegasus_spark.crawler.frontier import FrontierStore
+
+
+def crawl_status(spark: SparkSession, workdir: str) -> dict[str, Any]:
+    """Point-in-time status from the committed store state (manifest-atomic:
+    a half-written round is invisible). Keys mirror status.go's sections:
+    run header, per-round rows, frontier state totals."""
+    store = FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        return {"state": "not_started", "rounds": 0}
+    out: dict[str, Any] = {
+        "state": "finished" if ckpt.finished else "running",
+        "rounds": ckpt.round,
+        "counters": dict(ckpt.counters),
+    }
+    rounds_df = store.read_appended("rounds", ckpt.appended_rounds)
+    if rounds_df is not None:
+        out["round_series"] = [
+            {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.asDict().items()}
+            for r in sorted(rounds_df.collect(), key=lambda r: r["round"])
+        ]
+    frontier = store.read_frontier(ckpt.frontier_version)
+    out["frontier_states"] = {
+        r["state"]: r["count"]
+        for r in frontier.groupBy("state").count().collect()
+    }
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 1:
+        print("usage: python -m pegasus_spark.crawler.status <workdir>", file=sys.stderr)
+        return 2
+    from pegasus_spark.session import get_spark
+
+    spark = get_spark(app_name="pegasus_spark_status", shuffle_partitions=8)
+    print(json.dumps(crawl_status(spark, argv[0]), sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

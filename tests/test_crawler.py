@@ -248,6 +248,24 @@ def test_partitioned_bloom_path_end_to_end(spark, tmp_path_factory):
     assert fetched == expected_fetched_set(spec)
 
 
+def test_crawl_status_surface(crawl):
+    """Entry point B presentation layer: crawl_status reports the finished
+    run, its per-round series, and frontier state totals that reconcile
+    with the store."""
+    from pegasus_spark.crawler.status import crawl_status
+
+    spec, sched, result, ckpt = crawl
+    st = crawl_status(sched.spark, sched.store.workdir)
+    assert st["state"] == "finished"
+    assert st["rounds"] == result.rounds
+    assert st["counters"]["pages_fetched"] == result.pages_fetched
+    assert [r["round"] for r in st["round_series"]] == list(range(1, result.rounds + 1))
+    frontier = sched.store.read_frontier(ckpt.frontier_version)
+    assert st["frontier_states"] == {
+        r["state"]: r["count"] for r in frontier.groupBy("state").count().collect()
+    }
+
+
 def test_rounds_progress_table(crawl):
     """Entry point B (cli/status.go:473-498): per-round progress must be a
     queryable table — round counters plus global frontier state totals that
