@@ -39,15 +39,21 @@ def word_grams(text_col: str = "text", n: int = 3, clamp: bool = True) -> Column
 
     ``clamp=True`` (the dedup convention): a doc shorter than n tokens still
     yields one (short) gram — sequence(1, greatest(size-n+1, 1)).
-    ``clamp=False``: no gram for short docs (callers filter size >= n)."""
+    ``clamp=False``: an EMPTY array for docs shorter than n tokens. (The
+    guard is load-bearing: sequence(1, hi) with hi < 1 DESCENDS, producing
+    index 0, and slice() raises at runtime — the expression must be total
+    because Catalyst may evaluate it before a caller's length filter.)"""
     toks = tokens_col(text_col)
     hi = F.size(toks) - F.lit(n - 1)
     if clamp:
         hi = F.greatest(hi, F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), hi),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(hi, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    if clamp:
+        return grams
+    return F.when(hi >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 def with_token_count(df: DataFrame) -> DataFrame:

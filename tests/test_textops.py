@@ -100,6 +100,37 @@ class TestANN:
         assert probed < emb.count()
 
 
+class TestWordGrams:
+    def test_matches_python_reference_on_edge_cases(self, spark):
+        """word_grams is the single source for three oracle-gated queries —
+        pin its semantics (clamped short docs, whitespace runs, trim)
+        against a plain-python reference."""
+        from pegasus_spark.textops.text import word_grams
+
+        def ref(text, n, clamp):
+            toks = text.strip().split()
+            if not toks:
+                toks = [""]  # split of "" yields [""] in Spark too
+            hi = len(toks) - (n - 1)
+            if clamp:
+                hi = max(hi, 1)
+            return [" ".join(toks[i : i + n]) for i in range(max(hi, 0))]
+
+        cases = [
+            "a b c d e", "a", "", "  ", "a  b\tc", " lead trail ",
+            "x " * 50, "one two", "a b c",
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, text string")
+        for n in (2, 3, 4):
+            for clamp in (True, False):
+                got = {
+                    r["i"]: r["g"]
+                    for r in df.select("i", word_grams("text", n, clamp).alias("g")).collect()
+                }
+                for i, t in enumerate(cases):
+                    assert got[i] == ref(t, n, clamp), (t, n, clamp)
+
+
 class TestIVF:
     def test_cells_partition_the_table(self, spark, sf_dir):
         from pegasus_spark.textops.similarity import ivf_assign_cells
