@@ -52,13 +52,23 @@ def crawl_status(spark: SparkSession, workdir: str) -> dict[str, Any]:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    compact = "--compact" in argv
+    argv = [a for a in argv if a != "--compact"]
     if len(argv) != 1:
-        print("usage: python -m pegasus_spark.crawler.status <workdir>", file=sys.stderr)
+        print(
+            "usage: python -m pegasus_spark.crawler.status [--compact] <workdir>",
+            file=sys.stderr,
+        )
         return 2
     from pegasus_spark.session import get_spark
 
     spark = get_spark(app_name="pegasus_spark_status", shuffle_partitions=8)
-    print(json.dumps(crawl_status(spark, argv[0]), sort_keys=True))
+    out = crawl_status(spark, argv[0])
+    if compact:
+        # maintenance: expire store versions no checkpoint references
+        # (FrontierStore.compact — the Iceberg expire_snapshots equivalent)
+        out["compacted"] = FrontierStore(spark, argv[0]).compact()
+    print(json.dumps(out, sort_keys=True))
     return 0
 
 
