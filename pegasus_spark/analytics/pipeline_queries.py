@@ -543,6 +543,49 @@ FROM g GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means (k=8, one Lloyd iteration + final assignment) over
+    the embeddings table — iterative clustering with EXACT oracle parity:
+    integer-quantized vectors make centroid updates exact bigint sums (the
+    un-normalized sum is the spherical centroid, so no float division), and
+    assignment uses the 4dp integer argmax encoding."""
+    return S.spherical_kmeans(_emb(spark, sf_dir), k=8, iters=1)
+
+
+ORACLE_KMEANS_CLUSTERS = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, q AS cvec FROM e WHERE vec_id < 8),
+s0 AS (
+  SELECT e.vec_id, c.cid,
+         CAST(round(list_dot_product(q::DOUBLE[], cvec::DOUBLE[])
+                    / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))
+                       * sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[])))
+                    * 10000, 0) AS BIGINT) * 1000000 - c.cid AS val
+  FROM e, c0 c
+),
+a0 AS (SELECT vec_id, arg_max(cid, val) AS cell FROM s0 GROUP BY vec_id),
+m AS (
+  SELECT a0.cell, generate_subscripts(q, 1) AS pos, unnest(q) AS x
+  FROM a0 JOIN e USING (vec_id)
+),
+msum AS (SELECT cell, pos, SUM(x) AS s FROM m GROUP BY cell, pos),
+c1 AS (SELECT cell AS cid, list(s ORDER BY pos) AS cvec FROM msum GROUP BY cell),
+s1 AS (
+  SELECT e.vec_id, c.cid,
+         CAST(round(list_dot_product(q::DOUBLE[], cvec::DOUBLE[])
+                    / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))
+                       * sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[])))
+                    * 10000, 0) AS BIGINT) * 1000000 - c.cid AS val
+  FROM e, c1 c
+)
+SELECT vec_id, arg_max(cid, val) AS cell FROM s1 GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 MIX_RATES = {"src0": 100, "src1": 50, "src2": 25}  # percent; others 10
 MIX_DEFAULT = 10
 
@@ -631,6 +674,7 @@ PIPELINE_QUERIES = {
     "decontaminate": q_decontaminate,
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 PIPELINE_ORACLES = {
@@ -652,4 +696,5 @@ PIPELINE_ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "source_mix": ORACLE_SOURCE_MIX,
+    "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
 }

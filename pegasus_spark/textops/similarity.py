@@ -250,3 +250,84 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# spherical k-means — iterative clustering with exact cross-engine parity
+# ---------------------------------------------------------------------------
+
+def _argmax_cell(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Assign each quantized vector to its nearest centroid by cosine:
+    broadcast the centroid table, 4dp-rounded integer argmax encoding
+    (round(cos·10⁴)·10⁶ − cid — same tie discipline as ivf_assign_cells)."""
+    cos = _dot(
+        F.transform(F.col("q"), lambda x: x.cast("double")),
+        F.transform(F.col("_cvec"), lambda x: x.cast("double")),
+    ) / (
+        F.sqrt(_dot(F.transform(F.col("q"), lambda x: x.cast("double")),
+                    F.transform(F.col("q"), lambda x: x.cast("double"))))
+        * F.sqrt(_dot(F.transform(F.col("_cvec"), lambda x: x.cast("double")),
+                      F.transform(F.col("_cvec"), lambda x: x.cast("double"))))
+    )
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_val",
+            F.round(cos * 10000, 0).cast("bigint") * F.lit(1_000_000) - F.col("_cid"),
+        )
+        .groupBy(id_col)
+        .agg(F.max_by("_cid", "_val").alias("cell"), F.first("q").alias("q"))
+    )
+
+
+def spherical_kmeans(
+    df: DataFrame, k: int = 8, iters: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (cosine Lloyd's) over an embedding column — the
+    topic-bucketing step of a training-data curation pipeline, and the
+    codebook trainer IVF ANN consumes. Deterministic and EXACTLY
+    reproducible by the SQL oracle, which is what makes an iterative ML
+    operator oracle-gateable at all:
+
+    - embeddings quantize once to bigint (floor(x·10⁶)) — every centroid
+      update is then an exact INTEGER element-wise sum. Cosine is
+      scale-invariant, so the un-normalized sum vector IS the spherical
+      centroid (mean direction) and no division ever happens — the one
+      step of Lloyd's that would introduce cross-engine float drift is
+      eliminated by construction.
+    - assignment uses the 4dp-rounded integer argmax encoding (ties to the
+      lowest centroid id), and the cosine folds element-sequentially on
+      both engines (the proven _dot ≡ list_dot_product pattern).
+
+    Seeds: the first ``k`` vectors by id (random-sample init). Each
+    iteration = assign (broadcast centroids, map-side-combined argmax) +
+    update (posexplode → SUM per (cell, position) — map-side combinable —
+    → rebuild array ordered by position). A cell that loses all members
+    drops out, identically on both engines. Returns the final (id, cell)
+    assignment."""
+    base = df.select(
+        id_col,
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint")
+        ).alias("q"),
+    )
+    cents = base.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("_cid"), F.col("q").alias("_cvec")
+    )
+    for _ in range(iters):
+        assign = _argmax_cell(base, cents, id_col)
+        cents = (
+            assign.select("cell", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda e: e["s"],
+                ).alias("_cvec")
+            )
+            .select(F.col("cell").alias("_cid"), "_cvec")
+        )
+    return _argmax_cell(base, cents, id_col).select(id_col, "cell").orderBy(id_col)

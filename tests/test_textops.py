@@ -173,6 +173,46 @@ class TestIVF:
         assert full == exact
 
 
+class TestSphericalKmeans:
+    def test_partition_invariant_and_total(self, spark, sf_dir):
+        from pegasus_spark.textops.similarity import spherical_kmeans
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = {r["vec_id"]: r["cell"] for r in spherical_kmeans(emb, k=8, iters=1).collect()}
+        assert len(a) == emb.count()                      # every vector, once
+        assert all(0 <= c < 8 for c in a.values())
+        # deterministic under a different partitioning (SURVEY §4.3)
+        b = {
+            r["vec_id"]: r["cell"]
+            for r in spherical_kmeans(emb.repartition(3), k=8, iters=1).collect()
+        }
+        assert a == b
+
+    def test_iteration_improves_objective(self, spark, sf_dir):
+        """One Lloyd update must not worsen the spherical k-means objective
+        (mean cosine to the assigned centroid direction)."""
+        import numpy as np
+
+        from pegasus_spark.textops.similarity import spherical_kmeans
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+
+        def objective(assign):
+            cents = {}
+            for v, c in assign.items():
+                cents.setdefault(c, []).append(vecs[v])
+            dirs = {c: np.sum(vs, axis=0) for c, vs in cents.items()}
+            return np.mean([
+                vecs[v] @ dirs[c] / (np.linalg.norm(vecs[v]) * np.linalg.norm(dirs[c]))
+                for v, c in assign.items()
+            ])
+
+        a0 = {r["vec_id"]: r["cell"] for r in spherical_kmeans(emb, k=8, iters=0).collect()}
+        a1 = {r["vec_id"]: r["cell"] for r in spherical_kmeans(emb, k=8, iters=1).collect()}
+        assert objective(a1) >= objective(a0) - 1e-9
+
+
 class TestSimhashRecallContract:
     def test_simhash_near_dup_recall_at_hamming_14(self, spark, sf_dir):
         """Quantifies the documented APPROXIMATE regime: with 4 chunks the
