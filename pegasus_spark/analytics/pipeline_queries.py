@@ -554,9 +554,11 @@ def q_kmeans_clusters(spark, sf_dir):
 
 ORACLE_KMEANS_CLUSTERS = """
 WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-  FROM embeddings
+  SELECT vec_id, q FROM (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+    FROM embeddings
+  ) WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0
 ),
 c0 AS (SELECT vec_id AS cid, q AS cvec FROM e WHERE vec_id < 8),
 s0 AS (

@@ -511,7 +511,12 @@ class FrontierStore:
         if os.path.isdir(bdir):
             for d in os.listdir(bdir):
                 v = int(d[1:])
-                if v not in keep_b:
+                # v > ckpt.round is the IN-FLIGHT round's delta: the
+                # scheduler writes bloom shards before the round's atomic
+                # checkpoint commit, so a concurrent compaction must treat
+                # versions above the committed round as live (frontier/
+                # apartments get the same protection from keep_last)
+                if v not in keep_b and v <= ckpt.round:
                     shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
                     removed.append(f"bloom/v{v}")
         return removed

@@ -23,11 +23,13 @@ from pyspark.sql import SparkSession
 from pegasus_spark.crawler.frontier import FrontierStore
 
 
-def crawl_status(spark: SparkSession, workdir: str) -> dict[str, Any]:
+def crawl_status(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None
+) -> dict[str, Any]:
     """Point-in-time status from the committed store state (manifest-atomic:
     a half-written round is invisible). Keys mirror status.go's sections:
     run header, per-round rows, frontier state totals."""
-    store = FrontierStore(spark, workdir)
+    store = store or FrontierStore(spark, workdir)
     ckpt = store.load_checkpoint()
     if ckpt is None:
         return {"state": "not_started", "rounds": 0}
@@ -63,11 +65,14 @@ def main(argv: list[str] | None = None) -> int:
     from pegasus_spark.session import get_spark
 
     spark = get_spark(app_name="pegasus_spark_status", shuffle_partitions=8)
-    out = crawl_status(spark, argv[0])
+    store = FrontierStore(spark, argv[0])
+    out = crawl_status(spark, argv[0], store)
     if compact:
         # maintenance: expire store versions no checkpoint references
-        # (FrontierStore.compact — the Iceberg expire_snapshots equivalent)
-        out["compacted"] = FrontierStore(spark, argv[0]).compact()
+        # (FrontierStore.compact — the Iceberg expire_snapshots equivalent;
+        # versions above the committed round are treated as in-flight and
+        # kept, so this is safe while a crawl is running)
+        out["compacted"] = store.compact()
     print(json.dumps(out, sort_keys=True))
     return 0
 

@@ -300,21 +300,39 @@ def spherical_kmeans(
       lowest centroid id), and the cosine folds element-sequentially on
       both engines (the proven _dot ≡ list_dot_product pattern).
 
-    Seeds: the first ``k`` vectors by id (random-sample init). Each
-    iteration = assign (broadcast centroids, map-side-combined argmax) +
-    update (posexplode → SUM per (cell, position) — map-side combinable —
-    → rebuild array ordered by position). A cell that loses all members
-    drops out, identically on both engines. Returns the final (id, cell)
-    assignment."""
+    Seeds: the vectors with id in [0, k) — raises if any are missing
+    (a silent empty centroid table would return an empty result). Vectors
+    that quantize to all-zero (every component in [0, 1e-6) — note floor
+    sends tiny negatives to −1, which still carries direction) are DROPPED,
+    matching the oracle's norm filter: Spark's 0/0 is NULL while DuckDB's
+    is NaN, so a zero-norm row must never reach the division on either
+    engine. Each iteration = assign (broadcast
+    centroids, map-side-combined argmax) + update (posexplode → SUM per
+    (cell, position) — map-side combinable — → rebuild array ordered by
+    position). A cell that loses all members drops out, identically on
+    both engines. Returns the final (id, cell) assignment."""
     base = df.select(
         id_col,
         F.transform(
             F.col(vec_col), lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint")
         ).alias("q"),
     )
+    base = base.filter(
+        _dot(
+            F.transform(F.col("q"), lambda x: x.cast("double")),
+            F.transform(F.col("q"), lambda x: x.cast("double")),
+        ) > 0
+    )
     cents = base.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("_cid"), F.col("q").alias("_cvec")
     )
+    n_seeds = cents.count()
+    if n_seeds != k:
+        raise ValueError(
+            f"spherical_kmeans seeds are the vectors with {id_col} in [0, {k}); "
+            f"found {n_seeds} non-zero-norm seed vectors — pass a table with "
+            f"contiguous ids from 0 or lower k"
+        )
     for _ in range(iters):
         assign = _argmax_cell(base, cents, id_col)
         cents = (

@@ -96,6 +96,19 @@ class TestSnapshotLifecycle:
         assert crawl.store.read_frontier(ckpt.frontier_version).count() > 0
         assert crawl.store.read_bloom(ckpt.bloom_versions) is not None
 
+    def test_compact_keeps_in_flight_bloom_version(self, crawl):
+        """The scheduler writes a round's bloom shards BEFORE the round's
+        checkpoint commit; a concurrent compaction must treat versions above
+        the committed round as live."""
+        import os
+
+        ckpt = crawl.store.load_checkpoint()
+        inflight = os.path.join(crawl.store.workdir, "bloom", f"v{ckpt.round + 1}")
+        os.makedirs(inflight, exist_ok=True)
+        crawl.store.compact(keep_last=1)
+        assert os.path.isdir(inflight), "in-flight bloom delta must survive compact"
+        os.rmdir(inflight)
+
 
 def test_cuckoo_shard_overflow_detected(spark):
     """A full cuckoo shard must fail the build loudly instead of silently
