@@ -216,43 +216,50 @@ SIMHASH_BITS = 60  # top 15 md5 hex chars → non-negative 60-bit BIGINT
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """60-bit SimHash, pure Catalyst AND fully narrow: token → md5 → 60-bit
-    int, per-bit ±1 sums folded with higher-order array functions
-    (aggregate/zip_with) so each document stays ONE row end to end — no
-    token explode, no 60× bit explode, no shuffle at all. Bit tests use
-    bitwiseAND against a literal powers-of-two array (the PySpark shift
-    wrappers need literal bit counts, and a double pow(2,b) reassembly would
-    lose bits above 2^53 — the AND keeps everything exact bigint).
+    """60-bit SimHash, pure Catalyst and fully whole-stage-codegen: explode
+    tokens → ONE md5/conv per token → ``groupBy(doc_id)`` with 60 codegen'd
+    ``SUM(CASE WHEN (h>>b)&1=1 THEN 1 ELSE -1 END)`` aggregate columns →
+    reassemble the hash from the 60 sign sums with an exact bigint
+    CASE-sum (a double pow(2,b) reassembly would lose bits above 2^53).
 
-    Scale: the previous explode+groupBy form amplified rows 60× into a
-    map-side-combined shuffle; this form is a pure projection fused into the
-    scan — per-doc cost is tokens×60 lambda steps, zero exchange. Output is
-    bit-identical (asserted in tests). NULL-text rows are dropped, matching
-    both the old explode form (explode of a null array emits nothing) and
-    the SQL oracle's unnest."""
-    df = df.filter(F.col(text_col).isNotNull())
-    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
-    hashes = F.transform(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    Why this form (round-3 fix of a measured 2.2× regression): the round-2
+    higher-order ``aggregate``/``zip_with`` fold was narrow (zero shuffle)
+    but Spark evaluates higher-order-function lambdas INTERPRETED, per array
+    element — tokens×60 interpreted steps per doc dominated the operator.
+    This form keeps every expression inside whole-stage codegen; the 60 SUMs
+    are map-side combined, so exactly one 60-column row per doc crosses the
+    exchange — and because the source is pre-partitioned on ``id_col`` the
+    aggregate reuses that partitioning (no extra shuffle at all). Output is
+    bit-identical to the previous forms (asserted in tests). NULL-text rows
+    are dropped, matching the SQL oracle's unnest."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.trim(F.col(text_col)).alias("_t"))
+        .repartition(par, id_col)
     )
-    sums = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc, powers,
-            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        ),
+    hashed = src.select(
+        id_col, F.explode(F.split("_t", r"\s+")).alias("_tok")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("bigint").alias("_h"),
     )
-    sh = F.aggregate(
-        F.zip_with(
-            sums, powers,
-            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"_s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    return df.select(id_col, sh.cast("bigint").alias("simhash"))
+    sh = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        sh = sh + F.when(
+            F.col(f"_s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sums.select(id_col, sh.cast("bigint").alias("simhash"))
 
 
 def simhash_near_dups(
@@ -295,7 +302,15 @@ def hamming_near_dups(
     Uses unsigned shifts so full-width signed 64-bit hashes (e.g. the image
     phash, whose top bit may be set) chunk correctly; for non-negative
     hashes this is bit-identical to the arithmetic shift the SQL oracles use.
-    Output: (id_a, id_b, hamming) with id_a < id_b, each pair once."""
+    Output: (id_a, id_b, hamming) with id_a < id_b, each pair once.
+
+    The (id, hash) input is materialized ONCE (localCheckpoint — the same
+    truncate-and-reuse discipline as near_dup_clusters / ngram_jaccard_pairs)
+    because the self-join's a/b sides would otherwise each re-evaluate the
+    full upstream lineage — for simhash that lineage is the whole
+    tokenize+hash+aggregate pipeline, measured at 2× the operator cost in
+    round 2. Note this runs one Spark job at DataFrame-construction time."""
+    df = df.select(id_col, hash_col).localCheckpoint(eager=True)
     width = n_bits // chunks
     chunked = df.select(
         id_col, hash_col,
