@@ -41,7 +41,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark(app_name="pegasus_spark_bench")
+    # no console progress bar: its carriage-return frames interleave with the
+    # JSON result line and break machine parsing of the captured stdout
+    spark = get_spark(
+        app_name="pegasus_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from pegasus_spark.analytics.queries import QUERIES
@@ -88,7 +93,16 @@ def main() -> None:
         "sf": sf,
         **extra,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # stdout for the driver's `tail` capture, plus a clean side file so the
+    # result stays machine-readable even if other output interleaves
+    print(line, flush=True)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

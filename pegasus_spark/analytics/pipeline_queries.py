@@ -448,10 +448,47 @@ ORDER BY doc_id
 
 
 def q_ann_topk(spark, sf_dir):
-    """Approximate NN via random-hyperplane buckets — numpy path, no SQL
-    twin (recall property-tested in tests/test_textops.py); driver records
-    the weaker rows-only check."""
-    return S.ann_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, dim=64)
+    """Approximate NN via md5-derived Rademacher hyperplane buckets with
+    Hamming multi-probe — deterministic and SQL-expressible, so the gate
+    value-hashes it (the seeded-Gaussian numpy variant S.ann_topk stays as
+    the production alternative, recall property-tested in
+    tests/test_textops.py)."""
+    return S.ann_topk_md5(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, dim=64,
+        n_planes=8, probe_hamming=4,
+    )
+
+
+ORACLE_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (
+  SELECT p,
+         list(CASE WHEN ('0x' || substr(md5(d::VARCHAR || '_' || p::VARCHAR), 1, 15))::BIGINT % 2 = 1
+                   THEN 1.0 ELSE -1.0 END ORDER BY d) AS w
+  FROM (SELECT unnest(generate_series(0, 63)) AS d) td
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) tp
+  GROUP BY p
+),
+b AS (
+  SELECT vec_id,
+         SUM(CASE WHEN round(list_dot_product(v, w), 4) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN pl
+  GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.v
+  FROM b JOIN e USING (vec_id) CROSS JOIN qb
+  WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 4 AND e.vec_id <> 0
+)
+SELECT vec_id,
+       round(list_dot_product(v, qvec)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 4) AS cos
+FROM cand CROSS JOIN qv
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 def q_decontaminate(spark, sf_dir):
@@ -693,7 +730,7 @@ PIPELINE_ORACLES = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
-    # ann_topk: intentionally no oracle (approximate, numpy-seeded)
+    "ann_topk": ORACLE_ANN_TOPK,
     "ivf_topk": ORACLE_IVF_TOPK,
     "decontaminate": ORACLE_DECONTAMINATE,
     "doc_repetition": ORACLE_DOC_REPETITION,

@@ -15,7 +15,13 @@ Two fetchers share one batch protocol:
   simulated: within a batch each host's requests are spaced by its
   ``min_interval_ms``, which the politeness property test asserts.
 - ``HttpFetcher`` — real urllib fetches with actual inter-request sleeps, for
-  cluster runs. Never used in tests (no network in the sandbox).
+  cluster runs (exercised against a local http.server in tests).
+
+Politeness/robots configuration RIDES THE ROWS: the scheduler's dequeue
+joins ``min_interval_ms`` and ``robots_disallow`` from the broadcast budget
+onto the batch, so fetcher closures are O(1) — no O(hosts) driver dict is
+serialized per task (the round-2 design shipped both maps in the UDF
+closure; at millions of hosts that is driver memory and per-task overhead).
 
 Budget (max requests per host per round) is enforced UPSTREAM at dequeue
 (frontier.dequeue) so executors cannot collude to exceed it — see SURVEY
@@ -127,25 +133,40 @@ def _robots_disallowed(pdf: pd.DataFrame, robots: dict[str, list[str]] | None) -
     return out
 
 
+def _row_interval_ms(pdf: pd.DataFrame) -> "pd.Series":
+    """Per-row min_interval_ms from the batch itself (budget-joined at
+    dequeue); absent column or NULL → 0 (no spacing requirement)."""
+    if "min_interval_ms" in pdf.columns:
+        return pd.to_numeric(pdf["min_interval_ms"], errors="coerce").fillna(0).astype("int64")
+    return pd.Series(0, index=pdf.index, dtype="int64")
+
+
+def _row_robots(pdf: pd.DataFrame) -> dict[str, list[str]]:
+    """Static disallow prefixes carried on the rows (budget-joined at
+    dequeue): host → prefixes. Constant per host by construction."""
+    out: dict[str, list[str]] = {}
+    if "robots_disallow" in pdf.columns:
+        for h, rd in zip(pdf["host"], pdf["robots_disallow"]):
+            if h not in out and rd is not None and len(rd):
+                out[h] = [str(p) for p in rd]
+    return out
+
+
 class StoreFetcher:
     """fetch(pdf) → pdf + (status, body, nbytes, duration_ms, fetch_ts_ms)."""
 
-    def __init__(
-        self, store_path: str, min_interval_ms: dict[str, int], round_start_ms: int,
-        robots: dict[str, list[str]] | None = None,
-    ):
+    def __init__(self, store_path: str, round_start_ms: int):
         self.store_path = store_path
-        self.min_interval_ms = min_interval_ms
         self.round_start_ms = round_start_ms
-        self.robots = robots
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["host", "priority", "url"], ascending=[True, False, True]).copy()
         # live robots.txt per host (fetched from the store, cached per
-        # process) merged with any statically-configured disallows
+        # process) merged with the row-carried static disallows
         live = _store_robots(self.store_path, pdf["host"])
+        static = _row_robots(pdf)
         merged = {
-            h: sorted(set(live.get(h, [])) | set((self.robots or {}).get(h, [])))
+            h: sorted(set(live.get(h, [])) | set(static.get(h, [])))
             for h in pdf["host"].unique()
         }
         blocked = _robots_disallowed(pdf, merged)
@@ -162,36 +183,31 @@ class StoreFetcher:
         # deterministic simulated latency: 1-5 ms keyed by url hash
         pdf["duration_ms"] = (pdf["url_hash64"].astype("int64") % 5 + 1).abs().astype("int64")
         seq = pdf.groupby("host").cumcount()
-        interval = pdf["host"].map(self.min_interval_ms).fillna(0).astype("int64")
-        pdf["fetch_ts_ms"] = self.round_start_ms + seq * interval
+        pdf["fetch_ts_ms"] = self.round_start_ms + seq * _row_interval_ms(pdf)
         return pdf
 
 
 class HttpFetcher:
-    """Real-network variant (cluster path). Same batch protocol; sleeps
-    ``min_interval_ms`` between same-host requests — vectorization applies to
-    everything except the unavoidable serial GETs."""
+    """Real-network variant (cluster path). Same batch protocol; sleeps the
+    row-carried ``min_interval_ms`` between same-host requests —
+    vectorization applies to everything except the unavoidable serial GETs."""
 
-    def __init__(
-        self, min_interval_ms: dict[str, int], timeout_s: float = 10.0,
-        robots: dict[str, list[str]] | None = None,
-    ):
-        self.min_interval_ms = min_interval_ms
+    def __init__(self, timeout_s: float = 10.0):
         self.timeout_s = timeout_s
-        self.robots = robots
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
         import urllib.request
 
         pdf = pdf.sort_values(["host", "priority", "url"], ascending=[True, False, True]).copy()
-        blocked = _robots_disallowed(pdf, self.robots)
+        blocked = _robots_disallowed(pdf, _row_robots(pdf))
+        interval = _row_interval_ms(pdf)
         rows = []
         last_by_host: dict[str, float] = {}
         for (idx, url), host in zip(pdf["url"].items(), pdf["host"]):
             if blocked.loc[idx]:
                 rows.append((STATUS_ROBOTS, None, 0, 0, int(time.time() * 1000)))
                 continue
-            wait = self.min_interval_ms.get(host, 0) / 1000.0
+            wait = interval.loc[idx] / 1000.0
             since = time.monotonic() - last_by_host.get(host, 0.0)
             if since < wait:
                 time.sleep(wait - since)

@@ -75,7 +75,13 @@ def dequeue(frontier: DataFrame, budget: DataFrame) -> DataFrame:
     """Top-K pending per host under the politeness budget, in the canonical
     order (priority desc, region, page, url — SURVEY §4.3). ``budget`` is the
     politeness table (host, max_per_round, …), always broadcast (it is
-    host-cardinality small)."""
+    host-cardinality small).
+
+    The batch CARRIES its politeness config: ``min_interval_ms`` and
+    ``robots_disallow`` ride the dequeued rows (one broadcast join, already
+    paid here for max_per_round), so the fetch stage needs no O(hosts)
+    driver-side map in its closure — the config path that survives millions
+    of hosts."""
     w = Window.partitionBy("host").orderBy(
         F.desc("priority"),
         F.asc(F.coalesce("region", F.lit(""))),
@@ -84,7 +90,13 @@ def dequeue(frontier: DataFrame, budget: DataFrame) -> DataFrame:
     )
     return (
         frontier.filter(F.col("state") == "pending")
-        .join(F.broadcast(budget.select("host", "max_per_round")), "host", "left")
+        .join(
+            F.broadcast(
+                budget.select("host", "max_per_round", "min_interval_ms", "robots_disallow")
+            ),
+            "host",
+            "left",
+        )
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.coalesce("max_per_round", F.lit(32)))
         .drop("_rk", "max_per_round")
@@ -122,19 +134,29 @@ def with_dequeue_seq(
       millions of rows/round sequence at full parallelism. Range boundaries
       only decide placement, never the seq value, so sampling nondeterminism
       cannot leak into the golden ordering.
-    """
+
+    seq is BIGINT on both paths (a round can exceed 2^31 rows at the
+    10^10-URL design point, and a single type keeps multi-round fetch_log
+    parquet reads schema-stable across the strategy switch). The large path
+    localCheckpoints the range-partitioned batch: offsets are collected from
+    those partitions, so placement must be FROZEN — a lineage recompute
+    after an eviction would re-run the range sampling and could shift rows
+    across partitions after the offsets were fixed. The checkpoint blocks
+    are reclaimed by Spark's ContextCleaner when the returned DataFrame is
+    released (unlike the round-2 ``persist()``, which leaked a cached copy
+    of every large batch for the session lifetime)."""
     keys = _seq_keys()
     if n_rows is None or n_rows <= SEQ_SCALABLE_THRESHOLD:
         w = Window.orderBy(*keys)
-        return dequeued.withColumn("seq", F.row_number().over(w)).withColumn(
-            "round", F.lit(round_no)
-        )
+        return dequeued.withColumn(
+            "seq", F.row_number().over(w).cast("bigint")
+        ).withColumn("round", F.lit(round_no))
     n = n_partitions or dequeued.sparkSession.sparkContext.defaultParallelism
     d = (
         dequeued.repartitionByRange(n, *keys)
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {int(r["_pid"]): r["count"] for r in d.groupBy("_pid").count().collect()}
     offsets, acc = {}, 0
@@ -146,7 +168,10 @@ def with_dequeue_seq(
     )
     w = Window.partitionBy("_pid").orderBy(*keys)
     return (
-        d.withColumn("seq", (F.row_number().over(w) + off_map[F.col("_pid")]).cast("int"))
+        d.withColumn(
+            "seq",
+            (F.row_number().over(w).cast("bigint") + off_map[F.col("_pid")].cast("bigint")),
+        )
         .drop("_pid")
         .withColumn("round", F.lit(round_no))
     )
@@ -245,8 +270,14 @@ class Checkpoint:
     apartments_version: int = -1
     bloom_versions: list[int] = field(default_factory=list)
     appended_rounds: list[int] = field(default_factory=list)
-    # per-partition lineage: host → {pending, fetched, failed, robots_blocked}
-    partition_lineage: dict = field(default_factory=dict)
+    # per-PARTITION lineage: bucket(str) → {pending, fetched, failed,
+    # robots_blocked} counters — O(n_buckets) entries, so the checkpoint
+    # stays small at any host cardinality. The HOST-level breakdown is a
+    # store table (`lineage`, dirty-bucket incremental commits keyed by
+    # lineage_version) — at 10^6+ hosts a host map here would make the
+    # manifest write and the per-round collect a driver bottleneck.
+    bucket_lineage: dict = field(default_factory=dict)
+    lineage_version: int = -1
     counters: dict = field(default_factory=dict)
     finished: bool = False
 
@@ -429,6 +460,37 @@ class FrontierStore:
         except FileNotFoundError:
             return None
 
+    # lineage table ----------------------------------------------------------
+    # Host-level frontier-state breakdown (host, state, url_cnt), bucketed by
+    # crc32(host) % n_buckets with the same dirty-partition manifest scheme
+    # as the frontier itself: each round commits only the dirty buckets'
+    # rows, clean buckets inherit. Keeps the checkpoint manifest O(buckets)
+    # while the full host breakdown stays queryable (status.py reads this).
+
+    def write_lineage(self, df: DataFrame, version: int, n_partitions: int | None = None) -> None:
+        written = self._write_partitioned(
+            "lineage", df, version, host_bucket(), n_partitions
+        )
+        self._write_parts("lineage", version, {k: version for k in written})
+
+    def write_lineage_delta(
+        self, df: DataFrame, version: int, prev_version: int, n_partitions: int | None = None
+    ) -> None:
+        """``df`` = complete new lineage rows of the dirty buckets only."""
+        prev = self._load_parts("lineage", prev_version) or {}
+        written = self._write_partitioned(
+            "lineage", df, version, host_bucket(), n_partitions
+        )
+        parts = dict(prev)
+        parts.update({k: version for k in written})
+        self._write_parts("lineage", version, parts)
+
+    def read_lineage(self, version: int) -> DataFrame:
+        parts = self._load_parts("lineage", version)
+        if parts is None:
+            return self.spark.read.parquet(self._p("lineage", f"v{version}"))
+        return self._read_parts("lineage", parts)
+
     # snapshot lifecycle -----------------------------------------------------
     def snapshot_diff(self, v_old: int, v_new: int) -> DataFrame:
         """Row-level diff between two frontier snapshots — the local
@@ -496,7 +558,12 @@ class FrontierStore:
                 keep_a = {ckpt.apartments_version}
         else:
             keep_a = set()
-        for table, keep in (("frontier", keep_f), ("apartments", keep_a)):
+        if ckpt.lineage_version >= 0:
+            lparts = self._load_parts("lineage", ckpt.lineage_version)
+            keep_l = {ckpt.lineage_version} | (set(lparts.values()) if lparts else set())
+        else:
+            keep_l = set()
+        for table, keep in (("frontier", keep_f), ("apartments", keep_a), ("lineage", keep_l)):
             tdir = self._p(table)
             if not os.path.isdir(tdir):
                 continue

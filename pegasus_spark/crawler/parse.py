@@ -141,10 +141,19 @@ def parse_cards(df: DataFrame) -> DataFrame:
 
 def split_malformed(cards: DataFrame) -> tuple[DataFrame, DataFrame]:
     """F5 row tolerance: null price = failed parse → error side-output
-    (the reference logs + skips, apartments.go:288-295)."""
-    ok = cards.filter(F.col("price").isNotNull())
-    bad = cards.filter(F.col("price").isNull()).select(
-        "url", "region", "page", "pos", "aid", F.lit("price_parse").alias("error")
+    (the reference logs + skips, apartments.go:288-295). A null/empty region
+    is equally malformed: region is the apartments partition key, so such a
+    row would land in the default Hive partition — one the dirty-region
+    MERGE never reads — and silently clobber prior rows there. Route it to
+    the errors table instead (the reference's region always derives from the
+    listing URL, so an empty one is a parse failure by definition)."""
+    good = F.col("price").isNotNull() & F.col("region").isNotNull() & (F.col("region") != "")
+    ok = cards.filter(good)
+    bad = cards.filter(~good).select(
+        "url", "region", "page", "pos", "aid",
+        F.when(F.col("price").isNull(), "price_parse")
+        .otherwise("empty_region")
+        .alias("error"),
     )
     return ok, bad
 

@@ -47,6 +47,7 @@ from pegasus_spark.crawler.frontier import (
     FrontierStore,
     dequeue,
     filter_unseen,
+    host_bucket,
     host_bucket_py,
     prepare_candidates,
     with_dequeue_seq,
@@ -108,8 +109,6 @@ class CrawlScheduler:
         self.n_partitions = n_partitions
         self.now_ts = int(now_ts if now_ts is not None else time.time())
         self.bloom = bloom or BloomShards(n_shards=16, m_bits=1 << 17, k=7)
-        self._intervals: dict[str, int] | None = None
-        self._robots: dict[str, list[str]] | None = None
         # fetch-level fault tolerance: a failed URL re-enters the pending
         # pool up to max_retries times before resting at state='failed' —
         # the rebuild of the reference's ≤3 tasklet retries
@@ -127,21 +126,6 @@ class CrawlScheduler:
         self.bloom_partitioned_threshold = bloom_partitioned_threshold
 
     # -- helpers -------------------------------------------------------------
-
-    def _interval_map(self) -> dict[str, int]:
-        if self._intervals is None:
-            self._intervals = {
-                r["host"]: int(r["min_interval_ms"]) for r in self.budget.collect()
-            }
-        return self._intervals
-
-    def _robots_map(self) -> dict[str, list[str]]:
-        if self._robots is None:
-            self._robots = {
-                r["host"]: list(r["robots_disallow"] or [])
-                for r in self.budget.select("host", "robots_disallow").collect()
-            }
-        return self._robots
 
     def _bloom_dict(self, ckpt: Checkpoint) -> dict:
         """Merged bloom bitsets, loaded once per (resume) and kept on the
@@ -242,13 +226,29 @@ class CrawlScheduler:
         cand = prepare_candidates(seeds, self.budget, round_no=0)
         self.store.write_frontier(cand, 0, self.n_partitions)
         self.store.write_bloom(self.bloom.build(cand, version=0), 0)
+        bucket_lineage = self._seed_lineage(cand, version=0)
         self.budget.write.mode("overwrite").parquet(
             f"{self.store.workdir}/politeness_budget"
         )
         ckpt = Checkpoint(round=0, frontier_version=0, apartments_version=-1,
-                          bloom_versions=[0])
+                          bloom_versions=[0], bucket_lineage=bucket_lineage,
+                          lineage_version=0)
         self.store.write_checkpoint(ckpt)
         return ckpt
+
+    def _seed_lineage(self, cand: DataFrame, version: int) -> dict:
+        """Full lineage write at (re-)seed time; returns the per-bucket
+        state counters for the checkpoint (seed cardinality — tiny)."""
+        lin_rows = cand.groupBy(
+            "host", "state", host_bucket().alias("_bucket")
+        ).agg(F.count(F.lit(1)).alias("url_cnt"))
+        self.store.write_lineage(lin_rows.drop("_bucket"), version, self.n_partitions)
+        bucket_lineage: dict[str, dict[str, int]] = {}
+        for r in lin_rows.groupBy("_bucket", "state").agg(
+            F.sum("url_cnt").alias("cnt")
+        ).collect():
+            bucket_lineage.setdefault(str(r["_bucket"]), {})[r["state"]] = int(r["cnt"])
+        return bucket_lineage
 
     # -- one round -----------------------------------------------------------
 
@@ -276,15 +276,19 @@ class CrawlScheduler:
             phases["dequeue"] = time.perf_counter() - t
             t = time.perf_counter()
 
+        # politeness/robots config rides the dequeued rows (budget-joined in
+        # dequeue) — the fetcher closure is O(1), no per-task host maps
         fetcher = StoreFetcher(
-            self.page_store_path, self._interval_map(),
-            round_start_ms=round_no * 10_000_000,
-            robots=self._robots_map(),
+            self.page_store_path, round_start_ms=round_no * 10_000_000
         )
         # explicit parallelism for the CPU-bound Python stage, sized from the
         # known dequeue count (~32 pages/task floor, capped at n_partitions)
         fetch_parts = max(1, min(self.n_partitions, n_dq // 32 + 1))
-        fetched = fetch_batch(dq.drop("round", "seq"), fetcher, fetch_parts).cache()
+        fetched = (
+            fetch_batch(dq.drop("round", "seq"), fetcher, fetch_parts)
+            .drop("min_interval_ms", "robots_disallow")
+            .cache()
+        )
         # golden ordering log + per-fetch audit in ONE append. seq was
         # assigned at dequeue time, so the ordering contract is a pure
         # function of the dequeue decision, independent of fetch outcome.
@@ -323,40 +327,48 @@ class CrawlScheduler:
                 phases["chains:enq_extra"] = time.perf_counter() - t_enq
                 t = time.perf_counter()
 
-        # per-partition lineage, updated INCREMENTALLY: a dirty bucket's delta
-        # carries all of its hosts' rows, so prior entries for dirty-bucket
-        # hosts are replaced wholesale and clean buckets keep theirs — no
-        # full-frontier scan (O(dirty buckets) like the write itself).
-        delta_rows = delta.groupBy("host", "state").count().collect()
+        # lineage, updated INCREMENTALLY: a dirty bucket's delta carries all
+        # of its hosts' rows, so dirty buckets are replaced wholesale and
+        # clean buckets inherit — no full-frontier scan (O(dirty buckets)
+        # like the write itself). The HOST-level breakdown goes to the store
+        # `lineage` table (dirty-bucket manifest commit); the checkpoint
+        # keeps only per-BUCKET per-state counters, so the manifest and the
+        # driver collect are O(buckets) regardless of host cardinality.
+        lin_rows = delta.groupBy(
+            "host", "state", host_bucket().alias("_bucket")
+        ).agg(F.count(F.lit(1)).alias("url_cnt"))
+        if ckpt.lineage_version >= 0:
+            self.store.write_lineage_delta(
+                lin_rows.drop("_bucket"), round_no, ckpt.lineage_version, self.n_partitions
+            )
+        else:
+            self.store.write_lineage(lin_rows.drop("_bucket"), round_no, self.n_partitions)
+        bucket_rows = (
+            lin_rows.groupBy("_bucket", "state").agg(F.sum("url_cnt").alias("cnt")).collect()
+        )
         delta.unpersist()
-        lineage: dict[str, dict[str, int]] = {
-            h: dict(v)
-            for h, v in ckpt.partition_lineage.items()
-            if host_bucket_py(h) not in dirty_buckets
+        bucket_lineage: dict[str, dict[str, int]] = {
+            b: dict(v)
+            for b, v in ckpt.bucket_lineage.items()
+            if int(b) not in dirty_buckets
         }
-        for r in delta_rows:
-            lineage.setdefault(r["host"], {})[r["state"]] = r["count"]
+        for r in bucket_rows:
+            bucket_lineage.setdefault(str(r["_bucket"]), {})[r["state"]] = int(r["cnt"])
 
         counters = dict(ckpt.counters)
         counters["pages_fetched"] = counters.get("pages_fetched", 0) + n_dq
         counters["urls_enqueued"] = counters.get("urls_enqueued", 0) + n_new
         counters["cards_parsed"] = counters.get("cards_parsed", 0) + n_cards
 
-        new_ckpt = Checkpoint(
-            round=round_no,
-            frontier_version=round_no,
-            apartments_version=apt_version,
-            bloom_versions=bloom_versions,
-            appended_rounds=ckpt.appended_rounds + [round_no],
-            partition_lineage=lineage,
-            counters=counters,
-        )
-        self.store.write_checkpoint(new_ckpt)
         # queryable per-round progress row (entry point B — the reference's
         # status surface, cli/status.go:473-498 / masterproj.go:223-238):
         # dequeue/new/cards counts + global frontier state totals + wall.
+        # Written BEFORE the checkpoint so the atomic manifest commit covers
+        # it like every other per-round table (a crash between the two can
+        # only lose an uncommitted round, never commit a round whose rounds
+        # row is missing).
         state_totals: dict[str, int] = {}
-        for states in lineage.values():
+        for states in bucket_lineage.values():
             for s, c in states.items():
                 state_totals[s] = state_totals.get(s, 0) + c
         self.store.append(
@@ -373,6 +385,17 @@ class CrawlScheduler:
             ),
             round_no,
         )
+        new_ckpt = Checkpoint(
+            round=round_no,
+            frontier_version=round_no,
+            apartments_version=apt_version,
+            bloom_versions=bloom_versions,
+            appended_rounds=ckpt.appended_rounds + [round_no],
+            bucket_lineage=bucket_lineage,
+            lineage_version=round_no,
+            counters=counters,
+        )
+        self.store.write_checkpoint(new_ckpt)
         for df in (dq_raw, dq, fetched, parsed):
             df.unpersist()
         if phase_log:
@@ -656,12 +679,15 @@ class CrawlScheduler:
         cand = prepare_candidates(seeds, self.budget, round_no=base)
         self.store.write_frontier(cand, base, self.n_partitions)
         self.store.write_bloom(self.bloom.build(cand, version=base), base)
+        bucket_lineage = self._seed_lineage(cand, version=base)
         new_ckpt = Checkpoint(
             round=base,
             frontier_version=base,
             apartments_version=ckpt.apartments_version,
             bloom_versions=[base],
             appended_rounds=ckpt.appended_rounds,
+            bucket_lineage=bucket_lineage,
+            lineage_version=base,
             counters=ckpt.counters,
         )
         self.store.write_checkpoint(new_ckpt)

@@ -44,12 +44,36 @@ def crawl_status(
             {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.asDict().items()}
             for r in sorted(rounds_df.collect(), key=lambda r: r["round"])
         ]
-    frontier = store.read_frontier(ckpt.frontier_version)
-    out["frontier_states"] = {
-        r["state"]: r["count"]
-        for r in frontier.groupBy("state").count().collect()
-    }
+    # state totals from the lineage table (host, state, url_cnt) — an
+    # O(hosts)-row scan instead of the O(urls) frontier scan; the legacy
+    # fallback reads the frontier for stores written before the table existed
+    if ckpt.lineage_version >= 0:
+        import pyspark.sql.functions as F
+
+        lin = store.read_lineage(ckpt.lineage_version)
+        out["frontier_states"] = {
+            r["state"]: int(r["cnt"])
+            for r in lin.groupBy("state").agg(F.sum("url_cnt").alias("cnt")).collect()
+        }
+        out["n_hosts"] = lin.select("host").distinct().count()
+    else:
+        frontier = store.read_frontier(ckpt.frontier_version)
+        out["frontier_states"] = {
+            r["state"]: r["count"]
+            for r in frontier.groupBy("state").count().collect()
+        }
     return out
+
+
+def host_lineage(spark: SparkSession, workdir: str) -> Any:
+    """The committed host-level frontier-state breakdown as a DataFrame
+    (host, state, url_cnt) — the queryable replacement for the round-2
+    checkpoint-JSON host map."""
+    store = FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None or ckpt.lineage_version < 0:
+        raise FileNotFoundError(f"no committed lineage table under {workdir}")
+    return store.read_lineage(ckpt.lineage_version)
 
 
 def main(argv: list[str] | None = None) -> int:

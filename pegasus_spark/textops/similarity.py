@@ -153,6 +153,85 @@ def ann_topk(
 
 
 # ---------------------------------------------------------------------------
+# md5-derived Rademacher hyperplane ANN — deterministic, SQL-expressible
+# ---------------------------------------------------------------------------
+
+def md5_plane_signs(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) hyperplane matrix: sign(d, p) = +1 iff
+    the 60-bit integer from md5(f"{d}_{p}") is odd. Sign random projections
+    are a standard LSH family for cosine (Achlioptas-style sparse/sign
+    projections), and md5-derived parity makes the matrix reproducible by
+    the DuckDB oracle (('0x'||substr(md5(d||'_'||p),1,15))::BIGINT % 2) —
+    the mergesort md5-RNG discipline applied to ANN."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{d}_{p}".encode()).hexdigest()[:15], 16) % 2 == 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def md5_hyperplane_bucket(vec_col: str, dim: int, n_planes: int):
+    """Bucket column: bit p = 1 iff round(vec · plane_p, 4) > 0. The plane
+    rows are literal arrays (computed once on the driver — the md5s never
+    evaluate per row), the projection is the element-sequential _dot fold
+    both engines share, and the 4dp rounding keeps cross-engine float ulps
+    from flipping a bit at the hyperplane boundary."""
+    signs = md5_plane_signs(dim, n_planes)
+    b = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(s) for s in signs[p]]))
+        b = b + F.when(
+            F.round(proj, 4) > 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return b
+
+
+def ann_topk_md5(
+    df: DataFrame, query_vec_id: int, k: int = 10, dim: int = 64,
+    n_planes: int = 8, probe_hamming: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with the md5-derived Rademacher planes: bucket every
+    vector (narrow projection), multi-probe buckets within ``probe_hamming``
+    bit flips of the query's bucket, brute-force cosine only on the probed
+    rows. Fully deterministic AND SQL-expressible, so — unlike the
+    seeded-Gaussian ``ann_topk`` — the DuckDB oracle runs the same algorithm
+    and the driver gate value-hashes it. At scale the bucket column computes
+    per-row with zero shuffle; candidate selection is one broadcast of the
+    single query bucket. The Gaussian ``ann_topk`` remains the production
+    alternative where numpy matmul throughput matters more than parity."""
+    b = df.select(id_col, vec_col).withColumn(
+        "bucket", md5_hyperplane_bucket(vec_col, dim, n_planes)
+    )
+    qb = b.filter(F.col(id_col) == query_vec_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        b.crossJoin(F.broadcast(qb))
+        .filter(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= probe_hamming
+        )
+        .filter(F.col(id_col) != query_vec_id)
+        .select(id_col, vec_col)
+    )
+    # query vector from the BASE table: a 1-row pushed-filter scan, not a
+    # re-derivation of the bucket subtree (the ivf_topk discipline)
+    q = df.filter(F.col(id_col) == query_vec_id).select(vec_col)
+    return (
+        with_cosine_to(cand, q, vec_col)
+        .select(id_col, "cos")
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse-quantize to cells, probe nearest cells
 # ---------------------------------------------------------------------------
 

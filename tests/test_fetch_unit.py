@@ -8,7 +8,10 @@ import pandas as pd
 from pegasus_spark.crawler.fetch import STATUS_ROBOTS, _robots_disallowed
 
 
-def _pdf():
+def _pdf(robots: dict[str, list[str]] | None = None, interval: int = 10):
+    """Batch rows carry their politeness config (min_interval_ms,
+    robots_disallow) — the dequeue-join contract."""
+    hosts = ["h0.test", "h0.test", "h1.test", "h1.test"]
     return pd.DataFrame(
         {
             "url": [
@@ -17,9 +20,11 @@ def _pdf():
                 "https://h1.test/private/x/",
                 "https://h1.test/ok/",
             ],
-            "host": ["h0.test", "h0.test", "h1.test", "h1.test"],
+            "host": hosts,
             "priority": [1, 1, 1, 1],
             "url_hash64": [1, 2, 3, 4],
+            "min_interval_ms": [interval] * 4,
+            "robots_disallow": [(robots or {}).get(h) for h in hosts],
         }
     )
 
@@ -47,9 +52,9 @@ def test_store_fetcher_blocks_in_batch(tmp_path):
                   "body": ["BODY-A", "SECRET"]}),
         store,
     )
-    f = StoreFetcher(store, {"h0.test": 10}, round_start_ms=0,
-                     robots={"h0.test": ["/private/"]})
-    out = f(_pdf()[_pdf()["host"] == "h0.test"]).set_index("url")
+    f = StoreFetcher(store, round_start_ms=0)
+    pdf = _pdf(robots={"h0.test": ["/private/"]})
+    out = f(pdf[pdf["host"] == "h0.test"]).set_index("url")
     assert out.loc["https://h0.test/ershoufang/a/", "status"] == 200
     assert out.loc["https://h0.test/private/x/", "status"] == STATUS_ROBOTS
     # the disallowed row's body was never read
@@ -92,7 +97,7 @@ def test_store_fetcher_live_robots_txt(tmp_path):
         {"url": ["https://h9.test/ok/", "https://h9.test/private/x/"],
          "host": ["h9.test"] * 2, "priority": [1, 1], "url_hash64": [1, 2]}
     )
-    out = StoreFetcher(store, {"h9.test": 10}, 0, robots=None)(pdf).set_index("url")
+    out = StoreFetcher(store, 0)(pdf).set_index("url")
     assert out.loc["https://h9.test/ok/", "status"] == 200
     assert out.loc["https://h9.test/private/x/", "status"] == STATUS_ROBOTS
 
@@ -139,6 +144,7 @@ def test_http_fetcher_against_local_server():
     try:
         host = f"127.0.0.1:{port}"
         dead = "127.0.0.1:1"  # closed port → connection refused
+        hosts = [host, host, host, host, dead]
         pdf = pd.DataFrame(
             {
                 "url": [
@@ -148,14 +154,14 @@ def test_http_fetcher_against_local_server():
                     f"http://{host}/private/x/",
                     f"http://{dead}/a/",
                 ],
-                "host": [host, host, host, host, dead],
+                "host": hosts,
                 "priority": [5, 4, 3, 2, 1],
                 "url_hash64": [1, 2, 3, 4, 5],
+                "min_interval_ms": [150, 150, 150, 150, 0],
+                "robots_disallow": [["/private/"] if h == host else None for h in hosts],
             }
         )
-        fetcher = HttpFetcher(
-            {host: 150, dead: 0}, timeout_s=2.0, robots={host: ["/private/"]}
-        )
+        fetcher = HttpFetcher(timeout_s=2.0)
         t0 = time.monotonic()
         out = fetcher(pdf).set_index("url")
         wall = time.monotonic() - t0

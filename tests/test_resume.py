@@ -90,8 +90,13 @@ def test_partition_count_invariance(spark, fixture_dir, tmp_path_factory):
 
 
 def test_checkpoint_lineage_fields(spark, fixture_dir, tmp_path_factory):
-    """Per-partition lineage (north_rule): frontier state per host, bloom
-    shard versions, fetch counters all present in the manifest."""
+    """Per-partition lineage (north_rule): per-BUCKET frontier-state counters
+    in the manifest (O(buckets), host-cardinality-independent), the host
+    breakdown in the store's lineage table, bloom shard versions and fetch
+    counters in the manifest — and the two lineage levels reconcile with
+    each other and the frontier itself."""
+    from pegasus_spark.crawler.frontier import N_FRONTIER_BUCKETS, host_bucket_py
+
     spec, fx = fixture_dir
     w = str(tmp_path_factory.mktemp("wl"))
     s = _mk(spark, spec, fx, w)
@@ -101,9 +106,24 @@ def test_checkpoint_lineage_fields(spark, fixture_dir, tmp_path_factory):
     assert ckpt.bloom_versions, "bloom shard versions tracked"
     assert ckpt.counters["pages_fetched"] > 0
     assert ckpt.counters["urls_enqueued"] > 0
-    for host, states in ckpt.partition_lineage.items():
-        assert host.endswith(".lianjia.test")
+    # checkpoint holds bucket-level counters only
+    assert ckpt.lineage_version == ckpt.round
+    for bucket, states in ckpt.bucket_lineage.items():
+        assert 0 <= int(bucket) < N_FRONTIER_BUCKETS
         assert sum(states.values()) > 0
+    # host breakdown lives in the store table and reconciles exactly
+    lin = s.store.read_lineage(ckpt.lineage_version).toPandas()
+    assert lin["host"].str.endswith(".lianjia.test").all()
+    got_buckets: dict[str, dict[str, int]] = {}
+    for r in lin.itertuples():
+        b = str(host_bucket_py(r.host))
+        got_buckets.setdefault(b, {})
+        got_buckets[b][r.state] = got_buckets[b].get(r.state, 0) + int(r.url_cnt)
+    assert got_buckets == ckpt.bucket_lineage
+    # and with the frontier's actual states
+    frontier = s.store.read_frontier(ckpt.frontier_version)
+    want = {r["state"]: r["count"] for r in frontier.groupBy("state").count().collect()}
+    assert lin.groupby("state")["url_cnt"].sum().to_dict() == want
 
 
 def test_scalable_seq_matches_window_seq(spark):

@@ -99,6 +99,27 @@ class TestANN:
         )
         assert probed < emb.count()
 
+    def test_md5_variant_recall_and_pruning(self, spark, sf_dir):
+        """The deterministic (oracle-gated) md5-Rademacher ANN must hold the
+        same recall bar as the Gaussian path and genuinely prune."""
+        from pegasus_spark.textops.similarity import (
+            ann_topk_md5,
+            md5_hyperplane_bucket,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()]
+        approx = [r["vec_id"] for r in ann_topk_md5(emb, 0, k=10, dim=64).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.6, f"md5-ANN recall {recall} too low"
+        bl = emb.withColumn("bucket", md5_hyperplane_bucket("embedding", 64, 8))
+        qb = bl.filter("vec_id = 0").collect()[0]["bucket"]
+        probed = (
+            bl.withColumn("hd", F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))))
+            .filter("hd <= 4").count()
+        )
+        assert probed < emb.count()
+
 
 class TestWordGrams:
     def test_matches_python_reference_on_edge_cases(self, spark):
