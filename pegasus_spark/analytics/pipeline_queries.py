@@ -261,6 +261,131 @@ ORDER BY v.doc_id
 """
 
 
+def q_cross_modal_clusters(spark, sf_dir):
+    """The dedup ENDGAME: one connected-components pass over the union of
+    ALL near-dup evidence — minhash (shingle Jaccard), simhash (token
+    Hamming), and embedding sign-LSH cosine — so a pair caught by any
+    detector lands in the same cluster and keeper-selection
+    (cluster_id == doc_id) dedups across modalities transitively. Embedding
+    ids map 1:1 onto doc ids in the synthetic tables; edges are
+    semi-joined to the document vertex set so foreign ids cannot enter the
+    graph. Scale shape: each evidence source is already a bucketed equality
+    join; the union adds no new shuffle class, and the CC machinery is the
+    proven min-label-propagation + pointer-jumping loop."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    mh = D.minhash_near_dups(
+        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
+    ).select("id_a", "id_b")
+    sh = D.simhash_near_dups(docs, max_hamming=3).select("id_a", "id_b")
+    ep = S.embedding_near_dup_pairs(emb, tau=0.25, n_bits=10).select("id_a", "id_b")
+    ids = docs.select("doc_id")
+    pairs = (
+        mh.unionByName(sh).unionByName(ep)
+        .join(ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        .distinct()
+    )
+    return D.near_dup_clusters(docs, pairs).orderBy("doc_id")
+
+
+ORACLE_CROSS_MODAL_CLUSTERS = r"""
+WITH RECURSIVE t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+-- minhash evidence (identical pipeline to the near_dup_clusters oracle)
+mh_pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+mh_sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM mh_pos),
+mh_hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM mh_sh)
+  GROUP BY doc_id, h
+),
+mh_sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM mh_hx GROUP BY doc_id
+),
+mh_bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM mh_sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh_sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh_sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh_sig
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh_bands a JOIN mh_bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+mh_p AS (
+  SELECT id_a, id_b
+  FROM mh_cand c JOIN mh_sig sa ON sa.doc_id = c.id_a JOIN mh_sig sb ON sb.doc_id = c.id_b
+  WHERE (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) >= 4
+),
+-- simhash evidence (identical pipeline to the simhash_near_dup oracle)
+sh_tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(tt, '\s+')) AS tok FROM t
+),
+sh_h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM sh_tok),
+sh_bits AS (
+  SELECT doc_id, b, SUM(((hv >> b) & 1) * 2 - 1) AS s
+  FROM (SELECT doc_id, hv, unnest(generate_series(0, 59)) AS b FROM sh_h)
+  GROUP BY doc_id, b
+),
+sh_sh AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM sh_bits GROUP BY doc_id
+),
+sh_chunked AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
+  FROM (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS c FROM sh_sh)
+),
+sh_p AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sh_a, b.simhash AS sh_b
+    FROM sh_chunked a JOIN sh_chunked b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+  ) WHERE bit_count(xor(sh_a, sh_b)) <= 3
+),
+-- embedding evidence (identical pipeline to the embedding_near_dup oracle)
+em_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+em_b AS (
+  SELECT vec_id, v,
+    (SELECT SUM(CASE WHEN v[2*j+1] > v[2*j+2] THEN (1::BIGINT << j) ELSE 0 END)
+     FROM unnest(generate_series(0, 9)) AS tt(j)) AS bucket
+  FROM em_e
+),
+em_p AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM em_b a JOIN em_b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE round(list_dot_product(a.v, b2.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.25
+    AND a.vec_id IN (SELECT doc_id FROM documents)
+    AND b2.vec_id IN (SELECT doc_id FROM documents)
+),
+allp AS (
+  SELECT id_a, id_b FROM mh_p
+  UNION SELECT id_a, id_b FROM sh_p
+  UNION SELECT id_a, id_b FROM em_p
+),
+e AS (SELECT id_a AS s, id_b AS d FROM allp UNION ALL SELECT id_b, id_a FROM allp),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+)
+SELECT v.doc_id,
+       CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+GROUP BY v.doc_id
+ORDER BY v.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -702,6 +827,7 @@ PIPELINE_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
     "near_dup_clusters": q_near_dup_clusters,
+    "cross_modal_clusters": q_cross_modal_clusters,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -724,6 +850,7 @@ PIPELINE_ORACLES = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
     "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
+    "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
     "simhash": ORACLE_SIMHASH,
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -365,11 +365,23 @@ def ngram_jaccard_pairs(
     Shape notes (measured, sf0.1): grams are replaced by their xxhash64
     IMMEDIATELY inside the explode, so the distinct, the df-cut, and the pair
     join all move 8-byte longs instead of ~20-char strings (~30% faster, and
-    at 100 TB the shuffle shrinks by the same ratio; a 64-bit collision
-    merging two grams is ~p<1e-10 and deterministic). Streaming explode →
+    at 100 TB the shuffle shrinks by the same ratio). Collision risk is
+    BIRTHDAY-scaled over distinct grams, not per-lookup: two of G distinct
+    grams collide with p ≈ G²/2⁶⁵ — negligible at this corpus (G ~ 10⁶ ⇒
+    ~10⁻⁷), and at a 10^12-distinct-gram corpus (~2.7% aggregate) the hash
+    widens to 128-bit (two xxhash64 seeds) with the same plan; a collision
+    is deterministic either way, merging two grams on the Spark side only
+    (the DuckDB oracle joins raw gram strings). Streaming explode →
     hash-distinct also beats an array_distinct(transform(...)) build by ~3×,
     and the deduped postings materialize once (localCheckpoint) for all four
-    consumers — counts, df-scan, and both join sides."""
+    consumers — counts, df-scan, and both join sides. The round-3 tune
+    (pre-repartition on ``id_col`` so the gram build parallelizes instead of
+    running in the single scan task) took sf0.1 warm from 7.1 s to ~4.0 s;
+    the residual floor is the pair join itself — 1.13M candidate pairs
+    survive the df-cut at sf0.1 (measured), and the two-sided equality join
+    beats a groupBy+in-bucket pair expansion (interpreted lambda) by ~1.5×,
+    so ~2 s of the total is irreducible candidate-verification volume, not
+    plan overhead."""
     # materialize the deduped (doc, gram-hash) postings ONCE: four consumers
     # read it (per-doc counts, the hot-gram df scan, and both pair-join
     # sides) and re-deriving the explode+distinct for each measurably
@@ -382,8 +394,14 @@ def ngram_jaccard_pairs(
     # returned DataFrame is released, so storage is bounded by live results.
     from pegasus_spark.textops.text import word_grams
 
+    # pin the CPU-bound tokenize+gram+hash stage's parallelism BEFORE the
+    # explode (single-file documents tables scan as one partition — the same
+    # rule minhash_signatures and simhash apply); without this the entire
+    # gram build runs in one task and dominates the operator
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, F.col(text_col)).repartition(par, id_col)
     grams = (
-        df.select(id_col, F.explode(word_grams(text_col, n)).alias("g"))
+        src.select(id_col, F.explode(word_grams(text_col, n)).alias("g"))
         .select(id_col, F.xxhash64("g").alias("gh"))
         .distinct()
         .localCheckpoint(eager=True)
