@@ -44,3 +44,85 @@ def dump_json(df: DataFrame, path: str) -> int:
     n = df.count()
     df.write.mode("overwrite").json(path)
     return n
+
+
+def export_archive(
+    dfs: dict[str, DataFrame], tgz_path: str, tmp_dir: str | None = None
+) -> dict[str, int]:
+    """Bundle tables into one ``.tgz`` holding ``<table>.csv`` per table —
+    the reference's export packaging (export.py:31-44: per-table CSV dump →
+    ``tarfile.open(..., "w:gz")``). Returns the per-table exported counts
+    (the manifest ``import_archive`` verifies against).
+
+    The single-file-per-table assembly runs on the driver, which is the
+    right tool-shape here: the reference's ``SELECT INTO OUTFILE`` is
+    equally single-node, and an operational backup bundle is consumed as
+    one artifact. Cluster-scale exports keep ``export_csv``'s partitioned
+    directory layout instead."""
+    import glob
+    import os
+    import shutil
+    import tarfile
+    import tempfile
+
+    counts: dict[str, int] = {}
+    tmp = tempfile.mkdtemp(dir=tmp_dir)
+    try:
+        with tarfile.open(tgz_path, "w:gz") as tf:
+            for name, df in sorted(dfs.items()):
+                d = os.path.join(tmp, name)
+                counts[name] = export_csv(df.coalesce(1), d)
+                parts = sorted(glob.glob(os.path.join(d, "part-*.csv")))
+                csv_path = os.path.join(tmp, name + ".csv")
+                with open(csv_path, "wb") as out:
+                    for i, p in enumerate(parts):
+                        with open(p, "rb") as fh:
+                            if i > 0:
+                                fh.readline()  # drop the repeated header
+                            shutil.copyfileobj(fh, out)
+                tf.add(csv_path, arcname=name + ".csv")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return counts
+
+
+def import_archive(
+    spark: SparkSession,
+    tgz_path: str,
+    schemas: dict[str, StructType],
+    expected_rows: dict[str, int] | None = None,
+    extract_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Unpack an ``export_archive`` bundle and read every table back with its
+    explicit schema, verifying row counts per table (import.py:25-37's
+    lines-vs-COUNT(*) check — we raise instead of printing ???). The
+    extracted CSVs stay on disk under ``extract_dir`` (default:
+    ``<tgz_path>.extracted``) because the returned DataFrames read them
+    lazily; callers delete the directory when done with the DataFrames."""
+    import os
+    import tarfile
+
+    extract_dir = extract_dir or tgz_path + ".extracted"
+    os.makedirs(extract_dir, exist_ok=True)
+    with tarfile.open(tgz_path, "r:gz") as tf:
+        try:
+            tf.extractall(extract_dir, filter="data")
+        except TypeError:  # Python < 3.12 tarfile has no filter kwarg
+            tf.extractall(extract_dir)
+    out: dict[str, DataFrame] = {}
+    for fname in sorted(os.listdir(extract_dir)):
+        if not fname.endswith(".csv"):
+            continue
+        name = fname[: -len(".csv")]
+        if name not in schemas:
+            raise ValueError(f"archive table {name!r} has no schema provided")
+        out[name] = import_csv(
+            spark,
+            os.path.join(extract_dir, fname),
+            schemas[name],
+            (expected_rows or {}).get(name),
+        )
+    missing = set(schemas) - set(out)
+    if missing:
+        raise ValueError(f"archive is missing tables: {sorted(missing)}")
+    return out

@@ -5,7 +5,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-from pegasus_spark.io_utils import dump_json, export_csv, import_csv
+from pegasus_spark.io_utils import (
+    dump_json,
+    export_archive,
+    export_csv,
+    import_archive,
+    import_csv,
+)
 
 SCHEMA = StructType(
     [StructField("aid", StringType()), StructField("price", IntegerType())]
@@ -33,3 +39,47 @@ def test_json_dump(spark, tmp_path):
     df = spark.createDataFrame([("a1", 1)], SCHEMA)
     assert dump_json(df, str(tmp_path / "j")) == 1
     assert spark.read.json(str(tmp_path / "j")).count() == 1
+
+
+SCHEMA2 = StructType(
+    [StructField("region", StringType()), StructField("cnt", IntegerType())]
+)
+
+
+def test_archive_roundtrip(spark, tmp_path):
+    """Reference export/import packaging fidelity: per-table CSVs in ONE
+    .tgz, counts verified on import (export.py:31-44, import.py:25-37)."""
+    import tarfile
+
+    dfs = {
+        "apartments": spark.createDataFrame([("a1", 100), ("a2", 200)], SCHEMA),
+        "regions": spark.createDataFrame([("pudong", 2)], SCHEMA2),
+    }
+    tgz = str(tmp_path / "data.tgz")
+    counts = export_archive(dfs, tgz)
+    assert counts == {"apartments": 2, "regions": 1}
+    with tarfile.open(tgz, "r:gz") as tf:
+        assert sorted(tf.getnames()) == ["apartments.csv", "regions.csv"]
+    back = import_archive(
+        spark, tgz, {"apartments": SCHEMA, "regions": SCHEMA2}, expected_rows=counts
+    )
+    assert sorted(
+        (r["aid"], r["price"]) for r in back["apartments"].collect()
+    ) == [("a1", 100), ("a2", 200)]
+    assert back["regions"].collect()[0]["region"] == "pudong"
+
+
+def test_archive_count_mismatch_raises(spark, tmp_path):
+    dfs = {"apartments": spark.createDataFrame([("a1", 100)], SCHEMA)}
+    tgz = str(tmp_path / "data.tgz")
+    export_archive(dfs, tgz)
+    with pytest.raises(ValueError, match="round-trip mismatch"):
+        import_archive(spark, tgz, {"apartments": SCHEMA}, expected_rows={"apartments": 5})
+
+
+def test_archive_missing_table_raises(spark, tmp_path):
+    dfs = {"apartments": spark.createDataFrame([("a1", 100)], SCHEMA)}
+    tgz = str(tmp_path / "data.tgz")
+    export_archive(dfs, tgz)
+    with pytest.raises(ValueError, match="missing tables"):
+        import_archive(spark, tgz, {"apartments": SCHEMA, "regions": SCHEMA2})
