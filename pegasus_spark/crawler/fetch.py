@@ -146,8 +146,10 @@ def _row_robots(pdf: pd.DataFrame) -> dict[str, list[str]]:
     dequeue): host → prefixes. Constant per host by construction."""
     out: dict[str, list[str]] = {}
     if "robots_disallow" in pdf.columns:
-        for h, rd in zip(pdf["host"], pdf["robots_disallow"]):
-            if h not in out and rd is not None and len(rd):
+        # one row per distinct host (vectorized), not a per-row batch loop
+        firsts = pdf[["host", "robots_disallow"]].drop_duplicates(subset=["host"])
+        for h, rd in zip(firsts["host"], firsts["robots_disallow"]):
+            if rd is not None and len(rd):
                 out[h] = [str(p) for p in rd]
     return out
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields as dc_fields
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -307,7 +307,14 @@ class FrontierStore:
         if not os.path.exists(self.manifest_path):
             return None
         with open(self.manifest_path) as f:
-            return Checkpoint(**json.load(f))
+            raw = json.load(f)
+        # forward-compatible load: manifests written by earlier layouts may
+        # carry retired keys (e.g. the round-2 host-level partition_lineage);
+        # unknown keys are dropped so the dataclass defaults apply —
+        # lineage_version stays -1 and the scheduler/status legacy fallbacks
+        # take over (scheduler.run upgrades the store on next resume).
+        known = {f.name for f in dc_fields(Checkpoint)}
+        return Checkpoint(**{k: v for k, v in raw.items() if k in known})
 
     def write_checkpoint(self, ckpt: Checkpoint) -> None:
         tmp = self.manifest_path + ".tmp"

@@ -239,15 +239,20 @@ class CrawlScheduler:
     def _seed_lineage(self, cand: DataFrame, version: int) -> dict:
         """Full lineage write at (re-)seed time; returns the per-bucket
         state counters for the checkpoint (seed cardinality — tiny)."""
+        # cache the tiny (host, state) aggregate: the table write and the
+        # bucket-counter collect both consume it, and without the cache each
+        # re-evaluates the full upstream candidate plan (window dedup +
+        # robots marking) from scratch.
         lin_rows = cand.groupBy(
             "host", "state", host_bucket().alias("_bucket")
-        ).agg(F.count(F.lit(1)).alias("url_cnt"))
+        ).agg(F.count(F.lit(1)).alias("url_cnt")).cache()
         self.store.write_lineage(lin_rows.drop("_bucket"), version, self.n_partitions)
         bucket_lineage: dict[str, dict[str, int]] = {}
         for r in lin_rows.groupBy("_bucket", "state").agg(
             F.sum("url_cnt").alias("cnt")
         ).collect():
             bucket_lineage.setdefault(str(r["_bucket"]), {})[r["state"]] = int(r["cnt"])
+        lin_rows.unpersist()
         return bucket_lineage
 
     # -- one round -----------------------------------------------------------
@@ -336,7 +341,7 @@ class CrawlScheduler:
         # driver collect are O(buckets) regardless of host cardinality.
         lin_rows = delta.groupBy(
             "host", "state", host_bucket().alias("_bucket")
-        ).agg(F.count(F.lit(1)).alias("url_cnt"))
+        ).agg(F.count(F.lit(1)).alias("url_cnt")).cache()
         if ckpt.lineage_version >= 0:
             self.store.write_lineage_delta(
                 lin_rows.drop("_bucket"), round_no, ckpt.lineage_version, self.n_partitions
@@ -346,6 +351,7 @@ class CrawlScheduler:
         bucket_rows = (
             lin_rows.groupBy("_bucket", "state").agg(F.sum("url_cnt").alias("cnt")).collect()
         )
+        lin_rows.unpersist()
         delta.unpersist()
         bucket_lineage: dict[str, dict[str, int]] = {
             b: dict(v)
@@ -602,6 +608,18 @@ class CrawlScheduler:
         contract; see tests/test_resume.py."""
         t0 = time.perf_counter()
         ckpt = self.store.load_checkpoint() or self.bootstrap()
+        if ckpt.lineage_version < 0 and ckpt.frontier_version >= 0:
+            # legacy store (pre-lineage-table manifest): rebuild the lineage
+            # table and the per-bucket counters from the committed frontier
+            # once, and commit the upgraded manifest — subsequent rounds take
+            # the incremental path, and status.py stops needing its frontier
+            # fallback for this store.
+            bucket_lineage = self._seed_lineage(
+                self.store.read_frontier(ckpt.frontier_version), version=ckpt.round
+            )
+            ckpt.bucket_lineage = bucket_lineage
+            ckpt.lineage_version = ckpt.round
+            self.store.write_checkpoint(ckpt)
         start_ts = self.now_ts
         rounds = 0
         drained = False

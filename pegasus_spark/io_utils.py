@@ -105,12 +105,15 @@ def import_archive(
     extract_dir = extract_dir or tgz_path + ".extracted"
     os.makedirs(extract_dir, exist_ok=True)
     with tarfile.open(tgz_path, "r:gz") as tf:
+        # the member list, not a directory listing, defines the table set —
+        # a reused extract_dir may hold stale files from an earlier archive
+        members = sorted(tf.getnames())
         try:
             tf.extractall(extract_dir, filter="data")
         except TypeError:  # Python < 3.12 tarfile has no filter kwarg
             tf.extractall(extract_dir)
     out: dict[str, DataFrame] = {}
-    for fname in sorted(os.listdir(extract_dir)):
+    for fname in members:
         if not fname.endswith(".csv"):
             continue
         name = fname[: -len(".csv")]

@@ -77,6 +77,26 @@ def test_archive_count_mismatch_raises(spark, tmp_path):
         import_archive(spark, tgz, {"apartments": SCHEMA}, expected_rows={"apartments": 5})
 
 
+def test_archive_reused_extract_dir_ignores_stale_files(spark, tmp_path):
+    """The archive's member list — not the extract dir's contents — defines
+    the table set: re-importing a rewritten tgz into the same default
+    extract_dir must not resurrect tables from the earlier archive."""
+    tgz = str(tmp_path / "data.tgz")
+    v1 = {
+        "apartments": spark.createDataFrame([("a1", 100)], SCHEMA),
+        "regions": spark.createDataFrame([("pudong", 1)], SCHEMA2),
+    }
+    export_archive(v1, tgz)
+    import_archive(spark, tgz, {"apartments": SCHEMA, "regions": SCHEMA2})
+    # v2 drops the regions table; the stale regions.csv stays on disk
+    export_archive({"apartments": spark.createDataFrame([("a2", 200)], SCHEMA)}, tgz)
+    with pytest.raises(ValueError, match="missing tables"):
+        import_archive(spark, tgz, {"apartments": SCHEMA, "regions": SCHEMA2})
+    back = import_archive(spark, tgz, {"apartments": SCHEMA})
+    assert sorted(back) == ["apartments"]
+    assert back["apartments"].collect()[0]["aid"] == "a2"
+
+
 def test_archive_missing_table_raises(spark, tmp_path):
     dfs = {"apartments": spark.createDataFrame([("a1", 100)], SCHEMA)}
     tgz = str(tmp_path / "data.tgz")

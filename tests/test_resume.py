@@ -126,6 +126,55 @@ def test_checkpoint_lineage_fields(spark, fixture_dir, tmp_path_factory):
     assert lin.groupby("state")["url_cnt"].sum().to_dict() == want
 
 
+def test_legacy_checkpoint_upgrades_on_resume(spark, fixture_dir, tmp_path_factory):
+    """A manifest written by the pre-lineage-table layout (host-level
+    partition_lineage key, no bucket_lineage/lineage_version) must still
+    load — unknown keys are dropped — and the next run() must rebuild the
+    lineage table + bucket counters from the committed frontier, then resume
+    to the same outputs as an uninterrupted crawl."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    spec, fx = fixture_dir
+    w1 = str(tmp_path_factory.mktemp("wleg_full"))
+    full = _mk(spark, spec, fx, w1)
+    full.run()
+
+    w2 = str(tmp_path_factory.mktemp("wleg"))
+    part = _mk(spark, spec, fx, w2)
+    part.run(max_rounds=2)
+    # rewrite the manifest into the round-2 legacy shape
+    mp = os.path.join(w2, "checkpoint.json")
+    with open(mp) as f:
+        raw = json.load(f)
+    raw["partition_lineage"] = {"h.lianjia.test": {"pending": 1}}  # retired key
+    raw.pop("bucket_lineage")
+    raw.pop("lineage_version")
+    with open(mp, "w") as f:
+        json.dump(raw, f)
+
+    resumed = _mk(spark, spec, fx, w2)
+    loaded = resumed.store.load_checkpoint()
+    assert loaded is not None and loaded.lineage_version == -1
+    resumed.run()
+    ckpt = resumed.store.load_checkpoint()
+    assert ckpt.lineage_version == ckpt.round
+    # the rebuilt lineage reconciles with the frontier
+    lin = resumed.store.read_lineage(ckpt.lineage_version)
+    got = {r["state"]: int(r["cnt"]) for r in
+           lin.groupBy("state").agg(F.sum("url_cnt").alias("cnt")).collect()}
+    frontier = resumed.store.read_frontier(ckpt.frontier_version)
+    want = {r["state"]: r["count"] for r in frontier.groupBy("state").count().collect()}
+    assert got == want
+    a1, l1, f1 = _outputs(full)
+    a2, l2, f2 = _outputs(resumed)
+    pd.testing.assert_frame_equal(a1, a2)
+    pd.testing.assert_frame_equal(l1, l2)
+    pd.testing.assert_frame_equal(f1, f2)
+
+
 def test_scalable_seq_matches_window_seq(spark):
     """The range-partitioned two-phase seq (large-batch path) must assign the
     EXACT same seq as the global-window path, and its plan must not contain a
