@@ -628,17 +628,35 @@ def q_decontaminate(spark, sf_dir):
     A per-row array_intersect against a broadcast eval array was measured 3×
     slower (it rebuilds the eval hash set per document); the broadcast hash
     join probes one shared table per partition. Output: contaminated doc_id
-    + how many distinct eval grams it shares."""
+    + how many distinct eval grams it shares.
+
+    Round-3 tune: the eval gram set is built from its OWN filtered rescan
+    (doc_id % 101 == 0 pushes into the scan; 1/101 of the corpus) instead of
+    a second evaluation of the shared gram subtree — the expensive
+    interpreted gram build over the full corpus now runs exactly once,
+    streamed straight into the broadcast-probe with nothing materialized
+    (the right shape at 100 TB, where checkpointing all corpus grams would
+    cost more than the tiny rescan). The corpus side is pre-repartitioned on
+    doc_id so the gram build parallelizes and the post-probe groupBy reuses
+    the partitioning."""
     from pegasus_spark.textops.text import word_grams
 
+    par = spark.sparkContext.defaultParallelism
     docs = _docs(spark, sf_dir)
-    g = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_grams("text", n=4))).alias("g")
+    eval_g = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(F.explode(F.array_distinct(word_grams("text", n=4))).alias("g"))
+        .distinct()
     )
-    eval_g = g.filter(F.col("doc_id") % 101 == 0).select("g").distinct()
+    g = (
+        docs.filter(F.col("doc_id") % 101 != 0)
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id", F.explode(F.array_distinct(word_grams("text", n=4))).alias("g")
+        )
+    )
     return (
-        g.filter(F.col("doc_id") % 101 != 0)
-        .join(F.broadcast(eval_g), "g")
+        g.join(F.broadcast(eval_g), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .orderBy("doc_id")
@@ -669,19 +687,30 @@ def q_doc_repetition(spark, sf_dir):
     count/count-distinct aggregate keyed by doc_id — measured ~35% faster
     than the narrow array_distinct form, which evaluates the interpreted
     higher-order gram builder twice per row (once for size, once for the
-    distinct); the doc_id shuffle carries two counters per doc after the
-    map-side partial."""
+    distinct). Round-3 tunes: (a) the CPU-bound gram build is pre-
+    repartitioned on doc_id (the simhash/ngram rule — a single-file
+    documents scan is ONE task, and the interpreted F.transform gram
+    builder serializes there; the groupBy then reuses that partitioning, so
+    the repartition is the only exchange in the plan); (b) the distinct
+    counts xxhash64(gram) bigints, not gram strings — same tradeoff
+    ngram_jaccard_pairs documents: a within-doc 64-bit collision (birthday
+    p ≈ n_grams²/2^65 per doc, ~1e-13 at 10³ grams/doc) would undercount
+    n_distinct by 1 vs the raw-string oracle; accepted for the 8-byte
+    hash-agg rows."""
     from pegasus_spark.textops.text import tokens_col, word_grams
 
+    par = spark.sparkContext.defaultParallelism
     docs = _docs(spark, sf_dir)
-    g = docs.filter(F.size(tokens_col("text")) >= 3).select(
-        "doc_id", F.explode(word_grams("text", n=3, clamp=False)).alias("g")
+    g = (
+        docs.filter(F.size(tokens_col("text")) >= 3)
+        .repartition(par, "doc_id")
+        .select("doc_id", F.explode(word_grams("text", n=3, clamp=False)).alias("g"))
     )
     return (
         g.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.countDistinct("g").cast("bigint").alias("n_distinct"),
+            F.countDistinct(F.xxhash64("g")).cast("bigint").alias("n_distinct"),
         )
         .withColumn(
             "rep_ratio",
