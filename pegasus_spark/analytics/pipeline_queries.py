@@ -14,7 +14,7 @@ deterministic tie-break columns on every LIMIT.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pegasus_spark.textops import dedup as D
 from pegasus_spark.textops import similarity as S
@@ -261,17 +261,16 @@ ORDER BY v.doc_id
 """
 
 
-def q_cross_modal_clusters(spark, sf_dir):
-    """The dedup ENDGAME: one connected-components pass over the union of
-    ALL near-dup evidence — minhash (shingle Jaccard), simhash (token
-    Hamming), and embedding sign-LSH cosine — so a pair caught by any
-    detector lands in the same cluster and keeper-selection
-    (cluster_id == doc_id) dedups across modalities transitively. Embedding
-    ids map 1:1 onto doc ids in the synthetic tables; edges are
-    semi-joined to the document vertex set so foreign ids cannot enter the
-    graph. Scale shape: each evidence source is already a bucketed equality
-    join; the union adds no new shuffle class, and the CC machinery is the
-    proven min-label-propagation + pointer-jumping loop."""
+def _cross_modal_cluster_df(spark, sf_dir):
+    """Shared by q_cross_modal_clusters and q_dedup_keepers: connected
+    components over the union of ALL near-dup evidence — minhash (shingle
+    Jaccard), simhash (token Hamming), and embedding sign-LSH cosine — so a
+    pair caught by any detector lands in the same cluster. Embedding ids map
+    1:1 onto doc ids in the synthetic tables; edges are semi-joined to the
+    document vertex set so foreign ids cannot enter the graph. Scale shape:
+    each evidence source is already a bucketed equality join; the union adds
+    no new shuffle class, and the CC machinery is the proven
+    min-label-propagation + pointer-jumping loop."""
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     mh = D.minhash_near_dups(
@@ -286,10 +285,52 @@ def q_cross_modal_clusters(spark, sf_dir):
         .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
         .distinct()
     )
-    return D.near_dup_clusters(docs, pairs).orderBy("doc_id")
+    return D.near_dup_clusters(docs, pairs)
 
 
-ORACLE_CROSS_MODAL_CLUSTERS = r"""
+def q_cross_modal_clusters(spark, sf_dir):
+    """The dedup ENDGAME: every doc labeled with the min doc id reachable
+    through the union of minhash + simhash + embedding near-dup evidence
+    (see _cross_modal_cluster_df for the scale argument)."""
+    return _cross_modal_cluster_df(spark, sf_dir).orderBy("doc_id")
+
+
+def q_dedup_keepers(spark, sf_dir):
+    """Keeper selection — the step that turns clusters into a deduped
+    corpus: within each cross-modal cluster keep the highest-quality doc
+    (the gated doc_quality score, tie-break lowest doc_id). Output marks
+    every doc with its cluster, the cluster's keeper, and whether it
+    survives; filtering is_keeper yields exactly one doc per duplicate
+    group across ALL modalities.
+
+    Parity discipline: the keeper argmax orders by the ROUNDED quality
+    (the same round(…,4) the doc_quality gate hashes), so Spark and DuckDB
+    order identical decimal values, never raw float expressions. Scale
+    shape: quality is a narrow per-row computation; the only new exchange
+    over the cluster build is one hash shuffle on cluster_id for the
+    first_value window — at 100 TB that is a shuffle of (doc_id, cluster_id,
+    quality) triples, not text."""
+    docs = _docs(spark, sf_dir)
+    clusters = _cross_modal_cluster_df(spark, sf_dir)
+    q = T.with_quality(docs).select("doc_id", "quality")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("keeper_id", F.first("doc_id").over(w))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "cluster_id", "keeper_id", "is_keeper")
+        .orderBy("doc_id")
+    )
+
+
+# Shared CTE body: cross-modal near-dup evidence (minhash ∪ simhash ∪
+# embedding sign-LSH) + transitive reachability. Used by both the
+# cross_modal_clusters and dedup_keepers oracles.
+_ORACLE_CROSS_MODAL_BODY = r"""
 WITH RECURSIVE t AS (SELECT doc_id, trim(text) AS tt FROM documents),
 -- minhash evidence (identical pipeline to the near_dup_clusters oracle)
 mh_pos AS (
@@ -377,12 +418,54 @@ reach(s, d) AS (
   SELECT s, d FROM e
   UNION
   SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
-)
+)"""
+
+ORACLE_CROSS_MODAL_CLUSTERS = _ORACLE_CROSS_MODAL_BODY + r"""
 SELECT v.doc_id,
        CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
 FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
 GROUP BY v.doc_id
 ORDER BY v.doc_id
+"""
+
+# Keeper selection: clusters + the gated doc_quality score; the keeper is
+# first_value per cluster ordered by (rounded quality DESC, doc_id ASC) —
+# identical decimal ordering on both engines.
+ORACLE_DEDUP_KEEPERS = _ORACLE_CROSS_MODAL_BODY + r""",
+clusters AS (
+  SELECT v.doc_id,
+         CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+  FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+  GROUP BY v.doc_id
+),
+tq AS (
+  SELECT doc_id, trim(text) AS qt,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+mq AS (
+  SELECT doc_id, length(qt) AS tlen, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS n_stop
+  FROM tq
+),
+qq AS (
+  SELECT doc_id,
+         round(least(n / 64.0, 1.0) * 0.5
+               + (1.0 - least(n_stop * 1.0 / n, 1.0)) * 0.3
+               + least(((tlen - (n - 1)) * 1.0 / n) / 8.0, 1.0) * 0.2, 4) AS quality
+  FROM mq
+)
+SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper
+FROM (
+  SELECT c.doc_id, c.cluster_id,
+         first_value(c.doc_id) OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY qq.quality DESC, c.doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS keeper_id
+  FROM clusters c JOIN qq ON qq.doc_id = c.doc_id
+)
+ORDER BY doc_id
 """
 
 
@@ -857,6 +940,7 @@ PIPELINE_QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "near_dup_clusters": q_near_dup_clusters,
     "cross_modal_clusters": q_cross_modal_clusters,
+    "dedup_keepers": q_dedup_keepers,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -880,6 +964,7 @@ PIPELINE_ORACLES = {
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
     "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
     "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
+    "dedup_keepers": ORACLE_DEDUP_KEEPERS,
     "simhash": ORACLE_SIMHASH,
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

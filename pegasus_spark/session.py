@@ -30,7 +30,10 @@ def get_spark(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) —
     the sandbox stand-in for a multi-executor cluster. On a real cluster the
-    caller passes ``master=None`` and lets spark-submit decide.
+    caller passes ``master="inherit"``: the builder then sets no master at
+    all and the one given to ``spark-submit --master`` flows through the
+    ``spark.master`` conf (scripts/run_crawl.py is the launch path that
+    exercises this, pinned by tests/test_submit.py).
     """
     # Executor Python workers must import this package even when the driver
     # was launched outside the repo (the cluster equivalent is
@@ -52,10 +55,11 @@ def get_spark(
         n = cpus if master.startswith("local") else 200
         shuffle_partitions = n
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalesce by SIZE, not default parallelism: with parallelismFirst

@@ -1,0 +1,136 @@
+"""spark-submit entry point: run (or resume) a crawl against a store.
+
+Replaces the reference's master-driven job launch
+(/root/reference/src/pegasus/master/mastermain.go, taskmgr HTTP dispatch):
+one driver script owns the whole round loop; executors are Spark's problem.
+
+Local sandbox (sanity run, builds a seeded synthetic fixture):
+
+    python scripts/run_crawl.py --store /tmp/crawl_store --fixture /tmp/fx
+
+Cluster (the north-rule launch path — `--master inherit` leaves the master
+to spark-submit; the zip ships the package to every executor):
+
+    python scripts/make_pyfiles.py
+    spark-submit --master <url> --deploy-mode client \
+        --py-files dist/pegasus_spark.zip \
+        scripts/run_crawl.py --master inherit \
+        --store hdfs:///pegasus/store --fixture hdfs:///pegasus/fixture
+
+Resume: rerunning with the same --store continues from the committed
+checkpoint manifest (crash-safe by the store's atomic-rename commit; see
+tests/test_resume.py) — the CLI itself takes no resume flag because resume
+is the default and only behavior when a checkpoint exists.
+
+Prints one JSON summary line (rounds, pages, urls, wall) on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--store", required=True, help="store root (checkpointed)")
+    ap.add_argument(
+        "--fixture",
+        required=True,
+        help="fixture dir with site_pages_r1.parquet + items_r1.parquet "
+        "(built deterministically if absent)",
+    )
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master; 'inherit' = leave to spark-submit (cluster mode), "
+        "default = local[$SPARK_GRAFT_CPUS]",
+    )
+    ap.add_argument("--max-rounds", type=int, default=0, help="0 = run to empty frontier")
+    ap.add_argument("--n-partitions", type=int, default=None)
+    ap.add_argument("--now-ts", type=int, default=1_700_000_000)
+    ap.add_argument(
+        "--scale",
+        default="small",
+        choices=["small", "large", "weak1", "weak4"],
+        help="fixture scale preset (benchmarks/crawl_bench.py SCALES)",
+    )
+    args = ap.parse_args()
+
+    from pegasus_spark.session import get_spark
+
+    spark = get_spark(app_name="pegasus_crawl", master=args.master)
+
+    from benchmarks.crawl_bench import SCALES
+    from pegasus_spark.crawler.fixtures import (
+        HOSTS,
+        ROOT_HOST,
+        budget_df,
+        make_site_spec,
+        write_fixture,
+    )
+    from pegasus_spark.crawler.scheduler import CrawlScheduler
+
+    p = SCALES[args.scale]
+    spec = make_site_spec(
+        n_districts=p["n_districts"],
+        regions_per_district=p["regions_per_district"],
+        pages_per_region_max=p["pages_per_region_max"],
+        image_dims=p["image_dims"],
+    )
+    for h in HOSTS:
+        spec.budget[h] = p["budget_hot"] if h == ROOT_HOST else p["budget_cold"]
+    marker = os.path.join(args.fixture, "DONE")
+    if not os.path.exists(marker):
+        os.makedirs(args.fixture, exist_ok=True)
+        write_fixture(spark, spec, args.fixture, round_no=1)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    kw = {}
+    if args.n_partitions is not None:
+        kw["n_partitions"] = args.n_partitions
+    sched = CrawlScheduler(
+        spark,
+        args.store,
+        page_store_path=f"{args.fixture}/site_pages_r1.parquet",
+        image_store_path=f"{args.fixture}/items_r1.parquet",
+        budget=budget_df(spark, spec),
+        seed_urls=[spec.root_url],
+        now_ts=args.now_ts,
+        **kw,
+    )
+    t0 = time.perf_counter()
+    ckpt = sched.store.load_checkpoint() or sched.bootstrap()
+    start_round = ckpt.round
+    rounds = 0
+    while True:
+        ckpt, info = sched.run_round(ckpt)
+        if info.get("dequeued", 0) == 0:
+            break
+        rounds += 1
+        if args.max_rounds and rounds >= args.max_rounds:
+            break
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "resumed_from_round": start_round,
+                "rounds_run": rounds,
+                "final_round": ckpt.round,
+                "pages_fetched": ckpt.counters.get("pages_fetched", 0),
+                "urls_enqueued": ckpt.counters.get("urls_enqueued", 0),
+                "wall_s": round(wall, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
