@@ -931,6 +931,104 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule filter (textops.text.with_gopher_rules):
+    per-rule boolean columns + the keep conjunction, so a pipeline audit can
+    see exactly which rule dropped a doc. Zero shuffle — pure per-row
+    projections fused into the parquet scan; at 100 TB this is a mapper."""
+    return (
+        T.with_gopher_rules(_docs(spark, sf_dir))
+        .select(
+            "doc_id", "n_tokens", "mean_word_len", "uniq_ratio",
+            "r_len", "r_mean_wlen", "r_stop", "r_uniq", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_GOPHER_RULES = r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n, length(tt) AS tlen,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS n_stop,
+         len(list_distinct(toks)) AS n_uniq
+  FROM t
+), r AS (
+  SELECT doc_id, n AS n_tokens, n_stop,
+         round((tlen - (n - 1)) * 1.0 / n, 4) AS mean_word_len,
+         round(n_uniq * 1.0 / n, 4) AS uniq_ratio
+  FROM m
+)
+SELECT doc_id, n_tokens, mean_word_len, uniq_ratio,
+       (n_tokens >= 32 AND n_tokens <= 4096) AS r_len,
+       (mean_word_len >= 4.0 AND mean_word_len <= 10.0) AS r_mean_wlen,
+       (n_stop >= 2) AS r_stop,
+       (uniq_ratio >= 0.35) AS r_uniq,
+       (n_tokens >= 32 AND n_tokens <= 4096
+        AND mean_word_len >= 4.0 AND mean_word_len <= 10.0
+        AND n_stop >= 2 AND uniq_ratio >= 0.35) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 terms by tf-idf (idf = ln(N/df), score rounded to 6 dp
+    BEFORE ranking so both engines rank identical decimals; term ASC breaks
+    score ties). Scale shape: explode → (doc_id, term) partial-agg shuffle →
+    term-keyed df agg + join (the df table is vocab-sized, far smaller than
+    the tf table) → one window shuffle back on doc_id. The corpus count
+    rides a broadcast single-row cross join, never a driver collect.
+
+    Parity: ln is not IEEE-pinned, but round(…, 6) absorbs the ≤1-ulp
+    libm/JVM spread (same discipline as the sqrt-based cosine oracles)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term_rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+), d AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         round(tf.tf * ln(n.n_docs / d.df), 6) AS score
+  FROM tf JOIN d USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS term_rank FROM s
+)
+SELECT doc_id, term_rank, term, tf, df, score
+FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -953,6 +1051,8 @@ PIPELINE_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
     "kmeans_clusters": q_kmeans_clusters,
+    "gopher_rules": q_gopher_rules,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 PIPELINE_ORACLES = {
@@ -977,4 +1077,6 @@ PIPELINE_ORACLES = {
     "doc_repetition": ORACLE_DOC_REPETITION,
     "source_mix": ORACLE_SOURCE_MIX,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
+    "gopher_rules": ORACLE_GOPHER_RULES,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
 }

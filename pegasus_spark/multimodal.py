@@ -134,6 +134,48 @@ def image_near_dups(
     )
 
 
+def image_dedup_keepers(
+    features: DataFrame, max_hamming: int = 3, chunks: int = 4,
+) -> DataFrame:
+    """Image keeper selection — the image-modality parallel of the gated
+    ``dedup_keepers`` query: connected components over phash near-dup pairs,
+    then keep the HIGHEST-RESOLUTION image per cluster (w·h DESC, image_id
+    ASC tie-break — a crawl usually wants the best copy of a duplicated
+    picture, where text dedup wants the highest-quality doc). Output marks
+    every image with its cluster, the cluster's keeper, and whether it
+    survives; filtering ``is_keeper`` yields one image per duplicate group.
+
+    Input is the OUTPUT of image_features (or the crawl items table) — the
+    narrow (image_id, phash, w, h) projection is checkpointed once so the
+    decode pipeline behind it runs exactly once, and every exchange here
+    carries ids + 8-byte hashes + int sizes, never image bytes. The CC and
+    window machinery are the same proven pieces as the text pipeline
+    (textops.dedup.near_dup_clusters)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pegasus_spark.textops.dedup import hamming_near_dups, near_dup_clusters
+
+    feats = features.select("image_id", "phash", "w", "h").localCheckpoint(eager=True)
+    pairs = hamming_near_dups(
+        feats, hash_col="phash", max_hamming=max_hamming, chunks=chunks,
+        id_col="image_id", n_bits=64,
+    )
+    clusters = near_dup_clusters(feats, pairs, id_col="image_id")
+    npix = feats.select("image_id", (F.col("w") * F.col("h")).alias("npix"))
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("npix"), F.asc("image_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        clusters.join(npix, "image_id")
+        .withColumn("keeper_id", F.first("image_id").over(w))
+        .withColumn("is_keeper", F.col("image_id") == F.col("keeper_id"))
+        .select("image_id", "cluster_id", "keeper_id", "is_keeper")
+    )
+
+
 def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio stub: interprets `bytes` as PCM16 mono (the deterministic fake
     for containers without torchaudio/soundfile; a real build branches on

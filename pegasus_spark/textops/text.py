@@ -123,6 +123,42 @@ def with_lang_guess(df: DataFrame) -> DataFrame:
     return out.withColumn("lang_guess", guess)
 
 
+def with_gopher_rules(df: DataFrame) -> DataFrame:
+    """Gopher-style document-quality rule filter (Rae et al. 2021, table A1
+    adapted to this corpus's whitespace-token text): each rule is a separate
+    boolean column so a pipeline can audit WHICH rule dropped a doc, and
+    ``keep`` is their conjunction.
+
+    - ``r_len``: 32 ≤ n_tokens ≤ 4096 (Gopher uses 50..100k words; bounds
+      scaled to the synthetic corpus so the rule is non-vacuous at test SF)
+    - ``r_mean_wlen``: 4.0 ≤ mean word length ≤ 10.0 (closed form, 4 dp)
+    - ``r_stop``: ≥ 2 hits from the English stop list (LANG_MARKERS)
+    - ``r_uniq``: distinct-token fraction ≥ 0.35 (repetition guard — the
+      cheap narrow cousin of doc_repetition's gram-level duplication)
+
+    Scale: pure per-row projections — zero shuffle, fused into the scan."""
+    toks = tokens_col()
+    n = F.size(toks)
+    stop_lit = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x)))
+    mwl = F.round((F.length(F.trim(F.col("text"))) - (n - F.lit(1))) / n, 4)
+    uniq = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    r_len = (n >= 32) & (n <= 4096)
+    r_mwl = (mwl >= 4.0) & (mwl <= 10.0)
+    r_stop = n_stop >= 2
+    r_uniq = uniq >= 0.35
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("mean_word_len", mwl)
+        .withColumn("uniq_ratio", uniq)
+        .withColumn("r_len", r_len)
+        .withColumn("r_mean_wlen", r_mwl)
+        .withColumn("r_stop", r_stop)
+        .withColumn("r_uniq", r_uniq)
+        .withColumn("keep", r_len & r_mwl & r_stop & r_uniq)
+    )
+
+
 def with_fingerprint(df: DataFrame, k: int = 8) -> DataFrame:
     """Document fingerprint: minimum md5 over all k-char rolling windows
     (winnowing-style rolling-hash fingerprint; min over the full window set).

@@ -87,6 +87,30 @@ def test_image_near_dup_clusters_keeper_selection(spark):
     assert len(keepers) == 4
 
 
+def test_image_dedup_keepers_highest_resolution_wins(spark):
+    """Keeper = highest-resolution image per phash cluster (npix DESC,
+    image_id ASC); singletons keep themselves; negative phash exercises the
+    unsigned-shift chunk path."""
+    from pegasus_spark.multimodal import image_dedup_keepers
+
+    feats = spark.createDataFrame(
+        [
+            ("a-small", 0x0F0F0F0F0F0F0F0F, 32, 32),
+            ("a-big", 0x0F0F0F0F0F0F0F0E, 64, 64),  # hamming 1 from a-small
+            ("a-mid", 0x0F0F0F0F0F0F0F0D, 48, 48),  # hamming 1 / 2
+            ("lonely", -0x123456789ABCDEF, 16, 16),  # singleton
+        ],
+        "image_id string, phash long, w int, h int",
+    )
+    out = {r["image_id"]: r for r in image_dedup_keepers(feats).collect()}
+    assert out["a-big"]["is_keeper"] and out["a-big"]["keeper_id"] == "a-big"
+    for i in ("a-small", "a-mid"):
+        assert out[i]["keeper_id"] == "a-big" and not out[i]["is_keeper"]
+    assert out["lonely"]["is_keeper"] and out["lonely"]["cluster_id"] == "lonely"
+    # cluster label is the min image_id of the component
+    assert out["a-small"]["cluster_id"] == "a-big"
+
+
 def test_audio_features(spark):
     t = np.arange(16000)
     tone = (np.sin(2 * np.pi * 440 * t / 16000) * 0.5 * 32767).astype("<i2")
