@@ -77,21 +77,59 @@ def _reps_str(r: dict) -> str:
     return " / ".join(str(v) for v in r["_reps"])
 
 
+LAST_JSON = os.path.join(REPO, "BENCH", "scaling_last.json")
+USAGE = "usage: scaling_bench.py [--quick] [--reps N] [--sections component,weak,strong]"
+
+
 def main() -> None:
     reps = 1 if "--quick" in sys.argv else 3
     if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        try:
+            reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        except (IndexError, ValueError):
+            sys.exit(USAGE)
+    # --sections lets a single noisy regime be re-measured without paying
+    # (or discarding) the other ~hour of runs: unselected sections are
+    # inherited from the previous invocation's BENCH/scaling_last.json, and
+    # the md is rewritten from the merged data (per-rep evidence for every
+    # section comes from whichever invocation last measured it).
+    sections = {"component", "weak", "strong"}
+    if "--render-only" in sys.argv:  # rewrite the md from the last run's data
+        sections = set()
+    elif "--sections" in sys.argv:
+        try:
+            sections = set(sys.argv[sys.argv.index("--sections") + 1].split(","))
+        except IndexError:
+            sys.exit(USAGE)
+        if not sections <= {"component", "weak", "strong"}:
+            sys.exit(USAGE)
+    prev = {}
+    if sections != {"component", "weak", "strong"}:
+        try:
+            with open(LAST_JSON) as f:
+                prev = json.load(f)
+        except FileNotFoundError:
+            sys.exit(f"--sections needs a previous full run ({LAST_JSON} missing)")
 
-    c2 = best_of(reps, 2, component=True)
-    c8 = best_of(reps, 8, component=True)
+    if "component" in sections:
+        c2 = best_of(reps, 2, component=True)
+        c8 = best_of(reps, 8, component=True)
+    else:
+        c2, c8 = prev["component"]["local2"], prev["component"]["local8"]
     comp_eff = round((c8["images_per_sec"] / c2["images_per_sec"]) / 4, 3)
 
-    w8 = best_of(reps, 8, "weak1")
-    w32 = best_of(reps, 32, "weak4")
+    if "weak" in sections:
+        w8 = best_of(reps, 8, "weak1")
+        w32 = best_of(reps, 32, "weak4")
+    else:
+        w8, w32 = prev["weak"]["local8_weak1"], prev["weak"]["local32_weak4"]
     weak_eff = round(w32["pages_per_sec"] / (4 * w8["pages_per_sec"]), 3)
 
-    s2 = best_of(reps, 2, "large")
-    s8 = best_of(reps, 8, "large")
+    if "strong" in sections:
+        s2 = best_of(reps, 2, "large")
+        s8 = best_of(reps, 8, "large")
+    else:
+        s2, s8 = prev["strong"]["local2"], prev["strong"]["local8"]
     strong_eff = round((s8["pages_per_sec"] / s2["pages_per_sec"]) / 4, 3)
 
     # cross-JVM determinism: identical fixture ⇒ identical golden ordering
@@ -105,6 +143,8 @@ def main() -> None:
         "strong": {"local2": s2, "local8": s8, "efficiency": strong_eff},
     }
     print(json.dumps(result, indent=1))
+    with open(LAST_JSON, "w") as f:
+        json.dump(result, f, indent=1)
 
     md = f"""# BENCH — crawl throughput & two-cluster-size scaling evidence
 
@@ -165,17 +205,19 @@ at the 10^10-URL design point a round processes millions of pages and this
 floor amortizes below 1%), and (b) all "executors" share one throttled
 virtual disk, so the parquet/shuffle IO of frontier snapshots and payload
 writes does not scale locally — on a cluster, storage bandwidth scales with
-nodes (HDFS/S3). The component number (§1) shows the compute path scales;
-the weak number (§2) shows the whole round loop sustains 4× the workload at
-4N cores.
+nodes (HDFS/S3). The component number (§1) isolates the compute path; the
+weak number (§2) — the operative regime the BASELINE.md criterion names —
+shows the whole round loop sustains 4× the workload at 4N cores.
 
 Determinism: tests/test_resume.py::test_partition_count_invariance proves
 every parallelism level performs identical logical work (same fetch log,
 URL-seen set, table contents), so these comparisons measure speed only.
 
-Regenerate: `python benchmarks/scaling_bench.py [--reps N]` — run ALONE (no
-concurrent Spark sessions); the harness overwrites this file, quoting every
-rep so the best-of-N evidence is self-contained.
+Regenerate: `python benchmarks/scaling_bench.py [--reps N] [--sections s,…]`
+— run ALONE (no concurrent Spark sessions); the harness overwrites this
+file, quoting every rep so the best-of-N evidence is self-contained.
+`--sections` re-measures one regime and inherits the others from the
+previous invocation (BENCH/scaling_last.json).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -313,18 +313,7 @@ def q_dedup_keepers(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     clusters = _cross_modal_cluster_df(spark, sf_dir)
     q = T.with_quality(docs).select("doc_id", "quality")
-    w = (
-        Window.partitionBy("cluster_id")
-        .orderBy(F.desc("quality"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return (
-        clusters.join(q, "doc_id")
-        .withColumn("keeper_id", F.first("doc_id").over(w))
-        .withColumn("is_keeper", F.col("doc_id") == F.col("keeper_id"))
-        .select("doc_id", "cluster_id", "keeper_id", "is_keeper")
-        .orderBy("doc_id")
-    )
+    return D.cluster_keepers(clusters, q).orderBy("doc_id")
 
 
 # Shared CTE body: cross-modal near-dup evidence (minhash ∪ simhash ∪
@@ -1029,6 +1018,63 @@ FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank
 """
 
 
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication report — the triage view a curation run starts
+    from (which sources are polluting the corpus?): for each source, the doc
+    count, how many docs share their EXACT text (md5, the exact_dedup
+    discipline) with any other doc corpus-wide, how many share their
+    winnowing FINGERPRINT (the doc_fingerprint min-window hash — the cheap
+    candidate-duplicate signal), and the fingerprint-dup rate. Scale shape:
+    two 16/32-byte-keyed partial-agg shuffles for group sizes, hash-joins
+    back, then a tiny per-source agg — text never moves past the first
+    projection."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    base = T.with_fingerprint(docs, k=8).select(
+        "doc_id", "source", F.md5(F.col("text")).alias("h"), "fingerprint"
+    )
+    hs = base.groupBy("h").agg(F.count(F.lit(1)).alias("hgrp"))
+    fs = base.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("fgrp"))
+    return (
+        base.join(hs, "h")
+        .join(fs, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("hgrp") >= 2, 1).otherwise(0)).alias("n_exact_dups"),
+            F.sum(F.when(F.col("fgrp") >= 2, 1).otherwise(0)).alias("n_fp_dups"),
+            F.round(
+                F.avg(F.when(F.col("fgrp") >= 2, 1.0).otherwise(0.0)), 4
+            ).alias("fp_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DUP_RATE_BY_SOURCE = r"""
+WITH t AS (SELECT doc_id, source, text, trim(text) AS tt FROM documents),
+w AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 7, 1))) AS i FROM t
+),
+fp AS (
+  SELECT doc_id, min(md5(substr(tt, i, 8))) AS fingerprint FROM w GROUP BY doc_id
+),
+base AS (
+  SELECT t.doc_id, t.source, md5(t.text) AS h, fp.fingerprint
+  FROM t JOIN fp ON fp.doc_id = t.doc_id
+),
+hs AS (SELECT h, count(*) AS hgrp FROM base GROUP BY h),
+fs AS (SELECT fingerprint, count(*) AS fgrp FROM base GROUP BY fingerprint)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN hgrp >= 2 THEN 1 ELSE 0 END) AS n_exact_dups,
+       sum(CASE WHEN fgrp >= 2 THEN 1 ELSE 0 END) AS n_fp_dups,
+       round(avg(CASE WHEN fgrp >= 2 THEN 1.0 ELSE 0.0 END), 4) AS fp_dup_rate
+FROM base JOIN hs USING (h) JOIN fs USING (fingerprint)
+GROUP BY source ORDER BY source
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -1053,6 +1099,7 @@ PIPELINE_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "gopher_rules": q_gopher_rules,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "dup_rate_by_source": q_dup_rate_by_source,
 }
 
 PIPELINE_ORACLES = {
@@ -1079,4 +1126,5 @@ PIPELINE_ORACLES = {
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "dup_rate_by_source": ORACLE_DUP_RATE_BY_SOURCE,
 }

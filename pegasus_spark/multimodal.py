@@ -152,9 +152,12 @@ def image_dedup_keepers(
     window machinery are the same proven pieces as the text pipeline
     (textops.dedup.near_dup_clusters)."""
     import pyspark.sql.functions as F
-    from pyspark.sql import Window
 
-    from pegasus_spark.textops.dedup import hamming_near_dups, near_dup_clusters
+    from pegasus_spark.textops.dedup import (
+        cluster_keepers,
+        hamming_near_dups,
+        near_dup_clusters,
+    )
 
     feats = features.select("image_id", "phash", "w", "h").localCheckpoint(eager=True)
     pairs = hamming_near_dups(
@@ -163,17 +166,7 @@ def image_dedup_keepers(
     )
     clusters = near_dup_clusters(feats, pairs, id_col="image_id")
     npix = feats.select("image_id", (F.col("w") * F.col("h")).alias("npix"))
-    w = (
-        Window.partitionBy("cluster_id")
-        .orderBy(F.desc("npix"), F.asc("image_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return (
-        clusters.join(npix, "image_id")
-        .withColumn("keeper_id", F.first("image_id").over(w))
-        .withColumn("is_keeper", F.col("image_id") == F.col("keeper_id"))
-        .select("image_id", "cluster_id", "keeper_id", "is_keeper")
-    )
+    return cluster_keepers(clusters, npix, id_col="image_id", metric_col="npix")
 
 
 def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:

@@ -208,6 +208,35 @@ def near_dup_clusters(
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def cluster_keepers(
+    clusters: DataFrame, metrics: DataFrame, id_col: str = "doc_id",
+    metric_col: str = "quality",
+) -> DataFrame:
+    """Keeper selection over near_dup_clusters output: one keeper per
+    cluster_id — the member with the highest metric (metric DESC, id ASC
+    tie-break). Shared by the text pipeline (metric = rounded doc quality)
+    and the image pipeline (metric = resolution) so the argmax frame spec
+    and tie-break discipline live in exactly one place. Callers must pass an
+    already-ROUNDED metric (the parity contract: both engines of an oracle
+    pair order identical decimals, never raw float expressions).
+
+    Output: (id_col, cluster_id, keeper_id, is_keeper) — filtering is_keeper
+    yields exactly one row per duplicate group. Scale: the only exchange is
+    one hash shuffle on cluster_id for the full-frame first_value window,
+    carrying (id, cluster_id, metric) triples — never text or image bytes."""
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc(metric_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        clusters.join(metrics, id_col)
+        .withColumn("keeper_id", F.first(id_col).over(w))
+        .withColumn("is_keeper", F.col(id_col) == F.col("keeper_id"))
+        .select(id_col, "cluster_id", "keeper_id", "is_keeper")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -31,7 +31,9 @@ STAMP = (2020, 1, 1, 0, 0, 0)
 
 def build(out_path: str | None = None) -> str:
     out_path = out_path or os.path.join(DIST, "pegasus_spark.zip")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    out_dir = os.path.dirname(out_path)
+    if out_dir:  # bare filename = cwd; makedirs('') would raise
+        os.makedirs(out_dir, exist_ok=True)
     entries = []
     for root, dirs, files in os.walk(PKG):
         dirs[:] = sorted(d for d in dirs if d != "__pycache__")

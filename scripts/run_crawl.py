@@ -15,7 +15,13 @@ to spark-submit; the zip ships the package to every executor):
     spark-submit --master <url> --deploy-mode client \
         --py-files dist/pegasus_spark.zip \
         scripts/run_crawl.py --master inherit \
-        --store hdfs:///pegasus/store --fixture hdfs:///pegasus/fixture
+        --store /mnt/shared/pegasus/store --fixture /mnt/shared/pegasus/fixture
+
+--store/--fixture must be on a filesystem the DRIVER can reach with POSIX
+calls (local disk, NFS, a fuse mount): FrontierStore's manifest commit is
+os.replace-atomic by design (the sandbox's Iceberg stand-in, see CLAUDE.md).
+A real deployment swaps FrontierStore for Iceberg tables on object storage;
+this CLI is unchanged by that swap.
 
 Resume: rerunning with the same --store continues from the committed
 checkpoint manifest (crash-safe by the store's atomic-rename commit; see
@@ -31,7 +37,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -85,12 +90,23 @@ def main() -> None:
     )
     for h in HOSTS:
         spec.budget[h] = p["budget_hot"] if h == ROOT_HOST else p["budget_cold"]
+    # the marker records WHICH scale built the fixture: reusing a fixture
+    # with a different --scale would silently mismatch the scheduler budget
+    # (built fresh from the new scale's spec) against stale pages on disk
     marker = os.path.join(args.fixture, "DONE")
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        with open(marker) as f:
+            built_scale = f.read().strip()
+        if built_scale != args.scale:
+            sys.exit(
+                f"fixture {args.fixture} was built with --scale {built_scale}; "
+                f"rerun with that scale or point --fixture at a fresh dir"
+            )
+    else:
         os.makedirs(args.fixture, exist_ok=True)
         write_fixture(spark, spec, args.fixture, round_no=1)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(args.scale)
 
     kw = {}
     if args.n_partitions is not None:
@@ -105,27 +121,23 @@ def main() -> None:
         now_ts=args.now_ts,
         **kw,
     )
-    t0 = time.perf_counter()
-    ckpt = sched.store.load_checkpoint() or sched.bootstrap()
-    start_round = ckpt.round
-    rounds = 0
-    while True:
-        ckpt, info = sched.run_round(ckpt)
-        if info.get("dequeued", 0) == 0:
-            break
-        rounds += 1
-        if args.max_rounds and rounds >= args.max_rounds:
-            break
-    wall = time.perf_counter() - t0
+    # run() owns resume, the legacy-manifest upgrade, the finished flag, and
+    # the crawl_runs history row — re-implementing the loop here would skip
+    # all four (status.py would report a drained store as 'running' forever)
+    prior = sched.store.load_checkpoint()
+    start_round = prior.round if prior else 0
+    res = sched.run(max_rounds=args.max_rounds or 64)
+    final = sched.store.load_checkpoint()
     print(
         json.dumps(
             {
                 "resumed_from_round": start_round,
-                "rounds_run": rounds,
-                "final_round": ckpt.round,
-                "pages_fetched": ckpt.counters.get("pages_fetched", 0),
-                "urls_enqueued": ckpt.counters.get("urls_enqueued", 0),
-                "wall_s": round(wall, 2),
+                "rounds_run": res.rounds,
+                "final_round": final.round,
+                "pages_fetched": res.pages_fetched,
+                "urls_enqueued": res.urls_enqueued,
+                "finished": final.finished,
+                "wall_s": round(res.wall_s, 2),
             }
         )
     )
