@@ -182,8 +182,14 @@ def run_component_bench(spark: SparkSession, n_images: int | None = None, dim: i
                 hashes.append(phash64(decode_image(bytes(b))))
             yield pd.DataFrame({"image_id": pdf["image_id"], "phash": hashes})
 
+    # the cached source already has exactly `cpus` evenly-sized partitions
+    # (range → repartition above), so the timed stage is NARROW: cache read →
+    # pandas UDF → noop. An earlier version repartitioned by image_id here,
+    # which shuffled every image's BYTES through the one shared local disk —
+    # reintroducing, inside the probe, exactly the resource the probe exists
+    # to exclude (and taxing the higher-core side disproportionately).
     t0 = time.perf_counter()
-    src.repartition(cpus, "image_id").mapInPandas(feats, "image_id string, phash long") \
+    src.mapInPandas(feats, "image_id string, phash long") \
         .write.mode("overwrite").format("noop").save()
     wall = time.perf_counter() - t0
     src.unpersist()
