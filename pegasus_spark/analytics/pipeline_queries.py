@@ -1031,9 +1031,13 @@ def q_dup_rate_by_source(spark, sf_dir):
     docs = _docs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # materialize the fingerprint ONCE (the min-md5 window transform is the
+    # expensive column): three consumers read it — the per-source probe side
+    # and both group-size builds (the truncate-and-reuse discipline of
+    # hamming_near_dups / ngram_jaccard_pairs). Runs one job at construction.
     base = T.with_fingerprint(docs, k=8).select(
         "doc_id", "source", F.md5(F.col("text")).alias("h"), "fingerprint"
-    )
+    ).localCheckpoint(eager=True)
     hs = base.groupBy("h").agg(F.count(F.lit(1)).alias("hgrp"))
     fs = base.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("fgrp"))
     return (
