@@ -571,6 +571,32 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_cosine_topk_multi(spark, sf_dir):
+    """Batch retrieval: top-3 by cosine for a 5-query batch in one corpus
+    pass (textops.similarity.cosine_topk_multi — broadcast query set +
+    WindowGroupLimit per-query rank)."""
+    return S.cosine_topk_multi(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+ORACLE_COSINE_TOPK_MULTI = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+  ) AS knn_rank FROM s
+)
+SELECT query_id, vec_id, knn_rank, cos FROM r WHERE knn_rank <= 3
+ORDER BY query_id, knn_rank
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # 10 sign bits + tau=0.25: non-vacuous on the driver's near-orthogonal
     # synthetic embeddings (16 bits / tau=0.3 bucketed every vector alone →
@@ -1093,6 +1119,7 @@ PIPELINE_QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
+    "cosine_topk_multi": q_cosine_topk_multi,
     "embedding_near_dup": q_embedding_near_dup,
     "curation_pipeline": q_curation_pipeline,
     "ann_topk": q_ann_topk,
@@ -1120,6 +1147,7 @@ PIPELINE_ORACLES = {
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "cosine_topk_multi": ORACLE_COSINE_TOPK_MULTI,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "ann_topk": ORACLE_ANN_TOPK,

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 N_SIGN_BITS = 16
 
@@ -58,6 +58,37 @@ def cosine_topk(
         .select(id_col, "cos")
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def cosine_topk_multi(
+    df: DataFrame, query_ids: list[int], k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch brute-force ANN: per-query top-k over a SET of query vectors in
+    one pass — the realistic retrieval shape (a query batch, not one probe).
+    The query set broadcasts once and every corpus vector scores against all
+    of it in the same task (an explicit tiny crossJoin — queries ≪ corpus);
+    the per-query rank is a WindowGroupLimit plan, so ≤ k rows per query
+    survive map-side before the query_id exchange. At 100 TB the corpus
+    side streams through one narrow scoring stage and the shuffle carries
+    |queries|·k rows total. Deterministic order: (cos desc, id asc), cosine
+    rounded to 4 dp before ranking (the oracle-parity float discipline)."""
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    base = df.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    cos = _dot(F.col(vec_col), F.col("_qvec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(_dot(F.col("_qvec"), F.col("_qvec")))
+    )
+    scored = base.withColumn("cos", F.round(cos, 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", id_col, "knn_rank", "cos")
+        .orderBy("query_id", "knn_rank")
     )
 
 
