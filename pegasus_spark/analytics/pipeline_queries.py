@@ -273,11 +273,27 @@ def _cross_modal_cluster_df(spark, sf_dir):
     min-label-propagation + pointer-jumping loop."""
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    mh = D.minhash_near_dups(
-        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
-    ).select("id_a", "id_b")
-    sh = D.simhash_near_dups(docs, max_hamming=3).select("id_a", "id_b")
-    ep = S.embedding_near_dup_pairs(emb, tau=0.25, n_bits=10).select("id_a", "id_b")
+    # the three evidence builders each run eager localCheckpoint jobs at
+    # construction; building them from one thread serializes those jobs.
+    # Overlap the independent chains (the scheduler's in-driver concurrency
+    # discipline, scheduler.py run_round) — the cluster answer is identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_mh = ex.submit(
+            lambda: D.minhash_near_dups(
+                docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
+            ).select("id_a", "id_b")
+        )
+        f_sh = ex.submit(
+            lambda: D.simhash_near_dups(docs, max_hamming=3).select("id_a", "id_b")
+        )
+        f_ep = ex.submit(
+            lambda: S.embedding_near_dup_pairs(emb, tau=0.25, n_bits=10).select(
+                "id_a", "id_b"
+            )
+        )
+        mh, sh, ep = f_mh.result(), f_sh.result(), f_ep.result()
     ids = docs.select("doc_id")
     pairs = (
         mh.unionByName(sh).unionByName(ep)
