@@ -94,8 +94,11 @@ def main() -> None:
         **extra,
     }
     line = json.dumps(out)
-    # stdout for the driver's `tail` capture, plus a clean side file so the
-    # result stays machine-readable even if other output interleaves
+    # Full detail (per-query cold + warm dicts) goes to the side file and an
+    # early stdout line; the LAST stdout line is a compact summary — the
+    # driver captures only a bounded tail of stdout, and the full line
+    # outgrew that window in rounds 2-3 (r2/r3 recorded "parsed": null), so
+    # the record line must stay well under 2 000 chars.
     print(line, flush=True)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -103,6 +106,13 @@ def main() -> None:
             f.write(line + "\n")
     except OSError:
         pass
+    slowest = dict(sorted(warm.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        k: v for k, v in out.items() if k not in ("queries", "queries_warm")
+    }
+    compact["queries"] = slowest  # 5 slowest warm — full dicts in detail file
+    compact["detail"] = "BENCH_LAST.json"
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 

@@ -32,21 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-SCALES = {
-    "small": dict(n_districts=8, regions_per_district=6, pages_per_region_max=60,
-                  budget_hot=1024, budget_cold=512, image_dims=(32, 48, 64)),
-    "large": dict(n_districts=8, regions_per_district=25, pages_per_region_max=100,
-                  budget_hot=4096, budget_cold=2048, image_dims=(32, 48, 64)),
-    # weak-scaling pair: weak4 is ~4× weak1's workload AND 4× its per-round
-    # dequeue budget — the production regime where a 4N cluster crawls 4× the
-    # pages per round (round count stays constant). Small images keep the
-    # single sandbox disk (the one resource that does NOT scale locally but
-    # does on a cluster) out of the critical path.
-    "weak1": dict(n_districts=8, regions_per_district=6, pages_per_region_max=100,
-                  budget_hot=2048, budget_cold=1024, image_dims=(32, 48, 64)),
-    "weak4": dict(n_districts=8, regions_per_district=24, pages_per_region_max=100,
-                  budget_hot=8192, budget_cold=4096, image_dims=(32, 48, 64)),
-}
+# canonical home is the package (self-contained spark-submit zip); re-exported
+# here for existing callers
+from pegasus_spark.crawler.fixtures import SCALES
 
 
 def _fixture_dir(scale: str) -> str:

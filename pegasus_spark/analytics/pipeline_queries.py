@@ -326,10 +326,17 @@ def q_dedup_keepers(spark, sf_dir):
     over the cluster build is one hash shuffle on cluster_id for the
     first_value window — at 100 TB that is a shuffle of (doc_id, cluster_id,
     quality) triples, not text."""
+    return _keeper_df(spark, sf_dir).orderBy("doc_id")
+
+
+def _keeper_df(spark, sf_dir):
+    """Shared by q_dedup_keepers / q_curated_corpus / q_dropped_docs: the
+    cross-modal cluster build + quality-argmax keeper decision (see
+    q_dedup_keepers for the parity and scale arguments)."""
     docs = _docs(spark, sf_dir)
     clusters = _cross_modal_cluster_df(spark, sf_dir)
     q = T.with_quality(docs).select("doc_id", "quality")
-    return D.cluster_keepers(clusters, q).orderBy("doc_id")
+    return D.cluster_keepers(clusters, q)
 
 
 # Shared CTE body: cross-modal near-dup evidence (minhash ∪ simhash ∪
@@ -433,10 +440,11 @@ GROUP BY v.doc_id
 ORDER BY v.doc_id
 """
 
-# Keeper selection: clusters + the gated doc_quality score; the keeper is
-# first_value per cluster ordered by (rounded quality DESC, doc_id ASC) —
-# identical decimal ordering on both engines.
-ORACLE_DEDUP_KEEPERS = _ORACLE_CROSS_MODAL_BODY + r""",
+# Keeper selection CTE chain: clusters + the gated doc_quality score; the
+# keeper is first_value per cluster ordered by (rounded quality DESC,
+# doc_id ASC) — identical decimal ordering on both engines. Shared by the
+# dedup_keepers / curated_corpus / dropped_docs oracles.
+_ORACLE_KEEPER_CTES = _ORACLE_CROSS_MODAL_BODY + r""",
 clusters AS (
   SELECT v.doc_id,
          CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
@@ -459,9 +467,8 @@ qq AS (
                + (1.0 - least(n_stop * 1.0 / n, 1.0)) * 0.3
                + least(((tlen - (n - 1)) * 1.0 / n) / 8.0, 1.0) * 0.2, 4) AS quality
   FROM mq
-)
-SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper
-FROM (
+),
+kk AS (
   SELECT c.doc_id, c.cluster_id,
          first_value(c.doc_id) OVER (
            PARTITION BY c.cluster_id
@@ -469,8 +476,89 @@ FROM (
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
          ) AS keeper_id
   FROM clusters c JOIN qq ON qq.doc_id = c.doc_id
-)
+)"""
+
+ORACLE_DEDUP_KEEPERS = _ORACLE_KEEPER_CTES + r"""
+SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper
+FROM kk
 ORDER BY doc_id
+"""
+
+
+def q_curated_corpus(spark, sf_dir):
+    """The materialized dedup-endgame OUTPUT, gated per source: counts of
+    docs in / survivors / dropped, plus a survivor PAYLOAD digest — md5 over
+    the lexically-sorted per-doc text md5s — so the gate proves the curated
+    corpus carries exactly the keepers' payloads, not just the right row
+    count. Built from D.curate_corpus (the same function write_curated
+    ships); the stats agg shuffles (source, md5) pairs only. Scale shape:
+    the payload crosses one id-keyed join inside curate_corpus (the minimum
+    to emit a corpus), everything after is 16/32-byte keys."""
+    docs = _docs(spark, sf_dir)
+    curated, _ = D.curate_corpus(docs, _keeper_df(spark, sf_dir))
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    surv = curated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.md5(
+            F.concat_ws("", F.array_sort(F.collect_list(F.md5("text"))))
+        ).alias("survivors_digest"),
+    )
+    return (
+        per_src.join(surv, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_survivors", F.lit(0)).cast("bigint").alias("n_survivors"),
+            (F.col("n_docs") - F.coalesce("n_survivors", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce("survivors_digest", F.md5(F.lit(""))).alias(
+                "survivors_digest"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CURATED_CORPUS = _ORACLE_KEEPER_CTES + r""",
+surv AS (
+  SELECT d.source, count(*) AS n_survivors,
+         md5(string_agg(md5(d.text), '' ORDER BY md5(d.text))) AS survivors_digest
+  FROM kk JOIN documents d ON d.doc_id = kk.doc_id
+  WHERE kk.doc_id = kk.keeper_id
+  GROUP BY d.source
+),
+tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT tot.source,
+       CAST(tot.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(surv.n_survivors, 0) AS BIGINT) AS n_survivors,
+       CAST(tot.n_docs - coalesce(surv.n_survivors, 0) AS BIGINT) AS n_dropped,
+       coalesce(surv.survivors_digest, md5('')) AS survivors_digest
+FROM tot LEFT JOIN surv USING (source)
+ORDER BY tot.source
+"""
+
+
+def q_dropped_docs(spark, sf_dir):
+    """The CDC-style audit side of the curated corpus: every dropped doc
+    with its cluster, the keeper that displaced it, and WHY — exact_dup
+    (text byte-identical to the keeper, by md5) vs near_dup (caught only by
+    the minhash/simhash/embedding evidence). The reason join moves md5
+    keys, never text (D.curate_corpus)."""
+    docs = _docs(spark, sf_dir)
+    _, dropped = D.curate_corpus(docs, _keeper_df(spark, sf_dir))
+    return dropped.orderBy("doc_id")
+
+
+ORACLE_DROPPED_DOCS = _ORACLE_KEEPER_CTES + r""",
+hh AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT kk.doc_id, kk.cluster_id, kk.keeper_id,
+       CASE WHEN a.h = b.h THEN 'exact_dup' ELSE 'near_dup' END AS reason
+FROM kk
+JOIN hh a ON a.doc_id = kk.doc_id
+JOIN hh b ON b.doc_id = kk.keeper_id
+WHERE kk.doc_id <> kk.keeper_id
+ORDER BY kk.doc_id
 """
 
 
@@ -1080,22 +1168,11 @@ def q_dup_rate_by_source(spark, sf_dir):
     base = T.with_fingerprint(docs, k=8).select(
         "doc_id", "source", F.md5(F.col("text")).alias("h"), "fingerprint"
     ).localCheckpoint(eager=True)
-    hs = base.groupBy("h").agg(F.count(F.lit(1)).alias("hgrp"))
-    fs = base.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("fgrp"))
-    return (
-        base.join(hs, "h")
-        .join(fs, "fingerprint")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("hgrp") >= 2, 1).otherwise(0)).alias("n_exact_dups"),
-            F.sum(F.when(F.col("fgrp") >= 2, 1).otherwise(0)).alias("n_fp_dups"),
-            F.round(
-                F.avg(F.when(F.col("fgrp") >= 2, 1.0).otherwise(0.0)), 4
-            ).alias("fp_dup_rate"),
-        )
-        .orderBy("source")
-    )
+    # group-size + join-back + per-source agg core is shared with the
+    # crawl-store caption report (reports.dup_rate_report)
+    from pegasus_spark.analytics.reports import dup_rate_report
+
+    return dup_rate_report(base, "source", "h", "fingerprint")
 
 
 ORACLE_DUP_RATE_BY_SOURCE = r"""
@@ -1113,8 +1190,8 @@ base AS (
 hs AS (SELECT h, count(*) AS hgrp FROM base GROUP BY h),
 fs AS (SELECT fingerprint, count(*) AS fgrp FROM base GROUP BY fingerprint)
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN hgrp >= 2 THEN 1 ELSE 0 END) AS n_exact_dups,
-       sum(CASE WHEN fgrp >= 2 THEN 1 ELSE 0 END) AS n_fp_dups,
+       CAST(sum(CASE WHEN hgrp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       CAST(sum(CASE WHEN fgrp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_dups,
        round(avg(CASE WHEN fgrp >= 2 THEN 1.0 ELSE 0.0 END), 4) AS fp_dup_rate
 FROM base JOIN hs USING (h) JOIN fs USING (fingerprint)
 GROUP BY source ORDER BY source
@@ -1131,6 +1208,8 @@ PIPELINE_QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "cross_modal_clusters": q_cross_modal_clusters,
     "dedup_keepers": q_dedup_keepers,
+    "curated_corpus": q_curated_corpus,
+    "dropped_docs": q_dropped_docs,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1159,6 +1238,8 @@ PIPELINE_ORACLES = {
     "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
     "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
     "dedup_keepers": ORACLE_DEDUP_KEEPERS,
+    "curated_corpus": ORACLE_CURATED_CORPUS,
+    "dropped_docs": ORACLE_DROPPED_DOCS,
     "simhash": ORACLE_SIMHASH,
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -220,3 +220,54 @@ def daily_price_series(apartments: DataFrame, changes: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def dup_rate_report(
+    df: DataFrame, group_col: str, exact_col: str, fp_col: str,
+) -> DataFrame:
+    """Per-group duplication triage — "which source is polluting the
+    corpus?": for each group, the row count, how many rows share their EXACT
+    key with any other row corpus-wide, how many share their FINGERPRINT
+    (the cheap candidate-duplicate signal), and the fingerprint-dup rate.
+    Shared core of the gated ``dup_rate_by_source`` (documents: md5(text) /
+    winnow fingerprint) and the crawl-store caption report (items:
+    md5(caption) / phash). Scale shape: two key-only partial-agg shuffles
+    for the corpus-wide group sizes, hash-joins back, then a tiny per-group
+    agg — payloads never move past the caller's key projection."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(exact_col).alias("h"),
+        F.col(fp_col).alias("fp"),
+    )
+    hs = base.groupBy("h").agg(F.count(F.lit(1)).alias("hgrp"))
+    fs = base.groupBy("fp").agg(F.count(F.lit(1)).alias("fgrp"))
+    return (
+        base.join(hs, "h")
+        .join(fs, "fp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("hgrp") >= 2, 1).otherwise(0)).alias("n_exact_dups"),
+            F.sum(F.when(F.col("fgrp") >= 2, 1).otherwise(0)).alias("n_fp_dups"),
+            F.round(
+                F.avg(F.when(F.col("fgrp") >= 2, 1.0).otherwise(0.0)), 4
+            ).alias("fp_dup_rate"),
+        )
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )
+
+
+def caption_dup_report(items: DataFrame) -> DataFrame:
+    """The crawl-side dup-rate triage over a committed items table
+    (image_id, …, caption, phash): per REGION (parsed from the
+    ``img-{abbr}-{page}-{pos}`` id scheme, fixtures.image_id_for), exact
+    caption duplication and phash-level near-duplication — the report a
+    crawl operator reads to find which region's listings are recycled
+    boilerplate. Bytes never enter the plan (key projection first)."""
+    keyed = items.select(
+        F.element_at(F.split("image_id", "-"), 2).alias("region"),
+        F.md5("caption").alias("caption_md5"),
+        F.col("phash").cast("string").alias("phash_key"),
+    )
+    return dup_rate_report(keyed, "region", "caption_md5", "phash_key")

@@ -57,6 +57,26 @@ ROOT_HOST = HOSTS[0]
 EXCLUDED_DISTRICT = "shanghaizhoubian"
 CARDS_PER_PAGE = 5
 
+# Named fixture-scale presets. Lives here (not in benchmarks/) so the
+# spark-submit zip (scripts/make_pyfiles.py packs only pegasus_spark/) is
+# self-contained — scripts/run_crawl.py resolves --scale through this table
+# on the cluster launch path; benchmarks/crawl_bench.py imports it too.
+SCALES = {
+    "small": dict(n_districts=8, regions_per_district=6, pages_per_region_max=60,
+                  budget_hot=1024, budget_cold=512, image_dims=(32, 48, 64)),
+    "large": dict(n_districts=8, regions_per_district=25, pages_per_region_max=100,
+                  budget_hot=4096, budget_cold=2048, image_dims=(32, 48, 64)),
+    # weak-scaling pair: weak4 is ~4× weak1's workload AND 4× its per-round
+    # dequeue budget — the production regime where a 4N cluster crawls 4× the
+    # pages per round (round count stays constant). Small images keep the
+    # single sandbox disk (the one resource that does NOT scale locally but
+    # does on a cluster) out of the critical path.
+    "weak1": dict(n_districts=8, regions_per_district=6, pages_per_region_max=100,
+                  budget_hot=2048, budget_cold=1024, image_dims=(32, 48, 64)),
+    "weak4": dict(n_districts=8, regions_per_district=24, pages_per_region_max=100,
+                  budget_hot=8192, budget_cold=4096, image_dims=(32, 48, 64)),
+}
+
 PAGE_SCHEMA = StructType(
     [
         StructField("url", StringType()),

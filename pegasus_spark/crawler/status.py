@@ -65,6 +65,25 @@ def crawl_status(
     return out
 
 
+def crawl_dup_report(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None
+) -> Any:
+    """Per-region caption/phash duplication over the COMMITTED items table —
+    the "which source is polluting the corpus" triage
+    (analytics/reports.caption_dup_report) surfaced on the crawl CLI. Reads
+    only manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import caption_dup_report
+
+    return caption_dup_report(items)
+
+
 def host_lineage(spark: SparkSession, workdir: str) -> Any:
     """The committed host-level frontier-state breakdown as a DataFrame
     (host, state, url_cnt) — the queryable replacement for the round-2
@@ -79,10 +98,12 @@ def host_lineage(spark: SparkSession, workdir: str) -> Any:
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     compact = "--compact" in argv
-    argv = [a for a in argv if a != "--compact"]
+    dup_report = "--dup-report" in argv
+    argv = [a for a in argv if a not in ("--compact", "--dup-report")]
     if len(argv) != 1:
         print(
-            "usage: python -m pegasus_spark.crawler.status [--compact] <workdir>",
+            "usage: python -m pegasus_spark.crawler.status"
+            " [--compact] [--dup-report] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -91,6 +112,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="pegasus_spark_status", shuffle_partitions=8)
     store = FrontierStore(spark, argv[0])
     out = crawl_status(spark, argv[0], store)
+    if dup_report:
+        out["dup_report"] = [
+            r.asDict() for r in crawl_dup_report(spark, argv[0], store).collect()
+        ]
     if compact:
         # maintenance: expire store versions no checkpoint references
         # (FrontierStore.compact — the Iceberg expire_snapshots equivalent;

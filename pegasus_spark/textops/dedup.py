@@ -237,6 +237,65 @@ def cluster_keepers(
     )
 
 
+def curate_corpus(
+    docs: DataFrame, keepers: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the dedup endgame OUTPUT — the artifact a training run
+    consumes. Given the corpus and a cluster_keepers decision table, return
+
+    - ``curated``: the surviving docs with their FULL payload plus
+      ``cluster_id`` — payload columns join back LATE by id (the
+      bytes-stay-out-of-shuffles discipline: the keeper decision shuffled
+      only (id, cluster, metric) triples; the payload crosses exactly one
+      id-keyed hash join here, the unavoidable minimum to emit the corpus);
+    - ``dropped``: the CDC-style audit side table
+      ``(id, cluster_id, keeper_id, reason)`` with reason ``exact_dup``
+      (payload byte-identical to its keeper, by md5) or ``near_dup``
+      (caught only by the similarity evidence). The reason join moves
+      md5 keys, never text.
+
+    Write with :func:`write_curated`; the pair is the distributed analog of
+    the reference's updatedb keep/overwrite split
+    (/root/reference/src/pegasus/lianjia/updatedb.go:281-318), re-targeted
+    at corpus curation."""
+    h = docs.select(id_col, F.md5(text_col).alias("_h"))
+    survivors = keepers.filter(F.col("is_keeper")).select(id_col, "cluster_id")
+    curated = docs.join(survivors, id_col)
+    dropped = (
+        keepers.filter(~F.col("is_keeper"))
+        .select(id_col, "cluster_id", "keeper_id")
+        .join(h, id_col)
+        .join(
+            h.select(F.col(id_col).alias("keeper_id"), F.col("_h").alias("_kh")),
+            "keeper_id",
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            "keeper_id",
+            F.when(F.col("_h") == F.col("_kh"), F.lit("exact_dup"))
+            .otherwise(F.lit("near_dup"))
+            .alias("reason"),
+        )
+    )
+    return curated, dropped
+
+
+def write_curated(
+    curated: DataFrame, dropped: DataFrame, path: str,
+    partition_col: str = "source",
+) -> None:
+    """Write the curated corpus partitioned by ``partition_col`` (source /
+    region — the partition a sampling or training reader prunes on) and the
+    dropped-docs audit table beside it. At 100 TB the partitioned write is
+    the one full pass over payload bytes; ``dropped`` is id-triples only."""
+    curated.write.mode("overwrite").partitionBy(partition_col).parquet(
+        f"{path}/curated"
+    )
+    dropped.write.mode("overwrite").parquet(f"{path}/dropped")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

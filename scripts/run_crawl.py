@@ -56,14 +56,19 @@ def main() -> None:
         help="Spark master; 'inherit' = leave to spark-submit (cluster mode), "
         "default = local[$SPARK_GRAFT_CPUS]",
     )
-    ap.add_argument("--max-rounds", type=int, default=0, help="0 = run to empty frontier")
+    ap.add_argument(
+        "--max-rounds",
+        type=int,
+        default=0,
+        help="0 = run to empty frontier (unbounded); N > 0 stops after N rounds",
+    )
     ap.add_argument("--n-partitions", type=int, default=None)
     ap.add_argument("--now-ts", type=int, default=1_700_000_000)
     ap.add_argument(
         "--scale",
         default="small",
         choices=["small", "large", "weak1", "weak4"],
-        help="fixture scale preset (benchmarks/crawl_bench.py SCALES)",
+        help="fixture scale preset (pegasus_spark.crawler.fixtures SCALES)",
     )
     args = ap.parse_args()
 
@@ -71,10 +76,10 @@ def main() -> None:
 
     spark = get_spark(app_name="pegasus_crawl", master=args.master)
 
-    from benchmarks.crawl_bench import SCALES
     from pegasus_spark.crawler.fixtures import (
         HOSTS,
         ROOT_HOST,
+        SCALES,
         budget_df,
         make_site_spec,
         write_fixture,
@@ -126,7 +131,10 @@ def main() -> None:
     # all four (status.py would report a drained store as 'running' forever)
     prior = sched.store.load_checkpoint()
     start_round = prior.round if prior else 0
-    res = sched.run(max_rounds=args.max_rounds or 64)
+    # 0 = drain: the loop exits on its own when the frontier empties (the
+    # scheduler sets the finished flag), so "unbounded" is just a bound the
+    # crawl can never hit before draining
+    res = sched.run(max_rounds=args.max_rounds or sys.maxsize)
     final = sched.store.load_checkpoint()
     print(
         json.dumps(

@@ -192,3 +192,49 @@ def test_daily_price_series(crawled):
     assert float(got[d2]["avg_price"]) == round(sum(day2_prices) / len(day2_prices), 2)
     assert got[d1]["median_price"] == float(pd.Series(day1_prices).median())
     assert got[d2]["median_price"] == float(pd.Series(day2_prices).median())
+
+
+def test_dup_rate_report_corpus_wide_group_sizes(spark):
+    """The shared dup-rate core (reports.dup_rate_report): exact/fingerprint
+    group sizes are CORPUS-wide (a fingerprint shared across two groups
+    marks rows in both), per-group counts and rate follow."""
+    from pegasus_spark.analytics.reports import dup_rate_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", "h1", "f1"),
+            ("a", "h1", "f1"),   # exact + fp dup pair inside a
+            ("a", "h2", "f2"),
+            ("b", "h3", "f1"),   # fp ties to group a's f1, no exact dup
+            ("b", "h4", "f4"),
+        ],
+        "src string, h string, fp string",
+    )
+    rows = {r["src"]: r for r in dup_rate_report(df, "src", "h", "fp").collect()}
+    assert rows["a"]["n_docs"] == 3
+    assert rows["a"]["n_exact_dups"] == 2 and rows["a"]["n_fp_dups"] == 2
+    assert float(rows["a"]["fp_dup_rate"]) == round(2 / 3, 4)
+    assert rows["b"]["n_docs"] == 2
+    assert rows["b"]["n_exact_dups"] == 0 and rows["b"]["n_fp_dups"] == 1
+    assert float(rows["b"]["fp_dup_rate"]) == 0.5
+
+
+def test_caption_dup_report_regions_from_image_id(spark):
+    """Crawl-side triage: regions parse out of the img-{abbr}-{page}-{pos}
+    id scheme; exact = caption md5, fingerprint = phash."""
+    from pegasus_spark.analytics.reports import caption_dup_report
+
+    items = spark.createDataFrame(
+        [
+            ("img-ra-0001-01", "nice flat", 10),
+            ("img-ra-0001-02", "nice flat", 10),  # exact + phash dup
+            ("img-rb-0002-01", "other flat", 10),  # phash ties to ra rows
+            ("img-rb-0002-02", "unique flat", 77),
+        ],
+        "image_id string, caption string, phash long",
+    )
+    rows = {r["region"]: r for r in caption_dup_report(items).collect()}
+    assert set(rows) == {"ra", "rb"}
+    assert rows["ra"]["n_docs"] == 2
+    assert rows["ra"]["n_exact_dups"] == 2 and rows["ra"]["n_fp_dups"] == 2
+    assert rows["rb"]["n_exact_dups"] == 0 and rows["rb"]["n_fp_dups"] == 1

@@ -332,3 +332,63 @@ class TestNearDupClusters:
         # 1,2,5 exact dups (+3,6 near dups chained in) share keeper 1; 4 alone
         assert got[1] == got[2] == got[5] == 1
         assert got[4] == 4
+
+
+class TestCurateCorpus:
+    def test_payload_parity_dropped_reasons_and_write(self, spark, tmp_path):
+        """VERDICT-r3 #7: the dedup endgame's OUTPUT — survivors carry their
+        FULL payload unchanged, the dropped side table explains every
+        casualty (exact_dup = byte-identical to keeper, near_dup =
+        similarity evidence only), and write_curated lays the corpus down
+        source-partitioned with the audit table beside it."""
+        import os
+
+        from pegasus_spark.textops.dedup import (
+            cluster_keepers,
+            curate_corpus,
+            write_curated,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "same words here", "srcA"),
+                (2, "same words here", "srcA"),   # exact dup of keeper 1
+                (3, "same words there", "srcB"),  # near dup of keeper 1
+                (4, "lonely document", "srcB"),   # singleton survives
+            ],
+            "doc_id long, text string, source string",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+        )
+        metrics = spark.createDataFrame(
+            [(1, 0.9), (2, 0.5), (3, 0.4), (4, 0.2)],
+            "doc_id long, quality double",
+        )
+        curated, dropped = curate_corpus(docs, cluster_keepers(clusters, metrics))
+
+        surv = {r["doc_id"]: r for r in curated.collect()}
+        assert set(surv) == {1, 4}
+        orig = {r["doc_id"]: r for r in docs.collect()}
+        for did, row in surv.items():  # payload parity, every original column
+            assert row["text"] == orig[did]["text"]
+            assert row["source"] == orig[did]["source"]
+        assert surv[1]["cluster_id"] == 1 and surv[4]["cluster_id"] == 4
+
+        reasons = {r["doc_id"]: (r["keeper_id"], r["reason"]) for r in dropped.collect()}
+        assert reasons == {2: (1, "exact_dup"), 3: (1, "near_dup")}
+
+        out = str(tmp_path / "corpus")
+        write_curated(curated, dropped, out)
+        parts = sorted(
+            d.name for d in os.scandir(f"{out}/curated")
+            if d.is_dir() and d.name.startswith("source=")
+        )
+        assert parts == ["source=srcA", "source=srcB"]
+        back = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{out}/curated").collect()}
+        assert back == {1: "same words here", 4: "lonely document"}
+        dback = {
+            (r["doc_id"], r["keeper_id"], r["reason"])
+            for r in spark.read.parquet(f"{out}/dropped").collect()
+        }
+        assert dback == {(2, 1, "exact_dup"), (3, 1, "near_dup")}
