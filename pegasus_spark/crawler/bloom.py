@@ -169,6 +169,22 @@ class BloomShards:
             spark, df, self.to_dict(shards_df), hash_col=hash_col, out_col=out_col
         )
 
+    def probe_dict(self, arrays: dict[int, np.ndarray], h64) -> np.ndarray:
+        """Driver-side membership probe over the merged shard dict — the
+        IDENTICAL math to check_with_dict's executor probe (pmod shard
+        assignment, double-hash positions, all-k bit test), for callers whose
+        candidate set is already driver-resident: the scheduler's micro-batch
+        rounds probe a handful of URLs without paying a Spark job."""
+        h = np.asarray(h64, dtype=np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        sh = (h % self.n_shards + self.n_shards) % self.n_shards
+        for s in np.unique(sh):
+            bits = arrays.get(int(s))
+            idx = np.where(sh == s)[0]
+            if bits is not None and len(idx):
+                out[idx] = _test_bits(bits, _positions(h[idx], self.m_bits, self.k))
+        return out
+
     def check_with_dict(
         self, spark: SparkSession, df: DataFrame, arrays: dict[int, np.ndarray],
         hash_col: str = "url_hash64", out_col: str = "maybe_seen",

@@ -98,6 +98,9 @@ class CrawlScheduler:
         bloom: BloomShards | None = None,
         max_retries: int = 3,
         bloom_partitioned_threshold: int = 100_000_000,
+        microbatch_threshold: int = 64,
+        microbatch_max_rounds: int = 16,
+        microbatch_touched_cap: int = 100_000,
     ):
         self.spark = spark
         self.store = FrontierStore(spark, workdir)
@@ -124,6 +127,17 @@ class CrawlScheduler:
         # membership probe then switches to the shard-cogrouped path where
         # bitsets never leave their task (bloom.check_partitioned)
         self.bloom_partitioned_threshold = bloom_partitioned_threshold
+        # micro-batch mode (round-4 driver-floor amortization): consecutive
+        # DISCOVERY rounds whose dequeue is below this row count — and has no
+        # listing pages, so the CDC/apartments path always commits per round —
+        # fuse into ONE store commit; their tiny frontier updates ride the
+        # driver between rounds. 0 disables (every round commits itself).
+        self.microbatch_threshold = microbatch_threshold
+        self.microbatch_max_rounds = microbatch_max_rounds
+        # driver-held touched-row bound: a fan-out that outgrows it forces an
+        # early commit, so micro-batching can never accumulate unbounded
+        # driver state (the scale posture behind allowing ANY driver rows)
+        self.microbatch_touched_cap = microbatch_touched_cap
 
     # -- helpers -------------------------------------------------------------
 
@@ -148,6 +162,41 @@ class CrawlScheduler:
                 arr.copy() if cur is None else np.bitwise_or(cur, arr)
             )
         self._bloom_loaded = tuple(versions)
+
+    def _dequeue_breakdown(self, dq_raw: DataFrame) -> tuple[dict, set]:
+        """One collect → ({kind: count}, dequeued host set)."""
+        kind_counts: dict[str, int] = {}
+        hosts: set[str] = set()
+        for r in dq_raw.groupBy("kind", "host").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect():
+            kind_counts[r["kind"]] = kind_counts.get(r["kind"], 0) + int(r["cnt"])
+            hosts.add(r["host"])
+        return kind_counts, hosts
+
+    def _apply_fetch_states(self, rows: DataFrame, res: DataFrame) -> DataFrame:
+        """Fetch-outcome state transition, the single source of truth for
+        both commit paths: 200→fetched, 451→robots_blocked, other errors
+        re-enqueue (pending, retry_cnt+1) until max_retries then failed;
+        untouched rows keep their state. ``res`` is (url, status)."""
+        retryable = F.col("retry_cnt") + 1 <= F.lit(self.max_retries)
+        is_err = F.col("status").isNotNull() & ~F.col("status").isin(200, 451)
+        return (
+            rows.join(res, "url", "left")
+            .withColumn(
+                "state",
+                F.when(F.col("status") == 200, "fetched")
+                .when(F.col("status") == 451, "robots_blocked")
+                .when(is_err & retryable, "pending")     # re-enqueue
+                .when(is_err, "failed")                  # retries exhausted
+                .otherwise(F.col("state")),
+            )
+            .withColumn(
+                "retry_cnt",
+                F.when(is_err, F.col("retry_cnt") + 1).otherwise(F.col("retry_cnt")),
+            )
+            .drop("status")
+        )
 
     def _discoveries_from(self, parsed: DataFrame) -> DataFrame:
         """③ route: per parent kind, emit raw child rows (url, kind, priority,
@@ -257,7 +306,9 @@ class CrawlScheduler:
 
     # -- one round -----------------------------------------------------------
 
-    def run_round(self, ckpt: Checkpoint) -> tuple[Checkpoint, dict]:
+    def run_round(
+        self, ckpt: Checkpoint, max_batch_rounds: int | None = None
+    ) -> tuple[Checkpoint, dict]:
         import os
 
         phase_log = bool(os.environ.get("SPARK_GRAFT_PHASE_LOG"))
@@ -267,11 +318,25 @@ class CrawlScheduler:
         round_no = ckpt.round + 1
         frontier = self.store.read_frontier(ckpt.frontier_version)
         dq_raw = dequeue(frontier, self.budget).cache()
-        kind_counts = {r["kind"]: r["count"] for r in dq_raw.groupBy("kind").count().collect()}
+        # ONE collect yields the kind breakdown, the total, AND the dequeued
+        # host set (fetched hosts ≡ dequeued hosts — fetch_batch emits one
+        # result row per input row), so neither the micro-batch path nor the
+        # enqueue chain pays a separate hosts-distinct job. Cardinality is
+        # O(dequeued hosts) — the same as the hosts collect it replaces.
+        kind_counts, dq_hosts = self._dequeue_breakdown(dq_raw)
         n_dq = sum(kind_counts.values())
         if n_dq == 0:
             dq_raw.unpersist()
             return ckpt, {"dequeued": 0}
+        if (
+            self.microbatch_threshold
+            and n_dq < self.microbatch_threshold
+            and not kind_counts.get("listing_page", 0)
+            and (max_batch_rounds is None or max_batch_rounds > 1)
+        ):
+            return self._run_microbatch(
+                ckpt, frontier, dq_raw, kind_counts, dq_hosts, max_batch_rounds
+            )
         # seq strategy switches on the known batch size: global window for
         # small rounds, range-partitioned two-phase rank for big ones
         dq = with_dequeue_seq(
@@ -321,7 +386,9 @@ class CrawlScheduler:
                 self.store.append, "metrics", rate_stats(fetched, round_no), round_no
             )
             f_cdc = ex.submit(self._cdc_chain, parsed, kind_counts, ckpt, round_no)
-            f_enq = ex.submit(self._enqueue_chain, parsed, frontier, fetched, ckpt, round_no)
+            f_enq = ex.submit(
+                self._enqueue_chain, parsed, frontier, fetched, ckpt, round_no, dq_hosts
+            )
             f_metrics.result()
             apt_version, n_cards = f_cdc.result()
             if phase_log:
@@ -413,6 +480,315 @@ class CrawlScheduler:
             )
         return new_ckpt, {"dequeued": n_dq, "new_urls": n_new, "cards": n_cards}
 
+    # -- micro-batched discovery rounds --------------------------------------
+
+    def _run_microbatch(
+        self, ckpt: Checkpoint, base_frontier: DataFrame, dq_raw: DataFrame,
+        kind_counts: dict, dq_hosts: set, max_batch_rounds: int | None = None,
+    ) -> tuple[Checkpoint, dict]:
+        """Fuse consecutive TINY discovery rounds into ONE store commit — the
+        round-4 attack on the per-round driver floor: each committed round
+        pays a fixed ~2-3 s of job-scheduling + manifest IO regardless of
+        cores (measured via SPARK_GRAFT_PHASE_LOG: ~9 s/round at dq≤47, of
+        which ~7 s is the enqueue chain + lineage/checkpoint commit), which
+        bounds strong scaling in the sandbox and, at the 10^10-URL design
+        point, taxes the small rounds at a crawl's head and tail the same
+        way. The reference's master pays the analogous cost per job dispatch
+        round-trip (masterjob.go:399-434).
+
+        What changes vs per-round commits — and what provably does not:
+
+        - logical rounds keep their numbers and run the SAME code paths
+          (dequeue → with_dequeue_seq → fetch_batch → parse → discoveries →
+          prepare_candidates; state transitions via the shared
+          _apply_fetch_states), so the §4.3 golden ordering is byte-identical;
+        - fetch_log / metrics / rounds rows are still written per round
+          (append dirs are idempotent overwrites); ONLY the frontier, bloom,
+          lineage, and checkpoint commits are batched, at the last fused
+          round's version — intermediate version numbers are simply never
+          created (readers resolve manifests, never enumerate versions);
+        - the batch's frontier updates ride the driver between rounds (the
+          `touched` url→row dict — bounded by the entry condition
+          dq < microbatch_threshold plus microbatch_touched_cap, which forces
+          an early commit if a fan-out outgrows it), composed with the
+          committed base via a broadcast anti-join union for the next
+          dequeue;
+        - URL-seen keeps filter_unseen's two-tier semantics: candidates are
+          probed driver-side against the held bloom dict (identical math —
+          bloom.probe_dict) plus the touched set; bloom-positives get the
+          exact anti-join vs the committed frontier; on the partitioned-bloom
+          tier (no driver dict) everything takes the exact anti-join;
+        - crash mid-batch: the manifest still names the pre-batch round, the
+          rerun reproduces identical rounds (§4.3 determinism) and overwrites
+          any partial per-round artifacts — the same recovery argument as a
+          single crashed round (test_crash_recovery);
+        - rounds containing listing pages never enter a batch (entry + exit
+          condition), so the CDC/apartments path always commits per round.
+
+        Equivalence to per-round commits is pinned by
+        tests/test_resume.py::test_microbatch_equals_per_round."""
+        import os
+
+        phase_log = bool(os.environ.get("SPARK_GRAFT_PHASE_LOG"))
+        base_schema = base_frontier.schema
+        base_cols = [f.name for f in base_schema.fields]
+        state_totals: dict[str, int] = {}
+        for states in ckpt.bucket_lineage.values():
+            for s, c in states.items():
+                state_totals[s] = state_totals.get(s, 0) + int(c)
+        touched: dict[str, object] = {}   # url → current frontier row
+        new_rows_all: list = []
+        dirty_hosts: set[str] = set()
+        round_rows: list[tuple] = []
+        counters = dict(ckpt.counters)
+        n_seen0 = ckpt.counters.get("urls_enqueued", 0)
+        budget = self.microbatch_max_rounds
+        if max_batch_rounds is not None:
+            budget = min(budget, max_batch_rounds)
+        round_no = ckpt.round
+        total_dq = total_new = 0
+        drained = False
+        while True:
+            t_round = time.perf_counter()
+            round_no += 1
+            n_dq = sum(kind_counts.values())
+            dirty_hosts |= dq_hosts
+            dq = with_dequeue_seq(
+                dq_raw, round_no, n_rows=n_dq, n_partitions=self.n_partitions
+            ).cache()
+            fetcher = StoreFetcher(
+                self.page_store_path, round_start_ms=round_no * 10_000_000
+            )
+            fetch_parts = max(1, min(self.n_partitions, n_dq // 32 + 1))
+            fetched = (
+                fetch_batch(dq.drop("round", "seq"), fetcher, fetch_parts)
+                .drop("min_interval_ms", "robots_disallow")
+                .cache()
+            )
+            self.store.append(
+                "fetch_log",
+                fetched.join(dq.select("round", "seq", "url"), "url").select(
+                    "round", "seq", "url", "host", "kind", "priority", "region",
+                    "page", "status", "nbytes", "duration_ms", "fetch_ts_ms",
+                ),
+                round_no,
+            )
+            parsed = parsed_body(fetched.filter(F.col("status") == 200))
+            # metrics ∥ state-transition collect ∥ discovery/unseen collect —
+            # touched is read-only until both collects resolve
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                f_metrics = ex.submit(
+                    self.store.append, "metrics", rate_stats(fetched, round_no), round_no
+                )
+                f_upd = ex.submit(
+                    lambda: self._apply_fetch_states(
+                        dq.drop("min_interval_ms", "robots_disallow", "round", "seq"),
+                        fetched.select("url", "status"),
+                    ).select(*base_cols).collect()
+                )
+                f_new = ex.submit(
+                    self._microbatch_new_rows,
+                    parsed, base_frontier, touched, round_no, base_cols,
+                    n_seen0, ckpt,
+                )
+                f_metrics.result()
+                upd_rows = f_upd.result()
+                new_rows = f_new.result()
+            for r in upd_rows:   # dequeued rows were pending by definition
+                state_totals["pending"] = state_totals.get("pending", 0) - 1
+                state_totals[r["state"]] = state_totals.get(r["state"], 0) + 1
+                touched[r["url"]] = r
+            for r in new_rows:
+                state_totals[r["state"]] = state_totals.get(r["state"], 0) + 1
+                touched[r["url"]] = r
+                dirty_hosts.add(r["host"])
+            new_rows_all.extend(new_rows)
+            n_new = len(new_rows)
+            total_dq += n_dq
+            total_new += n_new
+            counters["pages_fetched"] = counters.get("pages_fetched", 0) + n_dq
+            counters["urls_enqueued"] = counters.get("urls_enqueued", 0) + n_new
+            round_rows.append((
+                round_no, n_dq, n_new, 0,
+                state_totals.get("pending", 0), state_totals.get("fetched", 0),
+                state_totals.get("failed", 0), state_totals.get("robots_blocked", 0),
+                float(time.perf_counter() - t_round),
+            ))
+            for df in (dq_raw, dq, fetched):
+                df.unpersist()
+            if phase_log:
+                print(
+                    f"MICRO round={round_no} dq={n_dq} new={n_new} "
+                    f"wall={time.perf_counter() - t_round:.2f}s",
+                    flush=True,
+                )
+            if (
+                round_no - ckpt.round >= budget
+                or len(touched) > self.microbatch_touched_cap
+            ):
+                break
+            # next dequeue over base ⊕ touched (broadcast-tiny overlay)
+            touched_df = self.spark.createDataFrame(
+                list(touched.values()), base_schema
+            )
+            eff = base_frontier.join(
+                F.broadcast(touched_df.select("url")), "url", "left_anti"
+            ).unionByName(touched_df)
+            dq_raw = dequeue(eff, self.budget).cache()
+            kind_counts, dq_hosts = self._dequeue_breakdown(dq_raw)
+            if sum(kind_counts.values()) == 0:
+                dq_raw.unpersist()
+                drained = True
+                break
+            if (
+                sum(kind_counts.values()) >= self.microbatch_threshold
+                or kind_counts.get("listing_page", 0)
+            ):
+                # commit what we have; the next (big / CDC) round re-derives
+                # this dequeue from the committed store via the normal path
+                dq_raw.unpersist()
+                break
+        new_ckpt = self._microbatch_commit(
+            ckpt, base_schema, touched, new_rows_all, dirty_hosts, round_rows,
+            counters, round_no, n_seen0,
+        )
+        return new_ckpt, {
+            "dequeued": total_dq, "new_urls": total_new, "cards": 0,
+            "rounds_run": round_no - ckpt.round, "drained": drained,
+        }
+
+    def _microbatch_new_rows(
+        self, parsed, base_frontier, touched, round_no, base_cols, n_seen, ckpt,
+    ) -> list:
+        """Discoveries → candidates → URL-seen pruning, micro-batch flavor:
+        the candidate set is tiny (bounded by the batch entry condition ×
+        page fan-out), so the two-tier check collapses to a driver-side bloom
+        probe + touched-dict lookup, with one exact semi-join vs the
+        committed frontier for bloom-positives only. Returned row order is
+        immaterial (every consumer sorts canonically)."""
+        cand = prepare_candidates(
+            self._discoveries_from(parsed), self.budget, round_no
+        ).select(*base_cols)
+        if n_seen <= self.bloom_partitioned_threshold:
+            import numpy as np
+
+            arrays = self._bloom_dict(ckpt)
+            rows = [r for r in cand.collect() if r["url"] not in touched]
+            if not rows:
+                return []
+            maybe = self.bloom.probe_dict(
+                arrays,
+                np.array([r["url_hash64"] for r in rows], dtype=np.int64),
+            )
+            fresh = [r for r, m in zip(rows, maybe) if not m]
+            suspects = [r for r, m in zip(rows, maybe) if m]
+            if suspects:
+                sdf = self.spark.createDataFrame(suspects, base_frontier.schema)
+                seen = {
+                    r["url"]
+                    for r in base_frontier.select("url")
+                    .join(F.broadcast(sdf.select("url")), "url", "left_semi")
+                    .collect()
+                }
+                fresh.extend(r for r in suspects if r["url"] not in seen)
+            return fresh
+        # partitioned-bloom tier (no driver dict): exact anti-join vs base
+        return [
+            r
+            for r in cand.join(
+                base_frontier.select("url"), "url", "left_anti"
+            ).collect()
+            if r["url"] not in touched
+        ]
+
+    def _microbatch_commit(
+        self, ckpt: Checkpoint, base_schema, touched, new_rows_all,
+        dirty_hosts, round_rows, counters, last_round, n_seen0,
+    ) -> Checkpoint:
+        """One commit for the whole batch: frontier delta (dirty buckets =
+        dequeued ∪ discovered hosts, exactly the per-round rule), one bloom
+        version over the batch's new URLs, one lineage delta, the buffered
+        per-round rounds rows, then the atomic checkpoint."""
+        dirty_buckets = {host_bucket_py(h) for h in dirty_hosts}
+        touched_df = self.spark.createDataFrame(list(touched.values()), base_schema)
+        old_dirty = self.store.read_frontier_buckets(
+            ckpt.frontier_version, sorted(dirty_buckets)
+        )
+        delta = (
+            old_dirty.join(F.broadcast(touched_df.select("url")), "url", "left_anti")
+            .unionByName(touched_df)
+            .cache()
+        )
+        # the frontier write materializes the delta cache first; the
+        # independent commits (bloom / rounds rows / lineage) then overlap
+        self.store.write_frontier_delta(
+            delta, last_round, ckpt.frontier_version, self.n_partitions
+        )
+        bloom_versions = list(ckpt.bloom_versions)
+        rounds_schema = (
+            "round int, dequeued int, new_urls int, cards int, pending bigint, "
+            "fetched bigint, failed bigint, robots_blocked bigint, wall_s double"
+        )
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = []
+            if new_rows_all:
+                bloom_versions.append(last_round)
+                new_df = self.spark.createDataFrame(new_rows_all, base_schema)
+                futs.append(
+                    ex.submit(
+                        self._bloom_commit, new_df, n_seen0, ckpt, last_round,
+                        bloom_versions,
+                    )
+                )
+            for row in round_rows:
+                futs.append(
+                    ex.submit(
+                        self.store.append, "rounds",
+                        self.spark.createDataFrame([row], rounds_schema), row[0],
+                    )
+                )
+            lin_rows = delta.groupBy(
+                "host", "state", host_bucket().alias("_bucket")
+            ).agg(F.count(F.lit(1)).alias("url_cnt")).cache()
+            if ckpt.lineage_version >= 0:
+                self.store.write_lineage_delta(
+                    lin_rows.drop("_bucket"), last_round, ckpt.lineage_version,
+                    self.n_partitions,
+                )
+            else:
+                self.store.write_lineage(
+                    lin_rows.drop("_bucket"), last_round, self.n_partitions
+                )
+            bucket_rows = (
+                lin_rows.groupBy("_bucket", "state")
+                .agg(F.sum("url_cnt").alias("cnt"))
+                .collect()
+            )
+            lin_rows.unpersist()
+            for f in futs:
+                f.result()
+        delta.unpersist()
+        bucket_lineage = {
+            b: dict(v)
+            for b, v in ckpt.bucket_lineage.items()
+            if int(b) not in dirty_buckets
+        }
+        for r in bucket_rows:
+            bucket_lineage.setdefault(str(r["_bucket"]), {})[r["state"]] = int(r["cnt"])
+        batch_rounds = list(range(ckpt.round + 1, last_round + 1))
+        new_ckpt = Checkpoint(
+            round=last_round,
+            frontier_version=last_round,
+            apartments_version=ckpt.apartments_version,
+            bloom_versions=bloom_versions,
+            appended_rounds=ckpt.appended_rounds + batch_rounds,
+            bucket_lineage=bucket_lineage,
+            lineage_version=last_round,
+            counters=counters,
+        )
+        self.store.write_checkpoint(new_ckpt)
+        return new_ckpt
+
     # -- round chains (run concurrently per round) ---------------------------
 
     def _cdc_chain(self, parsed, kind_counts, ckpt: Checkpoint, round_no: int):
@@ -501,13 +877,18 @@ class CrawlScheduler:
             )
         return apt_version, n_cards
 
-    def _enqueue_chain(self, parsed, frontier, fetched, ckpt: Checkpoint, round_no: int):
+    def _enqueue_chain(
+        self, parsed, frontier, fetched, ckpt: Checkpoint, round_no: int,
+        dq_hosts: set,
+    ):
         """⑥: discoveries → canonicalize → bloom/left_anti dedup → bloom
         version append → INCREMENTAL frontier commit. Only the dirty host
         buckets (dequeued hosts + hosts of new URLs) are read for the state
         update and rewritten; clean buckets are inherited through the version
         manifest — per-round frontier IO is O(dirty buckets + new rows), the
-        Iceberg-MERGE shape the 10^10-URL design point needs. Returns
+        Iceberg-MERGE shape the 10^10-URL design point needs. ``dq_hosts``
+        (the fetched side of the dirty set) comes from the round's single
+        dequeue-breakdown collect. Returns
         (n_new, bloom_versions, cached delta df, dirty bucket set)."""
         discoveries = self._discoveries_from(parsed)
         cand = prepare_candidates(discoveries, self.budget, round_no)
@@ -527,13 +908,11 @@ class CrawlScheduler:
         # the chain's driver-sequential Spark jobs dominated small rounds
         # (~7 s of fixed latency even at dq=8, measured via
         # SPARK_GRAFT_PHASE_LOG); the independent ones overlap here instead:
-        # fetched-host collect ∥ unseen count, then bloom build/write ∥
-        # new-host collect. Writes stay independent tables (bloom vs
+        # unseen count ∥ (bloom build/write ∥ new-host collect). The fetched
+        # side of the dirty set is already known (dq_hosts, from the round's
+        # single dequeue collect). Writes stay independent tables (bloom vs
         # frontier) and the round's commit point is unchanged.
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_hosts_fetched = pool.submit(
-                lambda: {r[0] for r in fetched.select("host").distinct().collect()}
-            )
+        with ThreadPoolExecutor(max_workers=2) as pool:
             n_new = new_rows.count()
             bloom_versions = list(ckpt.bloom_versions)
             f_bloom = f_hosts_new = None
@@ -545,7 +924,7 @@ class CrawlScheduler:
                 f_hosts_new = pool.submit(
                     lambda: {r[0] for r in new_rows.select("host").distinct().collect()}
                 )
-            dirty_hosts = f_hosts_fetched.result()
+            dirty_hosts = set(dq_hosts)
             if f_hosts_new is not None:
                 dirty_hosts |= f_hosts_new.result()
             dirty_buckets = {host_bucket_py(h) for h in dirty_hosts}
@@ -555,25 +934,7 @@ class CrawlScheduler:
             if f_bloom is not None:
                 f_bloom.result()
 
-        res = fetched.select("url", "status")
-        retryable = F.col("retry_cnt") + 1 <= F.lit(self.max_retries)
-        is_err = F.col("status").isNotNull() & ~F.col("status").isin(200, 451)
-        updated = (
-            old_dirty.join(res, "url", "left")
-            .withColumn(
-                "state",
-                F.when(F.col("status") == 200, "fetched")
-                .when(F.col("status") == 451, "robots_blocked")
-                .when(is_err & retryable, "pending")     # re-enqueue
-                .when(is_err, "failed")                  # retries exhausted
-                .otherwise(F.col("state")),
-            )
-            .withColumn(
-                "retry_cnt",
-                F.when(is_err, F.col("retry_cnt") + 1).otherwise(F.col("retry_cnt")),
-            )
-            .drop("status")
-        )
+        updated = self._apply_fetch_states(old_dirty, fetched.select("url", "status"))
         delta = updated.unionByName(new_rows).cache()
         self.store.write_frontier_delta(
             delta, round_no, ckpt.frontier_version, self.n_partitions
@@ -624,11 +985,17 @@ class CrawlScheduler:
         rounds = 0
         drained = False
         while rounds < max_rounds:
-            ckpt, info = self.run_round(ckpt)
+            # a micro-batched call may run several logical rounds in one
+            # commit — it reports how many, and whether it drained in-batch,
+            # so the round budget and the finished flag stay exact
+            ckpt, info = self.run_round(ckpt, max_batch_rounds=max_rounds - rounds)
             if info.get("dequeued", 0) == 0:
                 drained = True
                 break
-            rounds += 1
+            rounds += info.get("rounds_run", 1)
+            if info.get("drained"):
+                drained = True
+                break
         wall = time.perf_counter() - t0
         if drained and not ckpt.finished:
             ckpt.finished = True

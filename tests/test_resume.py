@@ -22,7 +22,7 @@ def fixture_dir(spark, tmp_path_factory):
     return spec, fx
 
 
-def _mk(spark, spec, fx, work, n_partitions=8):
+def _mk(spark, spec, fx, work, n_partitions=8, **kw):
     return CrawlScheduler(
         spark, work,
         page_store_path=f"{fx}/site_pages_r1.parquet",
@@ -31,6 +31,7 @@ def _mk(spark, spec, fx, work, n_partitions=8):
         seed_urls=[spec.root_url],
         now_ts=TS,
         n_partitions=n_partitions,
+        **kw,
     )
 
 
@@ -202,3 +203,62 @@ def test_scalable_seq_matches_window_seq(spark):
     got = {r["url"]: r["seq"] for r in big.select("url", "seq").collect()}
     want = {r["url"]: r["seq"] for r in small.collect()}
     assert got == want
+
+
+def test_microbatch_equals_per_round(spark, fixture_dir, tmp_path_factory):
+    """Round-4 driver-floor amortization: fusing tiny discovery rounds into
+    one commit (microbatch_threshold default) must be invisible in every
+    LOGICAL output vs per-round commits (threshold=0) — apartments, golden
+    fetch_log, URL-seen frontier, and the per-round rounds rows including
+    their global state totals. Only the version lists may differ (the batch
+    commits at its last round's version; intermediate versions are never
+    created)."""
+    spec, fx = fixture_dir
+    outs, rounds_tables, ckpts = [], [], []
+    for mb in (0, 64):
+        w = str(tmp_path_factory.mktemp(f"wmb{mb}"))
+        s = _mk(spark, spec, fx, w, microbatch_threshold=mb)
+        s.run()
+        ckpt = s.store.load_checkpoint()
+        outs.append(_outputs(s))
+        rounds_tables.append(
+            s.store.read_appended("rounds", ckpt.appended_rounds)
+            .toPandas().sort_values("round").reset_index(drop=True)
+        )
+        ckpts.append(ckpt)
+    (a0, l0, f0), (a1, l1, f1) = outs
+    pd.testing.assert_frame_equal(a0, a1)
+    pd.testing.assert_frame_equal(l0, l1)
+    pd.testing.assert_frame_equal(f0, f1)
+    r0, r1 = rounds_tables
+    cols = [c for c in r0.columns if c != "wall_s"]  # wall is physical
+    pd.testing.assert_frame_equal(r0[cols], r1[cols])
+    # same logical round count, counters, and drain flag in the manifest
+    assert ckpts[0].round == ckpts[1].round
+    assert ckpts[0].counters == ckpts[1].counters
+    assert ckpts[0].finished and ckpts[1].finished
+    # the micro-batched store actually fused: fewer committed versions
+    assert len(ckpts[1].bloom_versions) < len(ckpts[0].bloom_versions)
+
+
+def test_microbatch_resume_mid_batch_boundary(spark, fixture_dir, tmp_path_factory):
+    """run(max_rounds=k) must stop at exactly k logical rounds even when a
+    batch would span the boundary, and a fresh scheduler must resume from
+    that commit to the identical final state."""
+    spec, fx = fixture_dir
+    w_ref = str(tmp_path_factory.mktemp("mbref"))
+    ref = _mk(spark, spec, fx, w_ref)
+    ref.run()
+
+    w = str(tmp_path_factory.mktemp("mbpart"))
+    part = _mk(spark, spec, fx, w)
+    part.run(max_rounds=2)
+    ckpt = part.store.load_checkpoint()
+    assert ckpt.round == 2 and not ckpt.finished
+    resumed = _mk(spark, spec, fx, w)
+    resumed.run()
+    a1, l1, f1 = _outputs(ref)
+    a2, l2, f2 = _outputs(resumed)
+    pd.testing.assert_frame_equal(a1, a2)
+    pd.testing.assert_frame_equal(l1, l2)
+    pd.testing.assert_frame_equal(f1, f2)
