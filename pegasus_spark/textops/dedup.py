@@ -464,8 +464,10 @@ def ngram_jaccard_pairs(
     and the deduped postings materialize once (localCheckpoint) for all four
     consumers — counts, df-scan, and both join sides. The round-3 tune
     (pre-repartition on ``id_col`` so the gram build parallelizes instead of
-    running in the single scan task) took sf0.1 warm from 7.1 s to ~4.0 s;
-    the residual floor is the pair join itself — 1.13M candidate pairs
+    running in the single scan task) took sf0.1 warm from 7.1 s to the
+    ~5.3 s record (bench: 5.28 s round 3, 5.54 s round 4 — the earlier
+    "~4.0 s" here was a one-off quiet-run reading, reconciled per
+    VERDICT-r3 #6); the residual floor is the pair join itself — 1.13M candidate pairs
     survive the df-cut at sf0.1 (measured), and the two-sided equality join
     beats a groupBy+in-bucket pair expansion (interpreted lambda) by ~1.5×,
     so ~2 s of the total is irreducible candidate-verification volume, not
