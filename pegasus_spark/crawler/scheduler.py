@@ -98,7 +98,7 @@ class CrawlScheduler:
         bloom: BloomShards | None = None,
         max_retries: int = 3,
         bloom_partitioned_threshold: int = 100_000_000,
-        microbatch_threshold: int = 64,
+        microbatch_threshold: int = 256,
         microbatch_max_rounds: int = 16,
         microbatch_touched_cap: int = 100_000,
     ):
