@@ -206,16 +206,23 @@ Cross-JVM determinism: both runs produced identical golden-ordering and
 URL-seen digests (fetch_log_hash = `{s2["fetch_log_hash"]}`, url_seen_hash =
 `{s2["url_seen_hash"]}`) — asserted by this harness on every run.
 
-Strong efficiency: **{strong_eff}**. Bounded by two sandbox artifacts that do
-not exist on a real cluster: (a) each scheduler round pays a fixed ~3-5 s of
-driver job-scheduling latency regardless of cores (≈15-20 s per crawl here;
-at the 10^10-URL design point a round processes millions of pages and this
-floor amortizes below 1%), and (b) all "executors" share one throttled
-virtual disk, so the parquet/shuffle IO of frontier snapshots and payload
-writes does not scale locally — on a cluster, storage bandwidth scales with
-nodes (HDFS/S3). The component number (§1) isolates the compute path; the
-weak number (§2) — the operative regime the BASELINE.md criterion names —
-shows the whole round loop sustains 4× the workload at 4N cores.
+Strong efficiency: **{strong_eff}**. Read this WITH the absolute numbers:
+the round-4 driver-floor amortization (micro-batched discovery commits,
+overlapped bootstrap and store writes) raised throughput at BOTH levels
+~3-4× over round 3 (local[2] best 40 → {s2["pages_per_sec"]} pages/s on the
+identical fixture), which mechanically LOWERS this ratio — what remains of
+the wall is dominated by store-commit latency on the sandbox's single
+throttled virtual disk, identical at 2 and 8 cores. Measured Amdahl
+decomposition on this fixture (round 4, from the 2-vs-8-core wall pair):
+≈100 core-s of parallelizable per-page work against ≈55 s of
+write/commit latency that does not change with cores; growing the fixture
+grows the dirty-partition write count with it, so no local fixture size
+escapes the disk term. On a real cluster the write side scales with
+storage nodes (HDFS/S3 — the frontier/apartments writes are independent
+partition dirs by construction). The component number (§1) isolates the
+compute path; the weak number (§2) — the operative regime the BASELINE.md
+criterion names — shows the whole round loop sustains 4× the workload at
+4N cores.
 
 Determinism: tests/test_resume.py::test_partition_count_invariance proves
 every parallelism level performs identical logical work (same fetch log,

@@ -261,16 +261,32 @@ ORDER BY v.doc_id
 """
 
 
+# cluster-assignment memo: (spark applicationId, sf_dir) → materialized
+# (doc_id, cluster_id) DataFrame. Four registry queries (cross_modal_clusters,
+# dedup_keepers, curated_corpus, dropped_docs) consume the SAME deterministic
+# cluster build — recomputing the evidence union + iterative CC per query
+# cost ~8 s each at sf0.1. This is the in-process analog of what a real
+# pipeline does at 100 TB: write the cluster assignment to a table once,
+# then run keeper selection / curation / audits against it.
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cross_modal_cluster_df(spark, sf_dir):
-    """Shared by q_cross_modal_clusters and q_dedup_keepers: connected
-    components over the union of ALL near-dup evidence — minhash (shingle
-    Jaccard), simhash (token Hamming), and embedding sign-LSH cosine — so a
-    pair caught by any detector lands in the same cluster. Embedding ids map
-    1:1 onto doc ids in the synthetic tables; edges are semi-joined to the
-    document vertex set so foreign ids cannot enter the graph. Scale shape:
-    each evidence source is already a bucketed equality join; the union adds
-    no new shuffle class, and the CC machinery is the proven
-    min-label-propagation + pointer-jumping loop."""
+    """Shared by q_cross_modal_clusters / q_dedup_keepers / q_curated_corpus
+    / q_dropped_docs: connected components over the union of ALL near-dup
+    evidence — minhash (shingle Jaccard), simhash (token Hamming), and
+    embedding sign-LSH cosine — so a pair caught by any detector lands in
+    the same cluster. Embedding ids map 1:1 onto doc ids in the synthetic
+    tables; edges are semi-joined to the document vertex set so foreign ids
+    cannot enter the graph. Scale shape: each evidence source is already a
+    bucketed equality join; the union adds no new shuffle class, and the CC
+    machinery is the proven min-label-propagation + pointer-jumping loop.
+    The result is deterministic, so the materialized assignment is memoized
+    per (session, sf_dir) and reused by every downstream consumer."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTER_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     # the three evidence builders each run eager localCheckpoint jobs at
@@ -301,7 +317,9 @@ def _cross_modal_cluster_df(spark, sf_dir):
         .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
         .distinct()
     )
-    return D.near_dup_clusters(docs, pairs)
+    clusters = D.near_dup_clusters(docs, pairs).localCheckpoint(eager=True)
+    _CLUSTER_CACHE[cache_key] = clusters
+    return clusters
 
 
 def q_cross_modal_clusters(spark, sf_dir):
