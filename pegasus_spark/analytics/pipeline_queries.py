@@ -1216,6 +1216,77 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (T.pack_shards): the plan a training run
+    uses to cut a corpus into ~512-token shards, per source, in doc_id
+    order — deterministic streaming first-fit via an exclusive prefix sum.
+    One partition-local window per source, no global exchange (the packing
+    unit IS the parallel unit at 100 TB)."""
+    return T.pack_shards(_docs(spark, sf_dir), budget=512).orderBy("doc_id")
+
+
+ORACLE_PACK_SHARDS = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prior
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(prior / 512.0) AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/valid/test assignment: the split is decided by
+    the md5 of the doc's CROSS-MODAL cluster id — every member of a
+    near-dup cluster (caught by minhash, simhash, OR embedding evidence)
+    lands in the same split. Hashing doc ids instead would scatter
+    near-duplicates of eval documents into train, the contamination the
+    decontaminate operator exists to catch after the fact. 90/5/5 by the
+    first 4 hex digits of md5(cluster_id). Reuses the memoized cluster
+    assignment; the split itself is a narrow projection."""
+    clusters = _cross_modal_cluster_df(spark, sf_dir)
+    b = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        clusters.withColumn(
+            "split",
+            F.when(b < 90, "train").when(b < 95, "valid").otherwise("test"),
+        )
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CLUSTER_SPLIT = _ORACLE_CROSS_MODAL_BODY + r""",
+clusters AS (
+  SELECT v.doc_id,
+         CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+  FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+  GROUP BY v.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+  FROM clusters
+)
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -1244,6 +1315,8 @@ PIPELINE_QUERIES = {
     "gopher_rules": q_gopher_rules,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "pack_shards": q_pack_shards,
+    "cluster_split": q_cluster_split,
 }
 
 PIPELINE_ORACLES = {
@@ -1274,4 +1347,6 @@ PIPELINE_ORACLES = {
     "gopher_rules": ORACLE_GOPHER_RULES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "dup_rate_by_source": ORACLE_DUP_RATE_BY_SOURCE,
+    "pack_shards": ORACLE_PACK_SHARDS,
+    "cluster_split": ORACLE_CLUSTER_SPLIT,
 }

@@ -172,3 +172,37 @@ def with_fingerprint(df: DataFrame, k: int = 8) -> DataFrame:
             f"i -> md5(substring(trim(text), i, {k}))))"
         ),
     )
+
+
+def pack_shards(
+    df: DataFrame, budget: int = 512, group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget shard packing — the training-data shard planner: within
+    each group, documents in id order fill shards of ~``budget`` tokens; a
+    document's shard is ``floor(exclusive-prefix-sum(n_tokens) / budget)``
+    (deterministic streaming first-fit: a doc starts the next shard once
+    the running total before it crosses the boundary; an oversized doc
+    simply owns its span). Output: (id, group, n_tokens, shard_id).
+
+    Scale shape: ONE partition-local window per group and no global
+    exchange — the group (source / dump / date bucket) is the packing unit
+    precisely so the prefix sum never crosses the corpus; packing 100 TB
+    globally would serialize it through a single ordered partition."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_token_count(df)
+        .withColumn("_prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.floor(F.col("_prior") / F.lit(float(budget))).cast("bigint").alias("shard_id"),
+        )
+    )

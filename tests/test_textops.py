@@ -392,3 +392,50 @@ class TestCurateCorpus:
             for r in spark.read.parquet(f"{out}/dropped").collect()
         }
         assert dback == {(2, 1, "exact_dup"), (3, 1, "near_dup")}
+
+
+class TestPackShards:
+    def test_boundaries_oversize_and_group_independence(self, spark):
+        """Streaming first-fit semantics: shard flips when the EXCLUSIVE
+        prefix sum crosses the budget; an oversized doc owns its span (the
+        next doc skips shards); groups pack independently."""
+        from pegasus_spark.textops.text import pack_shards
+
+        def doc(i, src, n):
+            return (i, " ".join(["w"] * n), src)
+
+        docs = spark.createDataFrame(
+            [doc(1, "a", 300), doc(2, "a", 300), doc(3, "a", 300),
+             doc(4, "a", 300), doc(5, "a", 300),
+             doc(10, "b", 1200), doc(11, "b", 100)],
+            "doc_id long, text string, source string",
+        )
+        got = {r["doc_id"]: (r["n_tokens"], r["shard_id"])
+               for r in pack_shards(docs, budget=512).collect()}
+        # a: priors 0,300,600,900,1200 → shards 0,0,1,1,2
+        assert [got[i][1] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 1, 2]
+        # b: the 1200-token doc starts shard 0 and owns shards 0-2;
+        # the next doc's prior=1200 → shard 2 (floor semantics)
+        assert got[10] == (1200, 0) and got[11] == (100, 2)
+
+
+class TestClusterSplit:
+    def test_same_cluster_same_split(self, spark):
+        """Leakage safety: every member of a cross-modal near-dup cluster
+        gets the SAME split, and splits are the three expected labels."""
+        import pyspark.sql.functions as F
+
+        from pegasus_spark.analytics.pipeline_queries import q_cluster_split
+
+        res = q_cluster_split(spark, "/root/testdata/sf0.001").cache()
+        splits = {r["split"] for r in res.select("split").distinct().collect()}
+        assert splits <= {"train", "valid", "test"} and "train" in splits
+        per_cluster = res.groupBy("cluster_id").agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("members"),
+        )
+        assert per_cluster.filter("n_splits != 1").count() == 0
+        # the fixture contains real multi-member clusters, so the property
+        # is exercised, not vacuous
+        assert per_cluster.filter("members >= 2").count() > 0
+        res.unpersist()
