@@ -268,7 +268,7 @@ ORDER BY v.doc_id
 # cost ~8 s each at sf0.1. This is the in-process analog of what a real
 # pipeline does at 100 TB: write the cluster assignment to a table once,
 # then run keeper selection / curation / audits against it.
-_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cross_modal_cluster_df(spark, sf_dir):
@@ -282,8 +282,21 @@ def _cross_modal_cluster_df(spark, sf_dir):
     bucketed equality join; the union adds no new shuffle class, and the CC
     machinery is the proven min-label-propagation + pointer-jumping loop.
     The result is deterministic, so the materialized assignment is memoized
-    per (session, sf_dir) and reused by every downstream consumer."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    per (session, sf_dir, input mtimes) and reused by every downstream
+    consumer — the mtime component invalidates the memo if the backing
+    parquet is regenerated mid-session."""
+    import os
+
+    def _mt(name):
+        try:
+            return os.path.getmtime(os.path.join(sf_dir, name))
+        except OSError:
+            return -1.0
+
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir,
+        _mt("documents.parquet"), _mt("embeddings.parquet"),
+    )
     cached = _CLUSTER_CACHE.get(cache_key)
     if cached is not None:
         return cached

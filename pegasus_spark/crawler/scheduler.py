@@ -163,6 +163,37 @@ class CrawlScheduler:
             )
         self._bloom_loaded = tuple(versions)
 
+    def _fetch_and_log(self, dq: DataFrame, round_no: int, n_dq: int) -> DataFrame:
+        """② fetch + golden-ordering log, shared VERBATIM by both commit
+        paths — the §4.3 equivalence between per-round and micro-batched
+        commits depends on exactly one copy of this block existing.
+
+        Politeness/robots config rides the dequeued rows (budget-joined in
+        dequeue) so the fetcher closure is O(1) — no per-task host maps; the
+        CPU-bound Python fetch stage pins its parallelism from the known
+        dequeue count (~32 pages/task floor, capped at n_partitions). The
+        fetch_log append carries seq assigned at DEQUEUE time, so the
+        ordering contract is a pure function of the dequeue decision,
+        independent of fetch outcome."""
+        fetcher = StoreFetcher(
+            self.page_store_path, round_start_ms=round_no * 10_000_000
+        )
+        fetch_parts = max(1, min(self.n_partitions, n_dq // 32 + 1))
+        fetched = (
+            fetch_batch(dq.drop("round", "seq"), fetcher, fetch_parts)
+            .drop("min_interval_ms", "robots_disallow")
+            .cache()
+        )
+        self.store.append(
+            "fetch_log",
+            fetched.join(dq.select("round", "seq", "url"), "url").select(
+                "round", "seq", "url", "host", "kind", "priority", "region",
+                "page", "status", "nbytes", "duration_ms", "fetch_ts_ms",
+            ),
+            round_no,
+        )
+        return fetched
+
     def _dequeue_breakdown(self, dq_raw: DataFrame) -> tuple[dict, set]:
         """One collect → ({kind: count}, dequeued host set)."""
         kind_counts: dict[str, int] = {}
@@ -350,39 +381,13 @@ class CrawlScheduler:
             return self._run_microbatch(
                 ckpt, frontier, dq_raw, kind_counts, dq_hosts, max_batch_rounds
             )
-        # seq strategy switches on the known batch size: global window for
-        # small rounds, range-partitioned two-phase rank for big ones
         dq = with_dequeue_seq(
             dq_raw, round_no, n_rows=n_dq, n_partitions=self.n_partitions
         ).cache()
         if phase_log:
             phases["dequeue"] = time.perf_counter() - t
             t = time.perf_counter()
-
-        # politeness/robots config rides the dequeued rows (budget-joined in
-        # dequeue) — the fetcher closure is O(1), no per-task host maps
-        fetcher = StoreFetcher(
-            self.page_store_path, round_start_ms=round_no * 10_000_000
-        )
-        # explicit parallelism for the CPU-bound Python stage, sized from the
-        # known dequeue count (~32 pages/task floor, capped at n_partitions)
-        fetch_parts = max(1, min(self.n_partitions, n_dq // 32 + 1))
-        fetched = (
-            fetch_batch(dq.drop("round", "seq"), fetcher, fetch_parts)
-            .drop("min_interval_ms", "robots_disallow")
-            .cache()
-        )
-        # golden ordering log + per-fetch audit in ONE append. seq was
-        # assigned at dequeue time, so the ordering contract is a pure
-        # function of the dequeue decision, independent of fetch outcome.
-        self.store.append(
-            "fetch_log",
-            fetched.join(dq.select("round", "seq", "url"), "url").select(
-                "round", "seq", "url", "host", "kind", "priority", "region", "page",
-                "status", "nbytes", "duration_ms", "fetch_ts_ms",
-            ),
-            round_no,
-        )
+        fetched = self._fetch_and_log(dq, round_no, n_dq)
         parsed = parsed_body(fetched.filter(F.col("status") == 200)).cache()
         if phase_log:
             phases["fetch+log"] = time.perf_counter() - t
@@ -522,10 +527,12 @@ class CrawlScheduler:
           created (readers resolve manifests, never enumerate versions);
         - the batch's frontier updates ride the driver between rounds (the
           `touched` url→row dict — bounded by the entry condition
-          dq < microbatch_threshold plus microbatch_touched_cap, which forces
-          an early commit if a fan-out outgrows it), composed with the
-          committed base via a broadcast anti-join union for the next
-          dequeue;
+          dq < microbatch_threshold plus microbatch_touched_cap: candidate
+          collection streams against the remaining cap and a single round's
+          oversized fan-out overflows to a fully DISTRIBUTED flush
+          (_microbatch_new_rows), so no round can exceed the driver budget),
+          composed with the committed base via a broadcast anti-join union
+          for the next dequeue;
         - URL-seen keeps filter_unseen's two-tier semantics: candidates are
           probed driver-side against the held bloom dict (identical math —
           bloom.probe_dict) plus the touched set; bloom-positives get the
@@ -569,23 +576,7 @@ class CrawlScheduler:
             dq = with_dequeue_seq(
                 dq_raw, round_no, n_rows=n_dq, n_partitions=self.n_partitions
             ).cache()
-            fetcher = StoreFetcher(
-                self.page_store_path, round_start_ms=round_no * 10_000_000
-            )
-            fetch_parts = max(1, min(self.n_partitions, n_dq // 32 + 1))
-            fetched = (
-                fetch_batch(dq.drop("round", "seq"), fetcher, fetch_parts)
-                .drop("min_interval_ms", "robots_disallow")
-                .cache()
-            )
-            self.store.append(
-                "fetch_log",
-                fetched.join(dq.select("round", "seq", "url"), "url").select(
-                    "round", "seq", "url", "host", "kind", "priority", "region",
-                    "page", "status", "nbytes", "duration_ms", "fetch_ts_ms",
-                ),
-                round_no,
-            )
+            fetched = self._fetch_and_log(dq, round_no, n_dq)
             parsed = parsed_body(fetched.filter(F.col("status") == 200))
             # metrics ∥ state-transition collect ∥ discovery/unseen collect —
             # touched is read-only until both collects resolve
@@ -606,21 +597,39 @@ class CrawlScheduler:
                 )
                 f_metrics.result()
                 upd_rows = f_upd.result()
-                new_rows = f_new.result()
+                new_rows, overflow_df = f_new.result()
             for r in upd_rows:   # dequeued rows were pending by definition
                 state_totals["pending"] = state_totals.get("pending", 0) - 1
                 state_totals[r["state"]] = state_totals.get(r["state"], 0) + 1
                 touched[r["url"]] = r
-            for r in new_rows:
-                state_totals[r["state"]] = state_totals.get(r["state"], 0) + 1
-                touched[r["url"]] = r
-                dirty_hosts.add(r["host"])
-            new_rows_all.extend(new_rows)
-            n_new = len(new_rows)
+            if overflow_df is not None:
+                # a fan-out outgrew the driver budget: the round's new rows
+                # stayed distributed; fold their aggregates in (O(states) +
+                # O(new hosts) collects — the same posture as the normal
+                # enqueue chain's dirty-host collect) and flush the batch
+                n_new = 0
+                for r in overflow_df.groupBy("state").count().collect():
+                    state_totals[r["state"]] = (
+                        state_totals.get(r["state"], 0) + int(r["count"])
+                    )
+                    n_new += int(r["count"])
+                dirty_hosts |= {
+                    r[0] for r in overflow_df.select("host").distinct().collect()
+                }
+            else:
+                for r in new_rows:
+                    state_totals[r["state"]] = state_totals.get(r["state"], 0) + 1
+                    touched[r["url"]] = r
+                    dirty_hosts.add(r["host"])
+                new_rows_all.extend(new_rows)
+                n_new = len(new_rows)
             total_dq += n_dq
             total_new += n_new
             counters["pages_fetched"] = counters.get("pages_fetched", 0) + n_dq
             counters["urls_enqueued"] = counters.get("urls_enqueued", 0) + n_new
+            # discovery rounds parse no cards, but the key must exist so the
+            # committed counters carry the same shape as per-round mode
+            counters["cards_parsed"] = counters.get("cards_parsed", 0)
             round_rows.append((
                 round_no, n_dq, n_new, 0,
                 state_totals.get("pending", 0), state_totals.get("fetched", 0),
@@ -636,7 +645,8 @@ class CrawlScheduler:
                     flush=True,
                 )
             if (
-                round_no - ckpt.round >= budget
+                overflow_df is not None
+                or round_no - ckpt.round >= budget
                 or len(touched) > self.microbatch_touched_cap
             ):
                 break
@@ -663,7 +673,7 @@ class CrawlScheduler:
                 break
         new_ckpt = self._microbatch_commit(
             ckpt, base_schema, touched, new_rows_all, dirty_hosts, round_rows,
-            counters, round_no, n_seen0,
+            counters, round_no, n_seen0, extra_new_df=overflow_df,
         )
         return new_ckpt, {
             "dequeued": total_dq, "new_urls": total_new, "cards": 0,
@@ -672,23 +682,48 @@ class CrawlScheduler:
 
     def _microbatch_new_rows(
         self, parsed, base_frontier, touched, round_no, base_cols, n_seen, ckpt,
-    ) -> list:
-        """Discoveries → candidates → URL-seen pruning, micro-batch flavor:
-        the candidate set is tiny (bounded by the batch entry condition ×
-        page fan-out), so the two-tier check collapses to a driver-side bloom
+    ) -> tuple[list | None, DataFrame | None]:
+        """Discoveries → candidates → URL-seen pruning, micro-batch flavor.
+        Normally the candidate set is tiny (batch entry condition × page
+        fan-out), so the two-tier check collapses to a driver-side bloom
         probe + touched-dict lookup, with one exact semi-join vs the
-        committed frontier for bloom-positives only. Returned row order is
-        immaterial (every consumer sorts canonically)."""
+        committed frontier for bloom-positives only — returns (rows, None),
+        row order immaterial (every consumer sorts canonically).
+
+        The driver-residency is NOT assumed, it is enforced: candidates
+        stream through toLocalIterator against the remaining
+        microbatch_touched_cap budget, so a surprise fan-out (a sub-threshold
+        dequeue of region pages each advertising thousands of listing pages)
+        can never OOM the driver. On overflow the collected prefix is
+        discarded and the round's new rows are computed fully DISTRIBUTED —
+        exact anti-join vs the committed base and the touched overlay —
+        returning (None, new_df); the caller folds that DataFrame into an
+        immediate batch flush."""
         cand = prepare_candidates(
             self._discoveries_from(parsed), self.budget, round_no
         ).select(*base_cols)
-        if n_seen <= self.bloom_partitioned_threshold:
+        cap = max(0, self.microbatch_touched_cap - len(touched))
+        dict_tier = n_seen <= self.bloom_partitioned_threshold
+        probe_src = (
+            cand
+            if dict_tier
+            else cand.join(base_frontier.select("url"), "url", "left_anti")
+        )
+        rows: list = []
+        overflow = False
+        for r in probe_src.toLocalIterator():  # one partition in flight
+            if r["url"] in touched:
+                continue
+            rows.append(r)
+            if len(rows) > cap:
+                overflow = True
+                break
+        if not overflow:
+            if not dict_tier or not rows:
+                return rows, None
             import numpy as np
 
             arrays = self._bloom_dict(ckpt)
-            rows = [r for r in cand.collect() if r["url"] not in touched]
-            if not rows:
-                return []
             maybe = self.bloom.probe_dict(
                 arrays,
                 np.array([r["url_hash64"] for r in rows], dtype=np.int64),
@@ -704,26 +739,33 @@ class CrawlScheduler:
                     .collect()
                 }
                 fresh.extend(r for r in suspects if r["url"] not in seen)
-            return fresh
-        # partitioned-bloom tier (no driver dict): exact anti-join vs base
-        return [
-            r
-            for r in cand.join(
-                base_frontier.select("url"), "url", "left_anti"
-            ).collect()
-            if r["url"] not in touched
-        ]
+            return fresh, None
+        # overflow: exact, distributed, nothing row-shaped on the driver
+        new_df = cand.join(base_frontier.select("url"), "url", "left_anti")
+        if touched:
+            tdf = self.spark.createDataFrame(
+                [(u,) for u in touched], "url string"
+            )
+            new_df = new_df.join(F.broadcast(tdf), "url", "left_anti")
+        return None, new_df.localCheckpoint(eager=True)
 
     def _microbatch_commit(
         self, ckpt: Checkpoint, base_schema, touched, new_rows_all,
         dirty_hosts, round_rows, counters, last_round, n_seen0,
+        extra_new_df: DataFrame | None = None,
     ) -> Checkpoint:
         """One commit for the whole batch: frontier delta (dirty buckets =
         dequeued ∪ discovered hosts, exactly the per-round rule), one bloom
         version over the batch's new URLs, one lineage delta, the buffered
-        per-round rounds rows, then the atomic checkpoint."""
+        per-round rounds rows, then the atomic checkpoint. ``extra_new_df``
+        is the overflow round's DISTRIBUTED new rows (already checkpointed),
+        when a fan-out outgrew the driver budget — it joins the touched rows
+        in the delta and the bloom build without ever landing on the
+        driver."""
         dirty_buckets = {host_bucket_py(h) for h in dirty_hosts}
         touched_df = self.spark.createDataFrame(list(touched.values()), base_schema)
+        if extra_new_df is not None:
+            touched_df = touched_df.unionByName(extra_new_df.select(*touched_df.columns))
         old_dirty = self.store.read_frontier_buckets(
             ckpt.frontier_version, sorted(dirty_buckets)
         )
@@ -749,9 +791,16 @@ class CrawlScheduler:
                     ckpt.frontier_version, self.n_partitions,
                 )
             ]
-            if new_rows_all:
+            if new_rows_all or extra_new_df is not None:
                 bloom_versions.append(last_round)
-                new_df = self.spark.createDataFrame(new_rows_all, base_schema)
+                new_df = None
+                if new_rows_all:
+                    new_df = self.spark.createDataFrame(new_rows_all, base_schema)
+                if extra_new_df is not None:
+                    extra = extra_new_df.select(
+                        *(new_df.columns if new_df is not None else base_schema.fieldNames())
+                    )
+                    new_df = extra if new_df is None else new_df.unionByName(extra)
                 futs.append(
                     ex.submit(
                         self._bloom_commit, new_df, n_seen0, ckpt, last_round,

@@ -113,9 +113,15 @@ def main(argv: list[str] | None = None) -> int:
     store = FrontierStore(spark, argv[0])
     out = crawl_status(spark, argv[0], store)
     if dup_report:
-        out["dup_report"] = [
-            r.asDict() for r in crawl_dup_report(spark, argv[0], store).collect()
-        ]
+        try:
+            out["dup_report"] = [
+                r.asDict() for r in crawl_dup_report(spark, argv[0], store).collect()
+            ]
+        except FileNotFoundError as exc:
+            # a store stopped before its first listing round has no committed
+            # items — a usage-level condition, not a traceback
+            print(f"--dup-report: {exc}", file=sys.stderr)
+            return 2
     if compact:
         # maintenance: expire store versions no checkpoint references
         # (FrontierStore.compact — the Iceberg expire_snapshots equivalent;

@@ -262,3 +262,21 @@ def test_microbatch_resume_mid_batch_boundary(spark, fixture_dir, tmp_path_facto
     pd.testing.assert_frame_equal(a1, a2)
     pd.testing.assert_frame_equal(l1, l2)
     pd.testing.assert_frame_equal(f1, f2)
+
+
+def test_microbatch_overflow_flush_equivalence(spark, fixture_dir, tmp_path_factory):
+    """A discovery fan-out larger than the driver budget must overflow to
+    the distributed flush (_microbatch_new_rows returns a DataFrame, the
+    batch commits immediately) and still produce byte-identical outputs —
+    the driver-residency guard is a physical choice, never a semantic one."""
+    spec, fx = fixture_dir
+    outs = []
+    for cap in (100_000, 5):  # normal vs forced-overflow on the first rounds
+        w = str(tmp_path_factory.mktemp(f"wcap{cap}"))
+        s = _mk(spark, spec, fx, w, microbatch_touched_cap=cap)
+        s.run()
+        outs.append(_outputs(s))
+    (a1, l1, f1), (a2, l2, f2) = outs
+    pd.testing.assert_frame_equal(a1, a2)
+    pd.testing.assert_frame_equal(l1, l2)
+    pd.testing.assert_frame_equal(f1, f2)
