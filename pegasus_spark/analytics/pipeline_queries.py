@@ -1300,6 +1300,91 @@ ORDER BY doc_id
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: spherical
+    k-means (k=8, one iteration — the SAME oracle-pinned clustering as
+    kmeans_clusters) buckets the space, then within-cell pairs with
+    round(cos·10⁴) ≥ 4000 mark the higher id as a duplicate (greedy
+    keep-lowest-id). τ is calibrated to the synthetic table's cosine range
+    (global max pair cos ≈ 0.51 — real corpora run τ ≈ 0.95); at this cut
+    ~4% of rows drop, so the gate exercises both verdicts. The cluster id
+    is the equality join key that replaces the all-pairs scan."""
+    return S.semantic_dedup(_emb(spark, sf_dir), k=8, iters=1, tau_x10k=4000)
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH e AS (
+  SELECT vec_id, q FROM (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+    FROM embeddings
+  ) WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0
+),
+c0 AS (SELECT vec_id AS cid, q AS cvec FROM e WHERE vec_id < 8),
+s0 AS (
+  SELECT e.vec_id, c.cid,
+         CAST(round(list_dot_product(q::DOUBLE[], cvec::DOUBLE[])
+                    / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))
+                       * sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[])))
+                    * 10000, 0) AS BIGINT) * 1000000 - c.cid AS val
+  FROM e, c0 c
+),
+a0 AS (SELECT vec_id, arg_max(cid, val) AS cell FROM s0 GROUP BY vec_id),
+m AS (
+  SELECT a0.cell, generate_subscripts(q, 1) AS pos, unnest(q) AS x
+  FROM a0 JOIN e USING (vec_id)
+),
+msum AS (SELECT cell, pos, SUM(x) AS s FROM m GROUP BY cell, pos),
+c1 AS (SELECT cell AS cid, list(s ORDER BY pos) AS cvec FROM msum GROUP BY cell),
+s1 AS (
+  SELECT e.vec_id, c.cid,
+         CAST(round(list_dot_product(q::DOUBLE[], cvec::DOUBLE[])
+                    / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))
+                       * sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[])))
+                    * 10000, 0) AS BIGINT) * 1000000 - c.cid AS val
+  FROM e, c1 c
+),
+a AS (SELECT vec_id, arg_max(cid, val) AS cell FROM s1 GROUP BY vec_id),
+v AS (SELECT a.vec_id, a.cell, e.q FROM a JOIN e USING (vec_id)),
+dups AS (
+  SELECT DISTINCT x.vec_id
+  FROM v x JOIN v y ON x.cell = y.cell AND y.vec_id < x.vec_id
+  WHERE CAST(round(list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[])
+             / (sqrt(list_dot_product(x.q::DOUBLE[], x.q::DOUBLE[]))
+                * sqrt(list_dot_product(y.q::DOUBLE[], y.q::DOUBLE[])))
+             * 10000, 0) AS BIGINT) >= 4000
+)
+SELECT v.vec_id, v.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM v LEFT JOIN dups d ON v.vec_id = d.vec_id
+ORDER BY v.vec_id
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM perplexity-proxy quality score (T.unigram_logprob,
+    CCNet-style): mean corpus-unigram log-prob per document, computed as an
+    exact integer sum of once-quantized per-token log-probs (order-free
+    cross-engine) divided at the end."""
+    return T.unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+lp AS (SELECT tok, CAST(floor(ln(c / t) * 1000000) AS BIGINT) AS lpq FROM cnt, tot)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lpq) / (count(*) * 1000000.0), 4) AS avg_logprob
+FROM toks JOIN lp USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -1330,6 +1415,8 @@ PIPELINE_QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "pack_shards": q_pack_shards,
     "cluster_split": q_cluster_split,
+    "semantic_dedup": q_semantic_dedup,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 PIPELINE_ORACLES = {
@@ -1362,4 +1449,6 @@ PIPELINE_ORACLES = {
     "dup_rate_by_source": ORACLE_DUP_RATE_BY_SOURCE,
     "pack_shards": ORACLE_PACK_SHARDS,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
 }

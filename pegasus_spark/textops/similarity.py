@@ -421,6 +421,18 @@ def spherical_kmeans(
     (cell, position) — map-side combinable — → rebuild array ordered by
     position). A cell that loses all members drops out, identically on
     both engines. Returns the final (id, cell) assignment."""
+    return _kmeans_assign(df, k, iters, id_col, vec_col).select(
+        id_col, "cell"
+    ).orderBy(id_col)
+
+
+def _kmeans_assign(
+    df: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Unordered spherical-k-means core: returns (id, cell, q) — the final
+    assignment WITH the quantized vector, no presentation sort — so callers
+    that keep computing (semantic_dedup's pair probe) don't embed a total
+    sort mid-plan."""
     base = df.select(
         id_col,
         F.transform(
@@ -458,4 +470,67 @@ def spherical_kmeans(
             )
             .select(F.col("cell").alias("_cid"), "_cvec")
         )
-    return _argmax_cell(base, cents, id_col).select(id_col, "cell").orderBy(id_col)
+    return _argmax_cell(base, cents, id_col)  # (id, cell, q) — q rides the agg
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup: k-means cells, then within-cell cosine pruning
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame, k: int = 8, iters: int = 1, tau_x10k: int = 9500,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical k-means buckets the embedding space, then
+    ONLY within-cell pairs are compared — the cluster id is the equality
+    join key that replaces the quadratic all-pairs scan, exactly like the
+    LSH band / Hamming chunk / sign-bucket keys of the other near-dup
+    operators. A vector is dropped when some LOWER-id vector in the same
+    cell has cosine ≥ τ (the greedy keep-first variant: within a
+    mutually-similar group the paper keeps an arbitrary-but-fixed member,
+    and min-id is the deterministic choice both engines reproduce).
+
+    Parity discipline: cosine runs over the SAME floor(x·1e6) bigint
+    quantization as the k-means assignment and is compared in the
+    round(cos·10⁴) integer domain (``tau_x10k``), so the dup decision is
+    integer-exact cross-engine; zero-norm vectors are dropped up front like
+    ``spherical_kmeans``.
+
+    Scale shape: the assignment shuffles one row per vector; the pair probe
+    shuffles (cell, id, q) once per side of ONE equality join on cell.
+    Within-cell work is quadratic in cell size BY DESIGN — SemDeDup scales k
+    with n (k ≈ n / target_cell_size, the paper uses ~50k cells for LAION)
+    so cells stay O(10³-10⁴) rows and every cell's pair block fits one task;
+    a hot cell is a skew key, which AQE's skew-join split handles because
+    the probe is a plain shuffle join, not a custom kernel.
+
+    Returns (id, cell, is_kept INT 0/1) — survivors carry is_kept=1; the
+    curated view is ``filter(is_kept = 1)`` with payloads joined back late.
+    """
+    v = _kmeans_assign(df, k, iters, id_col, vec_col)
+    # one assignment subtree feeding three plan arms (both probe sides + the
+    # verdict join): pin it so the iterative k-means doesn't recompute 3×
+    v = v.localCheckpoint(eager=False)
+    a, b = v.alias("a"), v.alias("b")
+    qd = lambda side: F.transform(side, lambda x: x.cast("double"))  # noqa: E731
+    cos = _dot(qd(F.col("a.q")), qd(F.col("b.q"))) / (
+        F.sqrt(_dot(qd(F.col("a.q")), qd(F.col("a.q"))))
+        * F.sqrt(_dot(qd(F.col("b.q")), qd(F.col("b.q"))))
+    )
+    dups = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+        .filter(F.round(cos * 10000, 0).cast("bigint") >= F.lit(tau_x10k))
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        v.join(dups.withColumn("_dup", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_kept"),
+        )
+        .orderBy(id_col)
+    )

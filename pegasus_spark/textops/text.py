@@ -206,3 +206,49 @@ def pack_shards(
             F.floor(F.col("_prior") / F.lit(float(budget))).cast("bigint").alias("shard_id"),
         )
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM quality score — the perplexity-proxy filter of a CCNet-style
+    curation pipeline (Wenzek et al. 2019): score every document by the mean
+    log-probability of its tokens under the corpus's OWN unigram distribution;
+    boilerplate-heavy and in-distribution docs score high, rare-token noise
+    scores low. (The real CCNet uses a 5-gram KenLM — a unigram model is the
+    degenerate case that needs no external model artifact, which is also what
+    keeps it oracle-expressible.)
+
+    Parity discipline: each distinct token's log-prob quantizes ONCE to the
+    integer domain — floor(ln(tf/T)·1e6) — so the per-doc reduction is an
+    exact BIGINT sum (order-free on both engines); the only float op is one
+    ln per vocab entry, where a cross-engine ulp flips the floor with
+    probability ~1e-10 (the tfidf round-before-rank discipline, one notch
+    stricter). The final mean divides two exact integers, then rounds to 4dp.
+
+    Scale shape: explode → (token) partial-agg shuffle for corpus term
+    frequencies (vocab-sized result) → join back token→lp (broadcastable at
+    real vocab sizes ~1e6-1e7; Spark picks the strategy from stats) → one
+    (id) partial-agg shuffle for the per-doc sum. Total-token count rides a
+    1-row broadcast cross join, never a driver collect. Text never shuffles:
+    tokens leave the scan already exploded to (id, token)."""
+    toks = df.select(id_col, F.explode(tokens_col()).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("t"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log(F.col("c") / F.col("t")) * 1_000_000).cast("bigint").alias("lpq"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lpq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_s") / (F.col("n_tokens") * F.lit(1_000_000.0)), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

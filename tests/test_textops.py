@@ -439,3 +439,105 @@ class TestClusterSplit:
         # is exercised, not vacuous
         assert per_cluster.filter("members >= 2").count() > 0
         res.unpersist()
+
+
+class TestSemanticDedup:
+    def test_matches_brute_force(self, spark, sf_dir):
+        """Keep/drop verdicts equal the brute-force definition recomputed in
+        numpy over the SAME quantized vectors and the (already-tested)
+        spherical_kmeans assignment: drop x iff some lower-id y in x's cell
+        has round(cos·10⁴) ≥ τ."""
+        import numpy as np
+
+        from pegasus_spark.textops.similarity import semantic_dedup, spherical_kmeans
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        tau = 4000
+        out = {
+            r["vec_id"]: (r["cell"], r["is_kept"])
+            for r in semantic_dedup(emb, k=8, iters=1, tau_x10k=tau).collect()
+        }
+        assign = {
+            r["vec_id"]: r["cell"]
+            for r in spherical_kmeans(emb, k=8, iters=1).collect()
+        }
+        q = {
+            r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * 1_000_000)
+            for r in emb.collect()
+        }
+        assert {v: c for v, (c, _) in out.items()} == assign
+        cells: dict[int, list[int]] = {}
+        for v, c in sorted(assign.items()):
+            cells.setdefault(c, []).append(v)
+        for c, members in cells.items():
+            for i, x in enumerate(members):
+                dup = any(
+                    round(
+                        float(q[x] @ q[y])
+                        / (np.linalg.norm(q[x]) * np.linalg.norm(q[y]))
+                        * 10000
+                    )
+                    >= tau
+                    for y in members[:i]
+                )
+                assert out[x][1] == (0 if dup else 1), f"vec {x}"
+
+    def test_exact_dup_vector_dropped_keeper_kept(self, spark):
+        from pegasus_spark.textops.similarity import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (3, [1.0, 1.0, 1.0]),
+            (7, [2.0, 0.002, 0.0]),   # same direction as 0 → its dup
+            (9, [0.0, -1.0, 0.0]),    # opposite of 1 → cos −1, never a dup
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r["is_kept"] for r in
+               semantic_dedup(df, k=4, iters=1, tau_x10k=9500).collect()}
+        assert out[0] == 1 and out[7] == 0   # keep-lowest-id within the pair
+        assert out[1] == 1 and out[2] == 1 and out[3] == 1 and out[9] == 1
+
+    def test_partition_invariant(self, spark, sf_dir):
+        from pegasus_spark.textops.similarity import semantic_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = sorted(map(tuple, semantic_dedup(emb, k=8, iters=1).collect()))
+        b = sorted(map(tuple, semantic_dedup(emb.repartition(5), k=8, iters=1).collect()))
+        assert a == b
+
+
+class TestUnigramLogprob:
+    def test_matches_brute_force(self, spark, doc_df):
+        """Score equals the pure-python recomputation (same quantization);
+        the cross-engine contract itself is the driver's DuckDB gate."""
+        import math
+        from collections import Counter
+
+        from pegasus_spark.textops.text import unigram_logprob
+
+        toks = {r["doc_id"]: r["text"].split() for r in doc_df.collect()}
+        cnt = Counter(t for ts in toks.values() for t in ts)
+        total = float(sum(cnt.values()))
+        lpq = {t: math.floor(math.log(c / total) * 1_000_000) for t, c in cnt.items()}
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+            for r in unigram_logprob(doc_df).collect()
+        }
+        assert set(out) == set(toks)
+        for d, ts in toks.items():
+            n, got = out[d]
+            assert n == len(ts)
+            want = round(sum(lpq[t] for t in ts) / (len(ts) * 1_000_000.0), 4)
+            # JVM log vs libm log may differ in the last ulp at the floor
+            # boundary; allow exactly that one quantum
+            assert abs(got - want) <= 2e-4, (d, got, want)
+
+    def test_common_scores_above_rare(self, spark):
+        from pegasus_spark.textops.text import unigram_logprob
+
+        rows = [(1, "a a a a"), (2, "a a a rare")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df).collect()}
+        assert out[1] > out[2]
