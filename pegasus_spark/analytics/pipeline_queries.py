@@ -1385,6 +1385,34 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Cross-doc duplicated 8-token-span stats (D.dup_span_stats) — the
+    exact-substring-dedup triage signal. Pre-repartition on doc_id so the
+    gram build parallelizes past the single-file scan task (the
+    ngram_jaccard round-3 tune)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return D.dup_span_stats(docs, n=8).orderBy("doc_id")
+
+
+ORACLE_DUP_SPAN_STATS = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+g AS (
+  SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        FROM toks WHERE len(tk) >= 8)
+),
+cnt AS (SELECT h, count(*) AS c FROM g GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_span_ratio
+FROM g JOIN cnt USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -1417,6 +1445,7 @@ PIPELINE_QUERIES = {
     "cluster_split": q_cluster_split,
     "semantic_dedup": q_semantic_dedup,
     "unigram_logprob": q_unigram_logprob,
+    "dup_span_stats": q_dup_span_stats,
 }
 
 PIPELINE_ORACLES = {
@@ -1451,4 +1480,5 @@ PIPELINE_ORACLES = {
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "dup_span_stats": ORACLE_DUP_SPAN_STATS,
 }

@@ -525,3 +525,50 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= tau)
         .select("id_a", "id_b", "inter", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-doc duplicated-span stats — exact-substring-dedup triage
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc duplicated-span measure — the triage signal of exact substring
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for every n-token span, count its occurrences
+    across the WHOLE corpus (a span repeated within one doc counts too — the
+    paper's 'substring occurring more than once anywhere' semantics), then
+    report per doc how many of its spans are duplicated. The paper's suffix
+    array finds variable-length matches on one machine; at corpus scale the
+    distributed equivalent is fixed-n shingle counting — a doc with a long
+    cloned passage shows a run of duplicated n-spans, same signal.
+
+    Parity: spans hash with md5 (the md5-only rule for gated operators).
+    Scale shape: explode → md5 → ONE hash shuffle on the span key serves
+    both the count aggregate and the join back (same key, same partitioning
+    — Spark reuses the exchange), then one partial-agg shuffle on id. Text
+    never shuffles; only 16-byte keys and counts move. Docs shorter than n
+    tokens have no spans and are absent from the output (the doc_repetition
+    convention).
+
+    Output: (id, n_spans, n_dup_spans, dup_span_ratio)."""
+    from pegasus_spark.textops.text import word_grams
+
+    g = df.select(
+        id_col, F.explode(word_grams(text_col, n=n, clamp=False)).alias("_g")
+    ).select(id_col, F.md5("_g").alias("h"))
+    cnt = g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        g.join(cnt, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_span_ratio", F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+        )
+    )

@@ -541,3 +541,32 @@ class TestUnigramLogprob:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df).collect()}
         assert out[1] > out[2]
+
+
+class TestDupSpanStats:
+    def test_exact_dups_fully_flagged_unique_doc_clean(self, spark, doc_df):
+        from pegasus_spark.textops.dedup import dup_span_stats
+
+        out = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_ratio"])
+            for r in dup_span_stats(doc_df, n=8).collect()
+        }
+        # docs 1,2,5 are byte-identical (13 tokens → 6 eight-token spans):
+        # every span occurs 3× corpus-wide → ratio 1.0
+        for d in (1, 2, 5):
+            assert out[d] == (6, 6, 1.0)
+        # doc 4 shares no span with anyone → ratio 0.0
+        assert out[4][1] == 0 and out[4][2] == 0.0
+        # doc 6 = doc 1 + appended tail: its leading spans equal doc 1's,
+        # the tail-crossing spans are unique → strictly partial ratio
+        assert 0 < out[6][1] < out[6][0]
+
+    def test_short_docs_absent(self, spark):
+        from pegasus_spark.textops.dedup import dup_span_stats
+
+        df = spark.createDataFrame(
+            [(1, "only five tokens right here"), (2, "a b c d e f g h i")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"] for r in dup_span_stats(df, n=8).collect()}
+        assert out == {2}
