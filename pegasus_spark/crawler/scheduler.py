@@ -881,49 +881,21 @@ class CrawlScheduler:
         n_cards = cards.count()
         mark("parse+dedupe")
         if n_cards:
-            # MERGE at partition granularity: only the batch's regions are
-            # dirty — read and rewrite those regions alone, inherit the rest
-            # via the manifest (per-round apartments IO is O(dirty regions),
-            # not O(table)).
-            dirty_regions = sorted(
-                r[0] for r in cards.select("region").distinct().collect() if r[0]
-            )
-            old = (
-                self.store.read_apartments_regions(apt_version, dirty_regions)
-                if apt_version >= 0
-                else None
-            ) or empty_apartments(self.spark)
-            batch = cards.select(
-                "location", "aid", "price", "size", "total", "subway", "station",
-                "smeter", "floor", "tfloor", "year", "withlift", "visitcnt", "region",
-            )
-            merged, changes, meta_changes, stats = merge_apartments(old, batch, self.now_ts)
-            if apt_version >= 0:
-                self.store.write_apartments_delta(
-                    merged, round_no, apt_version, self.n_partitions
-                )
-            else:
-                self.store.write_apartments(merged, round_no, self.n_partitions)
-            apt_version = round_no
-            mark("merge+write")
-            image_store = self.spark.read.parquet(self.image_store_path)
-            item_parts = max(1, min(self.n_partitions, n_cards // 256 + 1))
-            with ThreadPoolExecutor(max_workers=5) as ex:
-                futs = {
-                    "changes": ex.submit(self.store.append, "changes", changes, round_no),
-                    "meta": ex.submit(
-                        self.store.append, "meta_changes", meta_changes, round_no
-                    ),
-                    "stats": ex.submit(self.store.append, "merge_stats", stats, round_no),
-                    "errors": ex.submit(self.store.append, "errors", cards_bad, round_no),
-                }
-                for name, fut in futs.items():
-                    fut.result()
-                mark("side_outputs")
+            with ThreadPoolExecutor(max_workers=6) as ex:
+                # items (decode + payload join-back) and the errors side
+                # output depend ONLY on the cached cards — not on the merge —
+                # so they start FIRST and run under the merge's commit wait:
+                # the apartments write is store-latency-bound (BASELINE.md §3,
+                # core-count-independent) while the decode is executor-CPU-
+                # bound, so the two overlap cleanly. Measured (phase log,
+                # small bench): items was 5.5 s of a 22.9 s serial chain.
                 # card side broadcasts while it plausibly fits (ids+captions,
                 # ~100 B/row ⇒ 200k ≈ 20 MB); beyond that fall back to the
                 # shuffle join with pinned decode parallelism
-                self.store.append(
+                image_store = self.spark.read.parquet(self.image_store_path)
+                item_parts = max(1, min(self.n_partitions, n_cards // 256 + 1))
+                f_items = ex.submit(
+                    self.store.append,
                     "items",
                     extract_items(
                         cards, image_store, item_parts,
@@ -931,7 +903,47 @@ class CrawlScheduler:
                     ),
                     round_no,
                 )
-                mark("items")
+                f_errors = ex.submit(self.store.append, "errors", cards_bad, round_no)
+                # MERGE at partition granularity: only the batch's regions are
+                # dirty — read and rewrite those regions alone, inherit the
+                # rest via the manifest (per-round apartments IO is O(dirty
+                # regions), not O(table)).
+                dirty_regions = sorted(
+                    r[0] for r in cards.select("region").distinct().collect() if r[0]
+                )
+                old = (
+                    self.store.read_apartments_regions(apt_version, dirty_regions)
+                    if apt_version >= 0
+                    else None
+                ) or empty_apartments(self.spark)
+                batch = cards.select(
+                    "location", "aid", "price", "size", "total", "subway", "station",
+                    "smeter", "floor", "tfloor", "year", "withlift", "visitcnt", "region",
+                )
+                merged, changes, meta_changes, stats = merge_apartments(
+                    old, batch, self.now_ts
+                )
+                if apt_version >= 0:
+                    self.store.write_apartments_delta(
+                        merged, round_no, apt_version, self.n_partitions
+                    )
+                else:
+                    self.store.write_apartments(merged, round_no, self.n_partitions)
+                apt_version = round_no
+                mark("merge+write")
+                futs = {
+                    "changes": ex.submit(self.store.append, "changes", changes, round_no),
+                    "meta": ex.submit(
+                        self.store.append, "meta_changes", meta_changes, round_no
+                    ),
+                    "stats": ex.submit(self.store.append, "merge_stats", stats, round_no),
+                }
+                for name, fut in futs.items():
+                    fut.result()
+                f_errors.result()
+                mark("side_outputs")
+                f_items.result()
+                mark("items_wait")  # residual items time NOT hidden by merge
         else:
             self.store.append("errors", cards_bad, round_no)
         cards.unpersist()
