@@ -16,6 +16,11 @@ JVMs and reports pages/sec + frontier-URLs/sec at both, in three regimes:
    transparency; bounded in the sandbox by the per-round driver floor
    (~3-5 s/round of Spark job scheduling independent of cores) and the
    single local disk, both of which amortize/scale-out on a real cluster.
+4. **Strong scaling, disk-isolated (store on tmpfs)** — the §3 pair with
+   every write (store commits, fixture, shuffle/spill) on /dev/shm: removes
+   the shared-disk term §3's Amdahl decomposition identifies, showing the
+   engine's strong scaling when storage scales with compute (as HDFS/S3
+   does on a real cluster).
 
 Each configuration runs `reps` times; best throughput is kept (the sandbox
 shares CPU and a throttled virtual disk with other tenants; interference is
@@ -36,11 +41,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, scale: str | None = None, component: bool = False) -> dict:
+def run_at(
+    cpus: int,
+    scale: str | None = None,
+    component: bool = False,
+    tmpdir: str | None = None,
+) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     if scale:
         env["SPARK_GRAFT_CRAWL_SCALE"] = scale
+    if tmpdir:
+        # route the store working dir, the fixture cache, AND Spark's
+        # shuffle/spill dirs onto the given filesystem (tmpfs for the §4
+        # disk-isolated strong-scaling run): crawl_bench uses
+        # tempfile.gettempdir() (honors TMPDIR at process start) and Spark
+        # honors SPARK_LOCAL_DIRS in local mode
+        os.makedirs(tmpdir, exist_ok=True)
+        env["TMPDIR"] = tmpdir
+        env["SPARK_LOCAL_DIRS"] = os.path.join(tmpdir, "spark-local")
     args = [sys.executable, os.path.join(REPO, "benchmarks", "crawl_bench.py")]
     if component:
         args.append("--component")
@@ -53,7 +72,13 @@ def run_at(cpus: int, scale: str | None = None, component: bool = False) -> dict
     )
 
 
-def best_of(n: int, cpus: int, scale: str | None = None, component: bool = False) -> dict:
+def best_of(
+    n: int,
+    cpus: int,
+    scale: str | None = None,
+    component: bool = False,
+    tmpdir: str | None = None,
+) -> dict:
     """Run n reps, keep the best throughput; all rep values ride along in
     ``_reps`` so the written evidence quotes every run, not just the winner
     (the sandbox shares CPU and a throttled virtual disk with other tenants;
@@ -61,10 +86,10 @@ def best_of(n: int, cpus: int, scale: str | None = None, component: bool = False
     key = "images_per_sec" if component else "pages_per_sec"
     runs = []
     for i in range(n):
-        r = run_at(cpus, scale, component)
+        r = run_at(cpus, scale, component, tmpdir)
         print(
-            f"RUN local[{cpus}] scale={scale or 'component'} rep={i + 1}/{n}: "
-            f"{key}={r[key]}",
+            f"RUN local[{cpus}] scale={scale or 'component'}"
+            f"{' tmpfs' if tmpdir else ''} rep={i + 1}/{n}: {key}={r[key]}",
             flush=True,
         )
         runs.append(r)
@@ -78,7 +103,9 @@ def _reps_str(r: dict) -> str:
 
 
 LAST_JSON = os.path.join(REPO, "BENCH", "scaling_last.json")
-USAGE = "usage: scaling_bench.py [--quick] [--reps N] [--sections component,weak,strong]"
+ALL_SECTIONS = {"component", "weak", "strong", "shm"}
+SHM_TMP = "/dev/shm/pegasus_bench_tmp"
+USAGE = "usage: scaling_bench.py [--quick] [--reps N] [--sections component,weak,strong,shm]"
 
 
 def main() -> None:
@@ -93,7 +120,7 @@ def main() -> None:
     # inherited from the previous invocation's BENCH/scaling_last.json, and
     # the md is rewritten from the merged data (per-rep evidence for every
     # section comes from whichever invocation last measured it).
-    sections = {"component", "weak", "strong"}
+    sections = set(ALL_SECTIONS)
     if "--render-only" in sys.argv:  # rewrite the md from the last run's data
         sections = set()
     elif "--sections" in sys.argv:
@@ -101,10 +128,10 @@ def main() -> None:
             sections = set(sys.argv[sys.argv.index("--sections") + 1].split(","))
         except IndexError:
             sys.exit(USAGE)
-        if not sections <= {"component", "weak", "strong"}:
+        if not sections <= ALL_SECTIONS:
             sys.exit(USAGE)
     prev = {}
-    if sections != {"component", "weak", "strong"}:
+    if sections != ALL_SECTIONS:
         try:
             with open(LAST_JSON) as f:
                 prev = json.load(f)
@@ -132,6 +159,22 @@ def main() -> None:
         s2, s8 = prev["strong"]["local2"], prev["strong"]["local8"]
     strong_eff = round((s8["pages_per_sec"] / s2["pages_per_sec"]) / 4, 3)
 
+    # §4: the same strong-scaling pair with every write (store commits,
+    # fixture reads, Spark shuffle/spill) on tmpfs — removes the sandbox's
+    # single throttled virtual disk from the loop, the resource a real
+    # cluster scales out with storage nodes. §3 keeps the disk in for
+    # transparency; §4 shows what the ENGINE does when storage scales.
+    if "shm" in sections:
+        m2 = best_of(reps, 2, "large", tmpdir=SHM_TMP)
+        m8 = best_of(reps, 8, "large", tmpdir=SHM_TMP)
+    elif "shm" in prev:
+        m2, m8 = prev["shm"]["local2"], prev["shm"]["local8"]
+    else:
+        m2 = m8 = None
+    shm_eff = (
+        round((m8["pages_per_sec"] / m2["pages_per_sec"]) / 4, 3) if m2 else None
+    )
+
     # per-section rep counts come from the evidence itself (len of the stored
     # per-rep list), not this invocation's --reps: with --sections /
     # --render-only an inherited section keeps the rep count that actually
@@ -144,15 +187,47 @@ def main() -> None:
     # and URL-seen set at both parallelism levels (§4.3 contract)
     assert s2["fetch_log_hash"] == s8["fetch_log_hash"], "fetch-log hash diverged!"
     assert s2["url_seen_hash"] == s8["url_seen_hash"], "URL-seen hash diverged!"
+    if m2:
+        # …and at both STORAGE tiers: the tmpfs runs replay the identical
+        # logical crawl (seed-deterministic fixture), just on faster media
+        assert m2["fetch_log_hash"] == m8["fetch_log_hash"] == s2["fetch_log_hash"]
+        assert m2["url_seen_hash"] == m8["url_seen_hash"] == s2["url_seen_hash"]
 
     result = {
         "component": {"local2": c2, "local8": c8, "efficiency": comp_eff},
         "weak": {"local8_weak1": w8, "local32_weak4": w32, "efficiency": weak_eff},
         "strong": {"local2": s2, "local8": s8, "efficiency": strong_eff},
     }
+    if m2:
+        result["shm"] = {"local2": m2, "local8": m8, "efficiency": shm_eff}
     print(json.dumps(result, indent=1))
     with open(LAST_JSON, "w") as f:
         json.dump(result, f, indent=1)
+
+    shm_md = ""
+    if m2:
+        shm_reps = len(m2["_reps"])
+        shm_md = f"""
+## 4. Strong scaling, disk-isolated — local[2] → local[8], store on tmpfs
+
+The §3 pair re-run with the frontier store, fixture, and Spark
+shuffle/spill dirs on tmpfs — the sandbox's single throttled virtual disk
+(shared with other tenants, identical latency at any core count) removed
+from the loop. On a real cluster the write side scales with storage nodes
+(HDFS/S3; the store's frontier/apartments writes are independent partition
+dirs by construction), so THIS pair — not §3 — is the engine's
+strong-scaling behavior when storage scales with compute.
+
+| run | pages/sec (best of {shm_reps}: {_reps_str(m2)} · {_reps_str(m8)}) | sustained pages/sec | wall (s) |
+|---|---|---|---|
+| local[2] (N)  | {m2["pages_per_sec"]} | {m2["sustained_pages_per_sec"]} | {m2["crawl_wall_s"]} |
+| local[8] (4N) | {m8["pages_per_sec"]} | {m8["sustained_pages_per_sec"]} | {m8["crawl_wall_s"]} |
+
+**Disk-isolated strong efficiency: {shm_eff}**; determinism digests
+identical to the §3 disk runs (same fetch_log/URL-seen hashes, asserted) —
+the two pairs differ only in storage medium, isolating the disk term that
+§3's Amdahl decomposition attributes the residual wall to.
+"""
 
     md = f"""# BENCH — crawl throughput & two-cluster-size scaling evidence
 
@@ -223,7 +298,7 @@ partition dirs by construction). The component number (§1) isolates the
 compute path; the weak number (§2) — the operative regime the BASELINE.md
 criterion names — shows the whole round loop sustains 4× the workload at
 4N cores.
-
+{shm_md}
 Determinism: tests/test_resume.py::test_partition_count_invariance proves
 every parallelism level performs identical logical work (same fetch log,
 URL-seen set, table contents), so these comparisons measure speed only.
@@ -237,7 +312,10 @@ previous invocation (BENCH/scaling_last.json).
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(f"wrote BENCH/BASELINE.md (component={comp_eff}, weak={weak_eff}, strong={strong_eff})")
+    print(
+        f"wrote BENCH/BASELINE.md (component={comp_eff}, weak={weak_eff}, "
+        f"strong={strong_eff}, shm={shm_eff})"
+    )
 
 
 if __name__ == "__main__":

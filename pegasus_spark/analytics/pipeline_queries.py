@@ -925,11 +925,11 @@ def q_doc_repetition(spark, sf_dir):
     documents scan is ONE task, and the interpreted F.transform gram
     builder serializes there; the groupBy then reuses that partitioning, so
     the repartition is the only exchange in the plan); (b) the distinct
-    counts xxhash64(gram) bigints, not gram strings — same tradeoff
-    ngram_jaccard_pairs documents: a within-doc 64-bit collision (birthday
-    p ≈ n_grams²/2^65 per doc, ~1e-13 at 10³ grams/doc) would undercount
-    n_distinct by 1 vs the raw-string oracle; accepted for the 8-byte
-    hash-agg rows."""
+    counts unhex(md5(gram)) 16-byte binaries, not gram strings — the
+    round-4 switch from xxhash64 that puts this query back under the
+    md5-only parity rule (a 128-bit within-doc collision vs the raw-string
+    oracle is ~2^-128-scale, the same accepted risk as every other md5 key
+    in the repo) while still shrinking the hash-agg rows vs raw grams."""
     from pegasus_spark.textops.text import tokens_col, word_grams
 
     par = spark.sparkContext.defaultParallelism
@@ -943,7 +943,7 @@ def q_doc_repetition(spark, sf_dir):
         g.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.countDistinct(F.xxhash64("g")).cast("bigint").alias("n_distinct"),
+            F.countDistinct(F.unhex(F.md5("g"))).cast("bigint").alias("n_distinct"),
         )
         .withColumn(
             "rep_ratio",
@@ -1413,6 +1413,78 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity buckets per source
+    (T.ppl_buckets): terciles of the unigram-LM score within each source —
+    the bucket assignment a CCNet curation run uses to keep head+middle and
+    drop the noisy tail. Deterministic: rank orders by the rounded score
+    desc, doc_id asc."""
+    return T.ppl_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_PPL_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+lp AS (SELECT tok, CAST(floor(ln(c / t) * 1000000) AS BIGINT) AS lpq FROM cnt, tot),
+scored AS (
+  SELECT doc_id, round(sum(lpq) / (count(*) * 1000000.0), 4) AS avg_logprob
+  FROM toks JOIN lp USING (tok) GROUP BY doc_id
+),
+ranked AS (
+  SELECT s.doc_id, d.source, s.avg_logprob,
+         ntile(3) OVER (
+           PARTITION BY d.source ORDER BY s.avg_logprob DESC, s.doc_id ASC
+         ) AS tile
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, source, avg_logprob,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights (T.dsir_weights,
+    arXiv:2302.03169): per-doc ln-likelihood-ratio of target (the
+    doc_id % 101 eval slice, shared with decontaminate) vs the raw pool,
+    over 256 md5-hashed token buckets with Laplace smoothing."""
+    return T.dsir_weights(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT % 256 AS b FROM toks
+),
+cnt AS (
+  SELECT b,
+         sum(CASE WHEN doc_id % 101 = 0 THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN doc_id % 101 <> 0 THEN 1 ELSE 0 END) AS cr
+  FROM tb GROUP BY b
+),
+tot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM cnt),
+lam AS (
+  SELECT b,
+         CAST(floor(ln(((ct + 1) / (tt + 256.0)) / ((cr + 1) / (tr + 256.0)))
+                    * 1000000) AS BIGINT) AS lq
+  FROM cnt, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lq) / (count(*) * 1000000.0), 4) AS dsir_weight
+FROM tb JOIN lam USING (b)
+WHERE doc_id % 101 <> 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -1446,6 +1518,8 @@ PIPELINE_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "unigram_logprob": q_unigram_logprob,
     "dup_span_stats": q_dup_span_stats,
+    "ppl_buckets": q_ppl_buckets,
+    "dsir_weights": q_dsir_weights,
 }
 
 PIPELINE_ORACLES = {
@@ -1481,4 +1555,6 @@ PIPELINE_ORACLES = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "dup_span_stats": ORACLE_DUP_SPAN_STATS,
+    "ppl_buckets": ORACLE_PPL_BUCKETS,
+    "dsir_weights": ORACLE_DSIR_WEIGHTS,
 }

@@ -169,6 +169,190 @@ def image_dedup_keepers(
     return cluster_keepers(clusters, npix, id_col="image_id", metric_col="npix")
 
 
+def pack_image_shards(
+    df: DataFrame,
+    budget_bytes: int = 1 << 20,
+    n_groups: int = 16,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """WebDataset-style shard planning for image+caption items: assign every
+    item to a byte-budgeted shard so a training run can stream fixed-size
+    tar-like archives. The corpus is first salted into ``n_groups``
+    independent packing groups (md5 of the id — images have no natural
+    source/dump key the way documents do, and a single global packing order
+    would serialize 100 TB through one sorted partition); within a group,
+    items in id order fill shards of ~``budget_bytes`` via the exclusive
+    prefix sum (the textops.pack_shards discipline — a shard's global key is
+    (grp, shard_id)). An oversized item owns its span.
+
+    Bytes NEVER enter the window: the plan projects (id, length(bytes))
+    before the exchange, so the sort moves 16-byte rows while the payload
+    stays in the scan — the writer later re-joins bytes by id inside each
+    shard's task (the late-payload-join rule, SURVEY §7.4).
+
+    Output: (image_id, grp, n_bytes, shard_id). Companion
+    ``shard_manifest`` aggregates it into the writer's work list."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    sized = df.select(
+        id_col,
+        F.length(F.col("bytes")).cast("bigint").alias("n_bytes"),
+    ).withColumn(
+        "grp",
+        (F.conv(F.substring(F.md5(F.col(id_col)), 1, 4), 16, 10).cast("bigint")
+         % n_groups),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.withColumn("_prior", F.coalesce(F.sum("n_bytes").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "grp",
+            "n_bytes",
+            F.floor(F.col("_prior") / F.lit(float(budget_bytes)))
+            .cast("bigint").alias("shard_id"),
+        )
+    )
+
+
+def shard_manifest(assignment: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Collapse a pack_image_shards assignment into the shard writer's work
+    list: one row per (grp, shard_id) with item count, total bytes, and the
+    id span — enough for a writer task to re-scan exactly its items (id
+    range + semi-join) and emit one archive. Narrow agg over the already
+    narrow assignment rows."""
+    import pyspark.sql.functions as F
+
+    return assignment.groupBy("grp", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )
+
+
+def write_image_shards(
+    df: DataFrame,
+    budget_bytes: int = 1 << 20,
+    n_groups: int = 16,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Materialize WebDataset-style shards: one deterministic uncompressed
+    tar per (grp, shard_id), each member pair ``<id>.<fmt>`` (the image
+    bytes) + ``<id>.txt`` (the caption) — the layout a webdataset/torchdata
+    loader consumes directly. Returns (grp, shard_id, n_items, tar) rows;
+    the caller sinks them (parquet binary column here — on a real cluster
+    the same rows stream to `.tar` object-store keys).
+
+    Shape: pack_image_shards plans on narrow rows, then the PAYLOAD joins
+    back by id and shuffles exactly once, hash-partitioned by its shard key
+    into applyInPandas groups — each shard's members land in one task which
+    emits one row. Determinism: members are tar'd in id order with zeroed
+    mtime/uid/gid, so a shard's bytes are a pure function of its contents
+    (re-runs and retries produce byte-identical archives — the crawl
+    store's determinism discipline applied to the training artifact)."""
+    import io
+    import tarfile
+
+    import pyspark.sql.functions as F
+
+    assign = pack_image_shards(df, budget_bytes, n_groups, id_col)
+    payload = df.select(id_col, "bytes", "fmt", "caption")
+    members = assign.select(id_col, "grp", "shard_id").join(payload, id_col)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for iid, data, fmt, caption in zip(
+                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["caption"]
+            ):
+                for name, blob in (
+                    (f"{iid}.{fmt}", bytes(data)),
+                    (f"{iid}.txt", str(caption).encode()),
+                ):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(blob)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(blob))
+        return pd.DataFrame(
+            {
+                "grp": [int(pdf["grp"].iloc[0])],
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_items": [len(pdf)],
+                "tar": [buf.getvalue()],
+            }
+        )
+
+    return members.groupBy("grp", "shard_id").applyInPandas(
+        build, "grp long, shard_id long, n_items long, tar binary"
+    )
+
+
+#: the SDXL-style bucket ladder: (w, h) training resolutions whose aspect
+#: ratios tile [0.25, 4]. Tiny fixed list — broadcast literal, never a table.
+RATIO_BUCKETS = (
+    (512, 2048), (512, 1536), (640, 1536), (768, 1344), (832, 1216),
+    (896, 1152), (1024, 1024), (1152, 896), (1216, 832), (1344, 768),
+    (1536, 640), (1536, 512), (2048, 512),
+)
+
+
+def ratio_buckets(
+    df: DataFrame, batch_size: int = 64, id_col: str = "image_id",
+) -> DataFrame:
+    """Aspect-ratio bucketing — the image-side batch planner (the SDXL
+    training recipe): every image joins the ladder bucket whose aspect ratio
+    is nearest its own (ties to the wider bucket), then images within a
+    bucket fill fixed-size training batches in id order. Batching same-ratio
+    images together is what lets a trainer crop-resize without distortion.
+
+    Deterministic: nearest-ratio argmin with an explicit wider-bucket
+    tie-break; batch numbering is row_number()-1 over id order, so the plan
+    is a pure function of the input set.
+
+    Scale shape: the ladder is a 13-element array LITERAL folded into the
+    projection (no join, no broadcast table); the only exchange is the
+    per-bucket window over (id, bucket) rows — 13 buckets is skew-prone at
+    100 TB, so the window orders within bucket AND the batch index is
+    derivable instead via the pack_image_shards salting pattern when one
+    bucket outgrows a task; kept exact here for the planner contract."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ratio = F.col("w").cast("double") / F.col("h")
+    # argmin over the fixed ladder via least() on (dist, -bucket_w, …)
+    # structs — struct ordering is lexicographic, so the -bucket_w field IS
+    # the ties-go-wider rule. (A when()-fold here is a trap: each step nests
+    # the previous best THREE times, a 3^13-node expression tree that OOMs
+    # the driver at plan build — least() keeps the tree linear in the
+    # ladder.)
+    cands = [
+        F.struct(
+            F.abs(ratio - F.lit(bw / bh)).alias("d"),
+            F.lit(-bw).alias("nw"),
+            F.lit(bw).alias("bw"),
+            F.lit(bh).alias("bh"),
+        )
+        for bw, bh in RATIO_BUCKETS
+    ]
+    best = F.least(*cands)
+    sized = df.select(
+        id_col, "w", "h",
+        best["bw"].alias("bucket_w"), best["bh"].alias("bucket_h"),
+    )
+    w = Window.partitionBy("bucket_w", "bucket_h").orderBy(id_col)
+    return sized.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(w) - 1) / F.lit(float(batch_size))).cast("bigint"),
+    )
+
+
 def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio stub: interprets `bytes` as PCM16 mono (the deterministic fake
     for containers without torchaudio/soundfile; a real build branches on

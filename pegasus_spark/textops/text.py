@@ -252,3 +252,114 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ),
         )
     )
+
+
+def ppl_buckets(df: DataFrame, id_col: str = "doc_id",
+                group_col: str = "source") -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019 §4.3):
+    within each group (source/dump), rank documents by their unigram-LM score
+    and cut into terciles — ``head`` = most in-distribution third, ``tail`` =
+    noisiest. CCNet keeps head+middle for LM pretraining and drops tail; the
+    bucket column is emitted (not filtered) so downstream mixes can weight
+    buckets instead.
+
+    Parity discipline: the rank orders by the ROUNDED avg_logprob (desc) with
+    id ascending as the tie-break — ordering by the raw float quotient would
+    let a cross-engine ulp flip adjacent ranks; the 4dp round collapses that
+    (the tfidf round-before-rank rule). ntile remainder semantics (first
+    ``n mod 3`` tiles take the extra row) are pinned by the SQL standard on
+    both engines.
+
+    Scale shape: unigram_logprob's two partial-agg shuffles, then ONE
+    partition-local window per group over (id, group, avg_logprob) triples —
+    the group is the bucketing unit exactly as in pack_shards, so the sort
+    never crosses the corpus. Where a single source outgrows one task
+    (~10⁸+ docs/source), the exact ntile swaps for a two-pass
+    percentile_approx cutoff (per-group P33/P66 → broadcast → narrow CASE)
+    at the cost of approximate boundaries; the exact form is kept here
+    because it is the oracle-checkable one."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, id_col).join(
+        df.select(id_col, group_col), id_col
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("avg_logprob"), F.asc(id_col)
+    )
+    tile = F.ntile(3).over(w)
+    return scored.select(
+        id_col,
+        group_col,
+        "avg_logprob",
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    target_mod: int = 101,
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely its
+    tokens are under a TARGET distribution than under the raw pool, using
+    hashed-unigram bag-of-words models (the paper hashes n-grams into 10k
+    buckets; 256 here keeps the synthetic vocab from spreading one token per
+    bucket). The target slice is ``id % target_mod == 0`` — the same held-out
+    eval slice the decontaminate operator uses, so "select data that looks
+    like the eval domain" composes with "prove it didn't leak".
+
+    Per bucket b: λ(b) = ln( ((c_T(b)+1)/(T_T+B)) / ((c_R(b)+1)/(T_R+B)) )
+    (Laplace-smoothed), quantized ONCE to floor(λ·1e6) BIGINT; a doc's weight
+    is the exact integer sum of its tokens' λq divided by n_tokens (the
+    unigram_logprob parity discipline — one float op per bucket, order-free
+    integer reduction per doc). Buckets come from md5 (the md5-only parity
+    rule): first 4 hex digits mod B.
+
+    Scale shape: one (bucket) partial-agg shuffle whose result is B rows →
+    broadcast λ table joined back to the exploded tokens → one (id)
+    partial-agg shuffle. Totals ride a 1-row broadcast. Text never shuffles;
+    the λ model is O(B) regardless of corpus size."""
+    toks = df.select(id_col, F.explode(tokens_col()).alias("tok"))
+    tb = toks.select(
+        id_col,
+        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
+         % n_buckets).alias("b"),
+    )
+    is_t = (F.col(id_col) % target_mod) == 0
+    cnt = tb.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("double").alias("tt"),
+        F.sum("cr").cast("double").alias("tr"),
+    )
+    bn = F.lit(float(n_buckets))
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) / (F.col("tt") + bn))
+                / ((F.col("cr") + 1) / (F.col("tr") + bn))
+            )
+            * 1_000_000
+        ).cast("bigint").alias("lq"),
+    )
+    return (
+        tb.filter(~is_t)
+        .join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_s") / (F.col("n_tokens") * F.lit(1_000_000.0)), 4).alias(
+                "dsir_weight"
+            ),
+        )
+    )

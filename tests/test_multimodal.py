@@ -145,3 +145,128 @@ def test_unknown_format_raises(spark):
     )
     with pytest.raises(Exception, match="(?i)no codec|NotImplemented"):
         image_features(df).collect()
+
+
+def test_pack_image_shards_matches_pandas_prefix_sum(image_df):
+    """Shard assignment = floor(exclusive prefix sum of byte sizes / budget)
+    within each md5-salted group, items in id order — recomputed in pandas."""
+    import hashlib
+
+    from pegasus_spark.multimodal import pack_image_shards, shard_manifest
+
+    budget, groups = 4096, 4
+    out = pack_image_shards(image_df, budget_bytes=budget, n_groups=groups)
+    assert "bytes" not in out.columns  # payload never enters the window plan
+    rows = {r["image_id"]: r for r in out.collect()}
+
+    src = sorted(
+        (r["image_id"], len(bytes(r["bytes"]))) for r in image_df.collect()
+    )
+    by_grp: dict[int, list[tuple[str, int]]] = {}
+    for iid, n in src:
+        g = int(hashlib.md5(iid.encode()).hexdigest()[:4], 16) % groups
+        by_grp.setdefault(g, []).append((iid, n))
+    expected = {}
+    for g, items in by_grp.items():
+        prior = 0
+        for iid, n in items:  # already id-ordered via the sorted() above
+            expected[iid] = (g, n, prior // budget)
+            prior += n
+    assert len(rows) == len(expected) == 20
+    for iid, (g, n, shard) in expected.items():
+        r = rows[iid]
+        assert (r["grp"], r["n_bytes"], r["shard_id"]) == (g, n, shard), iid
+
+    man = {(r["grp"], r["shard_id"]): r for r in shard_manifest(out).collect()}
+    for (g, s), r in man.items():
+        members = [iid for iid, (eg, _, es) in expected.items() if (eg, es) == (g, s)]
+        assert r["n_items"] == len(members)
+        assert r["first_id"] == min(members) and r["last_id"] == max(members)
+        assert r["total_bytes"] == sum(expected[m][1] for m in members)
+
+
+def test_write_image_shards_deterministic_tar_roundtrip(spark):
+    """Shard archives: id-ordered members, zeroed metadata, byte-exact
+    payload + caption round-trip, and byte-identical across re-runs."""
+    import io
+    import tarfile
+
+    from pegasus_spark.multimodal import pack_image_shards, write_image_shards
+
+    rows = []
+    for i in range(12):
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        arr = synth_image(f"ws-{i}", 16, 16)
+        rows.append((f"ws-{i}", bytearray(encode_image(arr, fmt)), fmt, f"cap {i}"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string"
+    )
+    src = {r[0]: (bytes(r[1]), r[2], r[3]) for r in rows}
+
+    shards = {
+        (r["grp"], r["shard_id"]): r
+        for r in write_image_shards(df, budget_bytes=2048, n_groups=2).collect()
+    }
+    assign = pack_image_shards(df, budget_bytes=2048, n_groups=2).collect()
+    expected = {}
+    for r in assign:
+        expected.setdefault((r["grp"], r["shard_id"]), []).append(r["image_id"])
+    assert set(shards) == set(expected)
+
+    seen_ids = set()
+    for key, ids in expected.items():
+        r = shards[key]
+        assert r["n_items"] == len(ids)
+        with tarfile.open(fileobj=io.BytesIO(bytes(r["tar"]))) as tar:
+            names = tar.getnames()
+            data, fmt, caption = {}, {}, {}
+            for iid in sorted(ids):
+                raw, f, cap = src[iid]
+                assert tar.extractfile(f"{iid}.{f}").read() == raw
+                assert tar.extractfile(f"{iid}.txt").read().decode() == cap
+                seen_ids.add(iid)
+            # members ride in id order, payload before caption
+            want = [n for iid in sorted(ids) for n in (f"{iid}.{src[iid][1]}", f"{iid}.txt")]
+            assert names == want
+            for info in tar.getmembers():
+                assert (info.mtime, info.uid, info.gid) == (0, 0, 0)
+    assert seen_ids == set(src)
+
+    again = {
+        (r["grp"], r["shard_id"]): bytes(r["tar"])
+        for r in write_image_shards(df, budget_bytes=2048, n_groups=2).collect()
+    }
+    assert {k: bytes(v["tar"]) for k, v in shards.items()} == again
+
+
+def test_ratio_buckets_nearest_ladder_and_batching(spark):
+    """Every image lands in its nearest-aspect ladder bucket (ties go wider)
+    and batches fill in id order — recomputed in plain Python."""
+    from pegasus_spark.multimodal import RATIO_BUCKETS, ratio_buckets
+
+    dims = [(1024, 1024), (1000, 1030), (512, 2000), (2000, 512),
+            (900, 1100), (1344, 768), (770, 1340), (640, 640)]
+    rows = [(f"rb-{i:02d}", w, h) for i, (w, h) in enumerate(dims * 3)]
+    # duplicate ids are wrong — reindex
+    rows = [(f"rb-{i:02d}", w, h) for i, (_, w, h) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+
+    def expect_bucket(w, h):
+        r = w / h
+        best = None
+        for bw, bh in RATIO_BUCKETS:
+            d = abs(r - bw / bh)
+            if best is None or d < best[2] or (d == best[2] and bw > best[0]):
+                best = (bw, bh, d)
+        return best[0], best[1]
+
+    out = {r["image_id"]: r for r in ratio_buckets(df, batch_size=2).collect()}
+    assert len(out) == len(rows)
+    by_bucket: dict[tuple, list[str]] = {}
+    for iid, w, h in rows:
+        b = expect_bucket(w, h)
+        assert (out[iid]["bucket_w"], out[iid]["bucket_h"]) == b, (iid, w, h)
+        by_bucket.setdefault(b, []).append(iid)
+    for b, ids in by_bucket.items():
+        for rank, iid in enumerate(sorted(ids)):
+            assert out[iid]["batch_idx"] == rank // 2, (b, iid)
