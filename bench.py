@@ -75,6 +75,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
+    # drop the query suite's residue before timing the crawl: 112 query
+    # executions leave cached tables and localCheckpoint blocks (the
+    # cross-modal memo, semantic_dedup's probe pin, simhash's hash pin, …)
+    # holding executor memory — measured 50.6 s (fresh JVM) vs 138 s
+    # (post-suite session) for the identical crawl. The memo MUST be
+    # cleared with the blocks (see reset_cluster_memo).
+    from pegasus_spark.analytics.pipeline_queries import reset_cluster_memo
+
+    reset_cluster_memo()
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
     extra: dict[str, object] = {}
     try:
         from benchmarks.crawl_bench import run_crawl_bench

@@ -57,9 +57,10 @@ def run_at(
         # disk-isolated strong-scaling run): crawl_bench uses
         # tempfile.gettempdir() (honors TMPDIR at process start) and Spark
         # honors SPARK_LOCAL_DIRS in local mode
-        os.makedirs(tmpdir, exist_ok=True)
+        local = os.path.join(tmpdir, "spark-local")
+        os.makedirs(local, exist_ok=True)  # Spark wants the root to exist
         env["TMPDIR"] = tmpdir
-        env["SPARK_LOCAL_DIRS"] = os.path.join(tmpdir, "spark-local")
+        env["SPARK_LOCAL_DIRS"] = local
     args = [sys.executable, os.path.join(REPO, "benchmarks", "crawl_bench.py")]
     if component:
         args.append("--component")

@@ -271,6 +271,20 @@ ORDER BY v.doc_id
 _CLUSTER_CACHE: dict[tuple, DataFrame] = {}
 
 
+def reset_cluster_memo() -> None:
+    """Drop memoized cluster assignments (and their localCheckpoint blocks).
+    A localCheckpointed DataFrame has no lineage to recompute from — callers
+    that unpersist the session's RDD blocks (bench.py does, before its crawl
+    phase) MUST also clear this memo or the next consumer would read a
+    truncated plan whose blocks are gone."""
+    for df in _CLUSTER_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _CLUSTER_CACHE.clear()
+
+
 def _cross_modal_cluster_df(spark, sf_dir):
     """Shared by q_cross_modal_clusters / q_dedup_keepers / q_curated_corpus
     / q_dropped_docs: connected components over the union of ALL near-dup
@@ -1302,14 +1316,23 @@ ORDER BY doc_id
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540) over the embeddings table: spherical
-    k-means (k=8, one iteration — the SAME oracle-pinned clustering as
+    k-means (one iteration — the SAME oracle-pinned clustering as
     kmeans_clusters) buckets the space, then within-cell pairs with
     round(cos·10⁴) ≥ 4000 mark the higher id as a duplicate (greedy
     keep-lowest-id). τ is calibrated to the synthetic table's cosine range
     (global max pair cos ≈ 0.51 — real corpora run τ ≈ 0.95); at this cut
-    ~4% of rows drop, so the gate exercises both verdicts. The cluster id
-    is the equality join key that replaces the all-pairs scan."""
-    return S.semantic_dedup(_emb(spark, sf_dir), k=8, iters=1, tau_x10k=4000)
+    ~4% of rows drop, so the gate exercises both verdicts.
+
+    k scales with the corpus — SemDeDup's own rule (k ≈ n / target cell
+    size; the paper runs ~50k cells for LAION) — because within-cell work
+    is quadratic in cell size: a fixed k=8 measured 26.9 s at sf0.1 (625
+    vectors/cell → ~1.9M candidate pairs) vs ~cell-size-128 buckets. At the
+    driver's sf0.01 gate n=500 keeps k at the floor of 8, the value the
+    oracle's ``vec_id < 8`` seed set pins — the k choice is a physical
+    bucketing decision, same contract as the scheduler's size switches."""
+    emb = _emb(spark, sf_dir)
+    k = max(8, emb.count() // 128)  # parquet count() — metadata-cheap
+    return S.semantic_dedup(emb, k=k, iters=1, tau_x10k=4000)
 
 
 ORACLE_SEMANTIC_DEDUP = """
@@ -1410,6 +1433,54 @@ SELECT doc_id,
        round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_span_ratio
 FROM g JOIN cnt USING (h)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_span_scrub(spark, sf_dir):
+    """Exact-substring span removal (D.span_scrub) — the dedup ACTION behind
+    dup_span_stats' triage: delete every non-canonical occurrence of any
+    corpus-repeated 8-token span and rebuild the doc from surviving tokens.
+    Same pre-repartition as the other gram builders."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return D.span_scrub(docs, n=8).orderBy("doc_id")
+
+
+ORACLE_SPAN_SCRUB = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         doc_id * 1000000 + (i - 1) AS k,
+         md5(array_to_string(tk[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        FROM toks WHERE len(tk) >= 8)
+),
+cnt AS (SELECT h, count(*) AS c, min(k) AS canon FROM g GROUP BY h),
+rm AS (
+  SELECT DISTINCT g.doc_id, g.pos + u.off AS idx
+  FROM g JOIN cnt USING (h)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off) u
+  WHERE cnt.c >= 2 AND g.k <> cnt.canon
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS idx, tk[i] AS tok
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)
+),
+reb AS (
+  SELECT t.doc_id, count(*) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.idx) AS text_clean
+  FROM tokpos t
+  LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.idx = t.idx
+  WHERE rm.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.tk) AS BIGINT) AS n_tokens,
+       CAST(len(toks.tk) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(reb.text_clean, '') AS text_clean
+FROM toks LEFT JOIN reb ON reb.doc_id = toks.doc_id
+ORDER BY toks.doc_id
 """
 
 
@@ -1520,6 +1591,7 @@ PIPELINE_QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "ppl_buckets": q_ppl_buckets,
     "dsir_weights": q_dsir_weights,
+    "span_scrub": q_span_scrub,
 }
 
 PIPELINE_ORACLES = {
@@ -1557,4 +1629,5 @@ PIPELINE_ORACLES = {
     "dup_span_stats": ORACLE_DUP_SPAN_STATS,
     "ppl_buckets": ORACLE_PPL_BUCKETS,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "span_scrub": ORACLE_SPAN_SCRUB,
 }

@@ -572,3 +572,78 @@ def dup_span_stats(
             "dup_span_ratio", F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
         )
     )
+
+
+def span_scrub(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the action dup_span_stats is the triage
+    for (Lee et al. 2022: delete all but one occurrence of any substring
+    repeated in the corpus): every n-token span occurring ≥2 times
+    corpus-wide keeps exactly its CANONICAL occurrence (the lexicographically
+    smallest (doc, position)); tokens covered by any non-canonical occurrence
+    are dropped and the doc is rebuilt from the survivors. A doc cloned from
+    another loses the cloned passage; the original keeps it — transitive
+    near-dup clustering is not needed for the exact-repeat case.
+
+    Parity: spans key on md5 (the md5-only rule); the canonical occurrence is
+    an exact BIGINT min over id·10⁶+pos (positions are bounded <10⁶ tokens
+    per doc — enforce upstream; at 8 tokens/span that is a 10⁶-token doc);
+    reconstruction is a single-space join in token order on both engines.
+
+    Scale shape: ONE md5-key shuffle serves the occurrence count + canonical
+    min AND the join back (same key ⇒ exchange reuse); removal spans explode
+    to ≤n·occurrences (id, idx) pairs; the rebuild is one partial-agg shuffle
+    on id carrying (idx, token) pairs — the only stage where tokens move, and
+    they move exactly once. Docs with nothing removed pass through via the
+    left join (n_removed = 0).
+
+    Output: (id, n_tokens, n_removed, text_clean)."""
+    from pegasus_spark.textops.text import tokens_col, word_grams
+
+    occ_key = (F.col(id_col) * F.lit(1_000_000) + F.col("pos")).cast("bigint")
+    g = df.select(
+        id_col,
+        F.posexplode(word_grams(text_col, n=n, clamp=False)).alias("pos", "_g"),
+    ).select(id_col, "pos", occ_key.alias("k"), F.md5("_g").alias("h"))
+    cnt = g.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("k").alias("canon")
+    )
+    rm = (
+        g.join(cnt.filter(F.col("c") >= 2), "h")
+        .filter(F.col("k") != F.col("canon"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    tok = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("idx", "tok"))
+    rebuilt = (
+        tok.join(rm, [id_col, "idx"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        df.select(id_col, F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

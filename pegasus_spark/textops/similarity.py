@@ -35,6 +35,15 @@ def _dot(a, b):
     )
 
 
+def _dot_pre(a, b):
+    """_dot over arrays ALREADY cast to double — same element-sequential
+    fold, same values, minus two per-element casts (use when the cast is
+    hoisted out of a pair block, _argmax_cell / semantic_dedup)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def with_cosine_to(df: DataFrame, query_df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Cross-join the (single-row) query vector and add round(cos, 4)."""
     q = query_df.select(F.col(vec_col).alias("_qvec"))
@@ -369,24 +378,32 @@ def ivf_topk(
 def _argmax_cell(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Assign each quantized vector to its nearest centroid by cosine:
     broadcast the centroid table, 4dp-rounded integer argmax encoding
-    (round(cos·10⁴)·10⁶ − cid — same tie discipline as ivf_assign_cells)."""
-    cos = _dot(
-        F.transform(F.col("q"), lambda x: x.cast("double")),
-        F.transform(F.col("_cvec"), lambda x: x.cast("double")),
-    ) / (
-        F.sqrt(_dot(F.transform(F.col("q"), lambda x: x.cast("double")),
-                    F.transform(F.col("q"), lambda x: x.cast("double"))))
-        * F.sqrt(_dot(F.transform(F.col("_cvec"), lambda x: x.cast("double")),
-                      F.transform(F.col("_cvec"), lambda x: x.cast("double"))))
-    )
-    return (
+    (round(cos·10⁴)·10⁶ − cid — same tie discipline as ivf_assign_cells).
+
+    ``base`` carries (_qd, _qn) and ``cents`` (_cd, _cn) — the double-cast
+    arrays and norms hoisted OUT of this n×k pair block. The first form of
+    this function recomputed both norms and four array casts per PAIR
+    (interpreted higher-order exprs, ~6× the per-pair work): measured
+    16.6 s → 4.9 s cold for the k=39 sf0.1 assignment. The float ops are
+    bit-identical — the same sqrt(Σx²) just computed once — so the oracle
+    math is untouched."""
+    cos = _dot_pre(F.col("_qd"), F.col("_cd")) / (F.col("_qn") * F.col("_cn"))
+    out = (
         base.crossJoin(F.broadcast(cents))
         .withColumn(
             "_val",
             F.round(cos * 10000, 0).cast("bigint") * F.lit(1_000_000) - F.col("_cid"),
         )
         .groupBy(id_col)
+        # ONLY the integer vector rides the n×k aggregate — a first() over
+        # the double view doubled the map-side hash-agg buffer width and
+        # measurably slowed the whole assignment; the view is recomputed
+        # once per SURVIVING row below (n rows, not n×k)
         .agg(F.max_by("_cid", "_val").alias("cell"), F.first("q").alias("q"))
+    )
+    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
+    return out.withColumn("_qd", qd).withColumn(
+        "_qn", F.sqrt(_dot_pre(F.col("_qd"), F.col("_qd")))
     )
 
 
@@ -433,20 +450,27 @@ def _kmeans_assign(
     assignment WITH the quantized vector, no presentation sort — so callers
     that keep computing (semantic_dedup's pair probe) don't embed a total
     sort mid-plan."""
-    base = df.select(
-        id_col,
-        F.transform(
-            F.col(vec_col), lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint")
-        ).alias("q"),
-    )
-    base = base.filter(
-        _dot(
-            F.transform(F.col("q"), lambda x: x.cast("double")),
-            F.transform(F.col("q"), lambda x: x.cast("double")),
-        ) > 0
+    qd = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    base = (
+        df.select(
+            id_col,
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+            ).alias("q"),
+        )
+        # double view + norm hoisted ONCE per vector — _argmax_cell's n×k
+        # pair block reads them instead of recomputing per pair. sqrt(Σx²)>0
+        # ⟺ the old Σx²>0 zero-norm filter (sum of squares is never <0).
+        .withColumn("_qd", qd(F.col("q")))
+        .withColumn("_qn", F.sqrt(_dot_pre(F.col("_qd"), F.col("_qd"))))
+        .filter(F.col("_qn") > 0)
     )
     cents = base.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("_cid"), F.col("q").alias("_cvec")
+        F.col(id_col).alias("_cid"),
+        F.col("q").alias("_cvec"),
+        F.col("_qd").alias("_cd"),
+        F.col("_qn").alias("_cn"),
     )
     n_seeds = cents.count()
     if n_seeds != k:
@@ -469,8 +493,14 @@ def _kmeans_assign(
                 ).alias("_cvec")
             )
             .select(F.col("cell").alias("_cid"), "_cvec")
+            # rebuilt centroids get the same hoisted double view + norm —
+            # k rows, once per iteration
+            .withColumn("_cd", qd(F.col("_cvec")))
+            .withColumn("_cn", F.sqrt(_dot_pre(F.col("_cd"), F.col("_cd"))))
         )
-    return _argmax_cell(base, cents, id_col)  # (id, cell, q) — q rides the agg
+    # (id, cell, q, _qd, _qn) — quantized ints for centroid math, the
+    # hoisted double view + norm for callers that keep computing cosines
+    return _argmax_cell(base, cents, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -508,18 +538,18 @@ def semantic_dedup(
     Returns (id, cell, is_kept INT 0/1) — survivors carry is_kept=1; the
     curated view is ``filter(is_kept = 1)`` with payloads joined back late.
     """
-    qd = lambda side: F.transform(side, lambda x: x.cast("double"))  # noqa: E731
-    # norm computed ONCE per vector here — inside the pair join it would run
-    # per PAIR (two extra dim-length dot products each), tripling the probe's
-    # flops; measured 11.8 s → norm-hoisted form below at sf0.1
-    v = _kmeans_assign(df, k, iters, id_col, vec_col).withColumn(
-        "nrm", F.sqrt(_dot(qd(F.col("q")), qd(F.col("q"))))
+    # the assignment already hoists the double view (_qd) and norm (_qn)
+    # once per vector — inside the pair join both would run per PAIR (the
+    # cast is an interpreted array transform, two per candidate pair);
+    # measured 11.8 s → norm-hoisted → cast-hoisted at sf0.1
+    v = _kmeans_assign(df, k, iters, id_col, vec_col).select(
+        id_col, "cell", F.col("_qd").alias("qd"), F.col("_qn").alias("nrm")
     )
     # one assignment subtree feeding three plan arms (both probe sides + the
     # verdict join): pin it so the iterative k-means doesn't recompute 3×
     v = v.localCheckpoint(eager=False)
     a, b = v.alias("a"), v.alias("b")
-    cos = _dot(qd(F.col("a.q")), qd(F.col("b.q"))) / (
+    cos = _dot_pre(F.col("a.qd"), F.col("b.qd")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     dups = (

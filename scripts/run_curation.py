@@ -44,6 +44,16 @@ def main(argv: list[str] | None = None) -> None:
         help="Spark master; 'inherit' = leave to spark-submit (cluster mode), "
         "default = local[$SPARK_GRAFT_CPUS]",
     )
+    ap.add_argument(
+        "--scrub-spans",
+        type=int,
+        default=0,
+        metavar="N",
+        help="after keeper selection, exact-substring-scrub the SURVIVORS: "
+        "remove every non-canonical occurrence of a corpus-repeated N-token "
+        "span (textops.dedup.span_scrub) so residual cloned passages inside "
+        "kept docs go too; 0 (default) = off",
+    )
     args = ap.parse_args(argv)
 
     from pegasus_spark.session import get_spark
@@ -55,6 +65,21 @@ def main(argv: list[str] | None = None) -> None:
 
     docs = _docs(spark, args.sf_dir)
     curated, dropped = curate_corpus(docs, _keeper_df(spark, args.sf_dir))
+    if args.scrub_spans:
+        # span canonicality is decided over the SURVIVOR set (post cluster
+        # dedup): the cluster pass already removed whole near-dup docs, so
+        # the scrub targets passages cloned BETWEEN kept docs
+        import pyspark.sql.functions as F
+
+        from pegasus_spark.textops.dedup import span_scrub
+
+        sc = span_scrub(curated.select("doc_id", "text"), n=args.scrub_spans)
+        curated = curated.drop("text").join(
+            sc.select(
+                "doc_id", F.col("text_clean").alias("text"), "n_removed"
+            ),
+            "doc_id",
+        )
     write_curated(curated, dropped, args.out)
 
     # read BACK from the written artifact so the summary reports what a
@@ -67,17 +92,18 @@ def main(argv: list[str] | None = None) -> None:
         r["source"]: int(r["n"])
         for r in surv.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    print(
-        json.dumps(
-            {
-                "docs_in": docs.count(),
-                "survivors": surv.count(),
-                "dropped": drop.count(),
-                "survivors_by_source": dict(sorted(per_source.items())),
-                "out": args.out,
-            }
+    summary = {
+        "docs_in": docs.count(),
+        "survivors": surv.count(),
+        "dropped": drop.count(),
+        "survivors_by_source": dict(sorted(per_source.items())),
+        "out": args.out,
+    }
+    if args.scrub_spans:
+        summary["spans_scrubbed_tokens"] = int(
+            surv.agg(F.sum("n_removed")).collect()[0][0] or 0
         )
-    )
+    print(json.dumps(summary))
     spark.stop()
 
 

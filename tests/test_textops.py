@@ -570,3 +570,30 @@ class TestDupSpanStats:
         )
         out = {r["doc_id"] for r in dup_span_stats(df, n=8).collect()}
         assert out == {2}
+
+
+def test_span_scrub_removes_non_canonical_spans(spark):
+    """Cloned 8-token passages vanish everywhere except the lexicographically
+    first (doc, pos) occurrence; untouched docs pass through intact."""
+    from pegasus_spark.textops.dedup import span_scrub
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        (0, f"{span} a1 a2 a3 a4"),            # canonical owner (doc 0, pos 0)
+        (1, f"b1 b2 {span} b3"),               # cross-doc clone → scrubbed
+        (2, f"{span} c1 c2 {span}"),           # within-doc repeat → 2nd goes
+        (3, "d1 d2 d3 d4 d5 d6 d7 d8 d9"),     # unique spans → untouched
+        (4, "e1 e2 e3"),                        # shorter than n → untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_scrub(df, n=8).collect()}
+    assert len(out) == 5
+    assert (out[0]["n_removed"], out[0]["text_clean"]) == (0, rows[0][1])
+    assert (out[1]["n_removed"], out[1]["text_clean"]) == (8, "b1 b2 b3")
+    # doc 2: the second in-doc occurrence (pos 10..17) is covered; the first
+    # is canonical only if (0,0) < (2,0) — doc 0 owns the span, so BOTH of
+    # doc 2's occurrences are non-canonical and every covered token drops
+    assert out[2]["n_removed"] == 16
+    assert out[2]["text_clean"] == "c1 c2"
+    assert (out[3]["n_removed"], out[3]["text_clean"]) == (0, rows[3][1])
+    assert (out[4]["n_removed"], out[4]["text_clean"]) == (0, rows[4][1])
