@@ -75,24 +75,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
-    # drop the query suite's residue before timing the crawl: 112 query
-    # executions leave cached tables and localCheckpoint blocks (the
-    # cross-modal memo, semantic_dedup's probe pin, simhash's hash pin, …)
-    # holding executor memory — measured 50.6 s (fresh JVM) vs 138 s
-    # (post-suite session) for the identical crawl. The memo MUST be
-    # cleared with the blocks (see reset_cluster_memo).
-    from pegasus_spark.analytics.pipeline_queries import reset_cluster_memo
-
-    reset_cluster_memo()
-    spark.catalog.clearCache()
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
-
+    # The crawl phase runs in its OWN JVM (sequential subprocess — never two
+    # Spark sessions at once). Measured escalation of in-session fixes
+    # (2026-08-18, identical crawl): shared session after the 112-query
+    # suite = 155 s; + residue clear (memo/cache/unpersist) = 138 s;
+    # + forced driver GC so ContextCleaner reaps dead broadcasts/shuffle
+    # files = 104 s; fresh JVM = ~52 s. The suite's shuffle spill on the one
+    # sandbox disk can't be fully reclaimed from inside the session, so the
+    # only measurement that reflects the ENGINE is a clean JVM. spark.stop()
+    # first: the stopped context deletes its local dirs, and the protocol
+    # forbids concurrent sessions.
+    spark.stop()
     extra: dict[str, object] = {}
     try:
-        from benchmarks.crawl_bench import run_crawl_bench
+        import subprocess
 
-        extra = run_crawl_bench(spark)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "benchmarks", "crawl_bench.py")],
+            capture_output=True, text=True, timeout=1800, cwd=repo,
+        )
+        crawl_line = next(
+            (ln for ln in reversed(proc.stdout.splitlines())
+             if ln.startswith("{")), None,
+        )
+        if proc.returncode != 0 or crawl_line is None:
+            raise RuntimeError(
+                f"crawl bench rc={proc.returncode}: {proc.stderr[-200:]}"
+            )
+        extra = json.loads(crawl_line)
     except Exception as exc:  # crawler bench optional — analytics always report
         extra = {"crawl_bench_error": str(exc)[:200]}
 
@@ -126,7 +137,6 @@ def main() -> None:
     compact["queries"] = slowest  # 5 slowest warm — full dicts in detail file
     compact["detail"] = "BENCH_LAST.json"
     print(json.dumps(compact), flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":
