@@ -388,7 +388,22 @@ class CrawlScheduler:
             phases["dequeue"] = time.perf_counter() - t
             t = time.perf_counter()
         fetched = self._fetch_and_log(dq, round_no, n_dq)
-        parsed = parsed_body(fetched.filter(F.col("status") == 200)).cache()
+        # Re-spread before the parse: fetch's output keeps its politeness
+        # partitioning (hash on host — all of one host's rows in one task),
+        # so every post-fetch CPU stage would inherit ≤|hosts| busy
+        # partitions. Fine at web scale (hosts ≫ cores) but it serializes
+        # the JSON parse + card work whenever hosts ≪ cores (measured:
+        # parse+dedupe 3.7 s on 4 of 32 cores at the weak4 point) — and at
+        # web scale the same skew reappears on hot hosts. One url-hash
+        # exchange of the bodies (order-insensitive downstream: dedup/merge
+        # keys are explicit, §4.3) buys full-width parallelism for
+        # everything after the fetch.
+        ok = fetched.filter(F.col("status") == 200)
+        if n_dq >= 256:
+            ok = ok.repartition(
+                max(1, min(self.n_partitions, n_dq // 64 + 1)), F.col("url")
+            )
+        parsed = parsed_body(ok).cache()
         if phase_log:
             phases["fetch+log"] = time.perf_counter() - t
             t = time.perf_counter()
@@ -894,15 +909,20 @@ class CrawlScheduler:
                 # shuffle join with pinned decode parallelism
                 image_store = self.spark.read.parquet(self.image_store_path)
                 item_parts = max(1, min(self.n_partitions, n_cards // 256 + 1))
-                f_items = ex.submit(
-                    self.store.append,
-                    "items",
-                    extract_items(
-                        cards, image_store, item_parts,
-                        broadcast_cards=n_cards <= 200_000,
-                    ),
-                    round_no,
-                )
+                def _items_job():
+                    t0 = time.perf_counter()
+                    self.store.append(
+                        "items",
+                        extract_items(
+                            cards, image_store, item_parts,
+                            broadcast_cards=n_cards <= 200_000,
+                        ),
+                        round_no,
+                    )
+                    if phase_log:
+                        cdc_phases["items_job"] = time.perf_counter() - t0
+
+                f_items = ex.submit(_items_job)
                 f_errors = ex.submit(self.store.append, "errors", cards_bad, round_no)
                 # MERGE at partition granularity: only the batch's regions are
                 # dirty — read and rewrite those regions alone, inherit the
@@ -911,11 +931,13 @@ class CrawlScheduler:
                 dirty_regions = sorted(
                     r[0] for r in cards.select("region").distinct().collect() if r[0]
                 )
+                mark("dirty_regions")
                 old = (
                     self.store.read_apartments_regions(apt_version, dirty_regions)
                     if apt_version >= 0
                     else None
                 ) or empty_apartments(self.spark)
+                mark("read_old_plan")
                 batch = cards.select(
                     "location", "aid", "price", "size", "total", "subway", "station",
                     "smeter", "floor", "tfloor", "year", "withlift", "visitcnt", "region",
