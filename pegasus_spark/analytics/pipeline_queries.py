@@ -1556,6 +1556,98 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# image-side planners (multimodal.py), gated on deterministic fake metadata
+# ---------------------------------------------------------------------------
+# The planners consume image METADATA only (dims / byte sizes) — exactly the
+# narrow rows they'd see at 100 TB after the late-payload-join discipline —
+# so the gate derives deterministic dims/sizes from the documents table
+# (md5-of-id, the repo's no-RNG sampling convention) and verifies the full
+# per-item plan against a SQL twin.
+
+
+def q_ratio_bucket_plan(spark, sf_dir):
+    """Aspect-ratio bucketing (multimodal.ratio_buckets): every image joins
+    the SDXL-style ladder bucket nearest its aspect ratio (ties to the wider
+    bucket), then fills 64-item training batches in id order. Dims are
+    md5-derived in [256, 2048] so the plan is a pure function of the doc
+    ids. The ladder is a 13-element literal folded into the projection —
+    the only exchange is the per-bucket batch window."""
+    from pegasus_spark.multimodal import ratio_buckets
+
+    hw = F.md5(F.col("doc_id").cast("string"))
+    imgs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("w"),
+        (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("h"),
+    )
+    return ratio_buckets(imgs, batch_size=64, id_col="doc_id").orderBy("doc_id")
+
+
+ORACLE_RATIO_BUCKET_PLAN = """
+WITH imgs AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1793 + 256)::INT AS w,
+    (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 1793 + 256)::INT AS h
+  FROM documents
+),
+ladder(bw, bh) AS (VALUES
+  (512, 2048), (512, 1536), (640, 1536), (768, 1344), (832, 1216),
+  (896, 1152), (1024, 1024), (1152, 896), (1216, 832), (1344, 768),
+  (1536, 640), (1536, 512), (2048, 512)
+),
+ranked AS (
+  SELECT i.doc_id, i.w, i.h, l.bw, l.bh,
+    row_number() OVER (
+      PARTITION BY i.doc_id
+      ORDER BY abs(i.w::DOUBLE / i.h - l.bw::DOUBLE / l.bh) ASC,
+               l.bw DESC, l.bh ASC
+    ) AS rn
+  FROM imgs i CROSS JOIN ladder l
+)
+SELECT doc_id, w, h, bw AS bucket_w, bh AS bucket_h,
+  CAST(floor((row_number() OVER (PARTITION BY bw, bh ORDER BY doc_id) - 1)
+             / 64.0) AS BIGINT) AS batch_idx
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_image_shard_plan(spark, sf_dir):
+    """WebDataset-style shard planning (multimodal.pack_image_shards): items
+    salted into 16 md5 groups, then byte-budgeted shards fill in id order
+    via the exclusive prefix sum. Payload bytes never enter the window —
+    the plan rides (id, n_bytes) rows only; here n_bytes is the document's
+    UTF-8 length standing in for the image payload size."""
+    from pegasus_spark.multimodal import pack_image_shards
+
+    items = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("text").cast("binary").alias("bytes"),
+    )
+    return pack_image_shards(items, budget_bytes=1 << 16, n_groups=16).orderBy(
+        "image_id"
+    )
+
+
+ORACLE_IMAGE_SHARD_PLAN = """
+WITH items AS (
+  SELECT doc_id::VARCHAR AS image_id,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 16 AS grp
+  FROM documents
+)
+SELECT image_id, grp, n_bytes,
+  CAST(floor(
+    coalesce(sum(n_bytes) OVER (
+      PARTITION BY grp ORDER BY image_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 65536.0
+  ) AS BIGINT) AS shard_id
+FROM items ORDER BY image_id
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -1592,6 +1684,8 @@ PIPELINE_QUERIES = {
     "ppl_buckets": q_ppl_buckets,
     "dsir_weights": q_dsir_weights,
     "span_scrub": q_span_scrub,
+    "ratio_bucket_plan": q_ratio_bucket_plan,
+    "image_shard_plan": q_image_shard_plan,
 }
 
 PIPELINE_ORACLES = {
@@ -1630,4 +1724,6 @@ PIPELINE_ORACLES = {
     "ppl_buckets": ORACLE_PPL_BUCKETS,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "span_scrub": ORACLE_SPAN_SCRUB,
+    "ratio_bucket_plan": ORACLE_RATIO_BUCKET_PLAN,
+    "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
 }
