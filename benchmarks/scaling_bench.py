@@ -185,11 +185,11 @@ def _weak_note(eff: float) -> str:
 
 
 LAST_JSON = os.path.join(REPO, "BENCH", "scaling_last.json")
-ALL_SECTIONS = {"calib", "component", "weak", "weakshm", "strong", "shm"}
+ALL_SECTIONS = {"calib", "component", "weak", "weakshm", "strong", "shm", "strongbig"}
 SHM_TMP = "/dev/shm/pegasus_bench_tmp"
 USAGE = (
     "usage: scaling_bench.py [--quick] [--reps N]"
-    " [--sections calib,component,weak,weakshm,strong,shm]"
+    " [--sections calib,component,weak,weakshm,strong,shm,strongbig]"
 )
 
 
@@ -282,6 +282,25 @@ def main() -> None:
         round((m8["pages_per_sec"] / m2["pages_per_sec"]) / 4, 3) if m2 else None
     )
 
+    # §3b: strong scaling where COMPUTE dominates the wall — the weak4 input
+    # (the biggest fixture, one 9.6k-page listing round) at local[2] vs
+    # local[8] on tmpfs. §3's "large" fixture is floor-dominated (per-round
+    # driver latency ≈ half its wall), which is exactly the regime a
+    # production round (1e5-1e6 pages) is NOT in; this pair measures the
+    # round loop when per-round work dwarfs the floor, in the core range §0
+    # shows is clean (2→8 ceiling ≈ 0.92).
+    if "strongbig" in sections:
+        b2 = best_of(reps, 2, "weak4", tmpdir=SHM_TMP)
+        b8 = best_of(reps, 8, "weak4", tmpdir=SHM_TMP)
+    elif "strongbig" in prev:
+        b2 = prev["strongbig"]["local2"]
+        b8 = prev["strongbig"]["local8"]
+    else:
+        b2 = b8 = None
+    strongbig_eff = (
+        round((b8["pages_per_sec"] / b2["pages_per_sec"]) / 4, 3) if b2 else None
+    )
+
     # per-section rep counts come from the evidence itself (len of the stored
     # per-rep list), not this invocation's --reps: with --sections /
     # --render-only an inherited section keeps the rep count that actually
@@ -305,6 +324,11 @@ def main() -> None:
         assert v8["url_seen_hash"] == w8["url_seen_hash"]
         assert v32["fetch_log_hash"] == w32["fetch_log_hash"]
         assert v32["url_seen_hash"] == w32["url_seen_hash"]
+    if b2:
+        # §3b replays the weak4 crawl at two core counts — same digests as
+        # each other and as the §2/§2b weak4 runs
+        assert b2["fetch_log_hash"] == b8["fetch_log_hash"] == w32["fetch_log_hash"]
+        assert b2["url_seen_hash"] == b8["url_seen_hash"] == w32["url_seen_hash"]
 
     result = {
         "component": {"local2": c2, "local8": c8, "efficiency": comp_eff},
@@ -321,6 +345,8 @@ def main() -> None:
         }
     if m2:
         result["shm"] = {"local2": m2, "local8": m8, "efficiency": shm_eff}
+    if b2:
+        result["strongbig"] = {"local2": b2, "local8": b8, "efficiency": strongbig_eff}
     print(json.dumps(result, indent=1))
     with open(LAST_JSON, "w") as f:
         json.dump(result, f, indent=1)
@@ -392,6 +418,40 @@ behavior.
 **Disk-isolated weak efficiency: {weakshm_eff}**{" — meets the ≥ 0.8 target" if weakshm_eff >= 0.8 else ""}{vs_ceiling_weak};
 determinism digests identical to the §2 on-disk runs at each scale
 (asserted by this harness) — the pairs differ only in storage medium.
+"""
+
+    strongbig_md = ""
+    if b2:
+        sb_reps = len(b2["_reps"])
+        sb_sus = round(
+            b8["sustained_pages_per_sec"] / (4 * b2["sustained_pages_per_sec"]), 3
+        )
+        strongbig_md = f"""
+### 3b. Strong scaling, compute-dominated — local[2] → local[8] on the weak4 input, tmpfs
+
+§3's fixture is FLOOR-dominated: per-round driver latency + bootstrap make
+up about half its wall, so its ratio measures the floor, not the engine —
+and a production round (1e5-1e6 pages dequeued) is never in that regime.
+This pair re-runs the strong protocol on the biggest fixture (one
+9.6k-page listing round, 46.8k cards) with storage on tmpfs, in the core
+range §0 measures as nearly clean:
+
+| run | pages/sec (best of {sb_reps}: {_reps_str(b2)} · {_reps_str(b8)}) | sustained pages/sec | wall (s) |
+|---|---|---|---|
+| local[2] (N)  | {b2["pages_per_sec"]} | {b2["sustained_pages_per_sec"]} | {b2["crawl_wall_s"]} |
+| local[8] (4N) | {b8["pages_per_sec"]} | {b8["sustained_pages_per_sec"]} | {b8["crawl_wall_s"]} |
+
+**Compute-dominated strong efficiency: {strongbig_eff}** whole-run
+(vs {strong_eff} on §3's floor-dominated fixture — same engine, the
+fixture's compute:floor ratio is the whole difference), **{sb_sus}
+sustained** (bootstrap and sub-100-page rounds excluded — the steady-state
+number a long crawl converges to). The remaining gap to §0's 2→8 ceiling
+is the per-round floor STILL inside the one listing round's wall
+(dequeue + fetch-log + lineage + commit ≈ 4-6 s at any core count); it is
+per-ROUND, so it vanishes into a production round's minutes-long compute,
+which no seconds-long local fixture can emulate. Digests identical to the
+§2/§2b weak4 runs (asserted) — same logical crawl, only cores and storage
+medium vary across all four regimes.
 """
 
     shm_md = ""
@@ -500,7 +560,7 @@ pages/round), which no fixed tiny fixture can emulate. The component
 number (§1) isolates the compute path; the weak number (§2/§2b) — the
 operative regime the BASELINE.md criterion names — shows the whole round
 loop sustains 4× the workload at 4N cores.
-{shm_md}
+{strongbig_md}{shm_md}
 Determinism: tests/test_resume.py::test_partition_count_invariance proves
 every parallelism level performs identical logical work (same fetch log,
 URL-seen set, table contents), so these comparisons measure speed only.
@@ -517,6 +577,7 @@ previous invocation (BENCH/scaling_last.json).
     print(
         f"wrote BENCH/BASELINE.md (component={comp_eff}, weak={weak_eff}, "
         f"weakshm={weakshm_eff}, strong={strong_eff}, shm={shm_eff}, "
+        f"strongbig={strongbig_eff}, "
         f"hw_ceiling_8_32={calib['ceiling_8_32'] if calib else None})"
     )
 
