@@ -28,6 +28,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+class CrawlDeterminismError(RuntimeError):
+    """Crawl-bench reps produced different determinism digests — a logical
+    regression, distinct from an ordinary (optional) bench failure."""
+
+
 def _materialize(df) -> int:
     """Run the full plan without a driver collect; return row count cheaply."""
     df.write.mode("overwrite").format("noop").save()
@@ -112,10 +117,20 @@ def main() -> None:
                     f"crawl bench rc={proc.returncode}: {proc.stderr[-200:]}"
                 )
             reps.append(json.loads(crawl_line))
-        assert len({r["fetch_log_hash"] for r in reps}) == 1
-        assert len({r["url_seen_hash"] for r in reps}) == 1
+        # Cross-rep determinism is a CONTRACT, not a bench nicety: the three
+        # reps are the same logical crawl, so their digests must agree. A
+        # mismatch is a determinism regression and must fail LOUDLY — it is
+        # re-raised past the optional-bench except below (and, unlike an
+        # assert, survives `python -O`).
+        for key in ("fetch_log_hash", "url_seen_hash"):
+            if len({r[key] for r in reps}) != 1:
+                raise CrawlDeterminismError(
+                    f"crawl reps disagree on {key}: {[r[key] for r in reps]}"
+                )
         extra = dict(max(reps, key=lambda r: r["pages_per_sec"]))
         extra["crawl_reps"] = [r["pages_per_sec"] for r in reps]
+    except CrawlDeterminismError:
+        raise
     except Exception as exc:  # crawler bench optional — analytics always report
         extra = {"crawl_bench_error": str(exc)[:200]}
 

@@ -325,10 +325,27 @@ def main() -> None:
         assert v32["fetch_log_hash"] == w32["fetch_log_hash"]
         assert v32["url_seen_hash"] == w32["url_seen_hash"]
     if b2:
-        # §3b replays the weak4 crawl at two core counts — same digests as
-        # each other and as the §2/§2b weak4 runs
-        assert b2["fetch_log_hash"] == b8["fetch_log_hash"] == w32["fetch_log_hash"]
-        assert b2["url_seen_hash"] == b8["url_seen_hash"] == w32["url_seen_hash"]
+        # §3b replays the weak4 crawl at two core counts — the freshly
+        # measured pair must agree with EACH OTHER unconditionally
+        assert b2["fetch_log_hash"] == b8["fetch_log_hash"], "strongbig pair diverged!"
+        assert b2["url_seen_hash"] == b8["url_seen_hash"], "strongbig pair diverged!"
+        # …and with the §2 weak4 run — but w32 may be INHERITED from
+        # scaling_last.json (a --sections strongbig re-run), in which case a
+        # mismatch means the fixture changed between invocations, not a
+        # determinism bug: name the stale side instead of crashing opaque.
+        for key in ("fetch_log_hash", "url_seen_hash"):
+            if b2[key] != w32[key]:
+                fresh_weak = "weak" in sections
+                raise AssertionError(
+                    f"strongbig vs weak4 {key} mismatch: "
+                    f"strongbig={b2[key]} weak={w32[key]}. The weak section is "
+                    f"{'freshly measured' if fresh_weak else 'INHERITED from ' + LAST_JSON}"
+                    + (
+                        "" if fresh_weak
+                        else " — the fixture generator likely changed since it "
+                             "was recorded; re-run with --sections weak,strongbig."
+                    )
+                )
 
     result = {
         "component": {"local2": c2, "local8": c8, "efficiency": comp_eff},

@@ -1602,7 +1602,7 @@ ranked AS (
   SELECT i.doc_id, i.w, i.h, l.bw, l.bh,
     row_number() OVER (
       PARTITION BY i.doc_id
-      ORDER BY abs(i.w::DOUBLE / i.h - l.bw::DOUBLE / l.bh) ASC,
+      ORDER BY round(abs(i.w::DOUBLE / i.h - l.bw::DOUBLE / l.bh), 9) ASC,
                l.bw DESC, l.bh ASC
     ) AS rn
   FROM imgs i CROSS JOIN ladder l

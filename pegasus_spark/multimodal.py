@@ -332,9 +332,14 @@ def ratio_buckets(
     # the previous best THREE times, a 3^13-node expression tree that OOMs
     # the driver at plan build — least() keeps the tree linear in the
     # ladder.)
+    # the distance quantizes to 9 dp before the argmin (the round-before-
+    # float-order parity rule): dims are ints ≤ 2048, so two genuinely
+    # different bucket distances differ by ≥ ~2e-7 — the 9 dp grid can never
+    # flip a real winner, only collapse exact midpoint ties, which the
+    # wider-bucket tie-break resolves identically on both engines.
     cands = [
         F.struct(
-            F.abs(ratio - F.lit(bw / bh)).alias("d"),
+            F.round(F.abs(ratio - F.lit(bw / bh)), 9).alias("d"),
             F.lit(-bw).alias("nw"),
             F.lit(bw).alias("bw"),
             F.lit(bh).alias("bh"),
