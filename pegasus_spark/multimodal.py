@@ -305,6 +305,7 @@ RATIO_BUCKETS = (
 
 def ratio_buckets(
     df: DataFrame, batch_size: int = 64, id_col: str = "image_id",
+    salt_groups: int | None = None,
 ) -> DataFrame:
     """Aspect-ratio bucketing — the image-side batch planner (the SDXL
     training recipe): every image joins the ladder bucket whose aspect ratio
@@ -318,10 +319,14 @@ def ratio_buckets(
 
     Scale shape: the ladder is a 13-element array LITERAL folded into the
     projection (no join, no broadcast table); the only exchange is the
-    per-bucket window over (id, bucket) rows — 13 buckets is skew-prone at
-    100 TB, so the window orders within bucket AND the batch index is
-    derivable instead via the pack_image_shards salting pattern when one
-    bucket outgrows a task; kept exact here for the planner contract."""
+    per-bucket batch window over (id, bucket) rows. The raw window has
+    exactly 13 distinct keys — at 100 TB that is 13 tasks each
+    row_numbering ~10^9 rows — so ``salt_groups`` is the production path:
+    batch_idx is derived within (bucket, md5(id)-salt-group) exactly like
+    pack_image_shards, and the global batch key becomes (bucket, grp,
+    batch_idx). A trainer needs fixed-size same-ratio batches and a
+    deterministic plan, not corpus-contiguous batch numbers, so nothing is
+    lost. The unsalted form stays the oracle-gated planner contract."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -351,8 +356,17 @@ def ratio_buckets(
         id_col, "w", "h",
         best["bw"].alias("bucket_w"), best["bh"].alias("bucket_h"),
     )
-    w = Window.partitionBy("bucket_w", "bucket_h").orderBy(id_col)
-    return sized.withColumn(
+    if salt_groups is None:
+        w = Window.partitionBy("bucket_w", "bucket_h").orderBy(id_col)
+        out = sized
+    else:
+        out = sized.withColumn(
+            "grp",
+            (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+             .cast("bigint") % salt_groups),
+        )
+        w = Window.partitionBy("bucket_w", "bucket_h", "grp").orderBy(id_col)
+    return out.withColumn(
         "batch_idx",
         F.floor((F.row_number().over(w) - 1) / F.lit(float(batch_size))).cast("bigint"),
     )

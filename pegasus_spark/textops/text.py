@@ -176,33 +176,53 @@ def with_fingerprint(df: DataFrame, k: int = 8) -> DataFrame:
 
 def pack_shards(
     df: DataFrame, budget: int = 512, group_col: str = "source",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", salt_groups: int | None = None,
 ) -> DataFrame:
     """Token-budget shard packing — the training-data shard planner: within
     each group, documents in id order fill shards of ~``budget`` tokens; a
     document's shard is ``floor(exclusive-prefix-sum(n_tokens) / budget)``
     (deterministic streaming first-fit: a doc starts the next shard once
     the running total before it crosses the boundary; an oversized doc
-    simply owns its span). Output: (id, group, n_tokens, shard_id).
+    simply owns its span). Output: (id, group, n_tokens, shard_id), plus a
+    ``grp`` salt column when ``salt_groups`` is set.
 
     Scale shape: ONE partition-local window per group and no global
     exchange — the group (source / dump / date bucket) is the packing unit
-    precisely so the prefix sum never crosses the corpus; packing 100 TB
-    globally would serialize it through a single ordered partition."""
+    so the prefix sum never crosses the corpus. A real pretraining corpus
+    is Zipf-shaped by source (one CommonCrawl-like source holds most rows),
+    so at 100 TB the raw per-source window is ONE task sorting ~10^10 rows:
+    ``salt_groups`` splits every source into md5(id)-derived sub-groups
+    (the pack_image_shards pattern — images have no source key at all, so
+    there the salt is unconditional) and packs each independently; a
+    shard's global key becomes (group, grp, shard_id). Shards lose nothing:
+    packing needs fixed token budgets and determinism, not a corpus-wide
+    contiguous numbering. The unsalted form stays the oracle-gated one —
+    the salt only re-partitions the window, it never changes the
+    first-fit rule inside a packing unit."""
     from pyspark.sql import Window
 
+    sized = with_token_count(df)
+    if salt_groups is None:
+        part_cols = [group_col]
+        out_cols = [id_col, group_col, "n_tokens"]
+    else:
+        sized = sized.withColumn(
+            "grp",
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+            .cast("bigint") % salt_groups,
+        )
+        part_cols = [group_col, "grp"]
+        out_cols = [id_col, group_col, "grp", "n_tokens"]
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*part_cols)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        with_token_count(df)
+        sized
         .withColumn("_prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .select(
-            id_col,
-            group_col,
-            "n_tokens",
+            *out_cols,
             F.floor(F.col("_prior") / F.lit(float(budget))).cast("bigint").alias("shard_id"),
         )
     )
@@ -255,7 +275,7 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def ppl_buckets(df: DataFrame, id_col: str = "doc_id",
-                group_col: str = "source") -> DataFrame:
+                group_col: str = "source", exact: bool = True) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019 §4.3):
     within each group (source/dump), rank documents by their unigram-LM score
     and cut into terciles — ``head`` = most in-distribution third, ``tail`` =
@@ -270,19 +290,41 @@ def ppl_buckets(df: DataFrame, id_col: str = "doc_id",
     ``n mod 3`` tiles take the extra row) are pinned by the SQL standard on
     both engines.
 
-    Scale shape: unigram_logprob's two partial-agg shuffles, then ONE
-    partition-local window per group over (id, group, avg_logprob) triples —
-    the group is the bucketing unit exactly as in pack_shards, so the sort
-    never crosses the corpus. Where a single source outgrows one task
-    (~10⁸+ docs/source), the exact ntile swaps for a two-pass
-    percentile_approx cutoff (per-group P33/P66 → broadcast → narrow CASE)
-    at the cost of approximate boundaries; the exact form is kept here
-    because it is the oracle-checkable one."""
+    Scale shape: unigram_logprob's two partial-agg shuffles, then — on the
+    ``exact`` path — ONE partition-local window per group over (id, group,
+    avg_logprob) triples. That window serializes a source once it outgrows
+    a task (~10⁸+ docs/source on a Zipf-shaped corpus), so the PRODUCTION
+    path is ``exact=False``: per-group percentile_approx P33/P66 cutoffs
+    (a partial-aggregable sketch, groups-sized result) broadcast-join back
+    and a narrow CASE assigns the bucket — no ordered window anywhere, at
+    the cost of approximate tercile boundaries. Both paths order head ≥
+    middle ≥ tail by construction; the exact ntile form stays the
+    oracle-gated one (percentile_approx's sketch is engine-specific, not
+    SQL-portable)."""
     from pyspark.sql import Window
 
     scored = unigram_logprob(df, id_col).join(
         df.select(id_col, group_col), id_col
     )
+    if not exact:
+        # ascending P(2/3) = boundary ABOVE which ~a third of rows lie
+        # (head = most in-distribution third = highest avg_logprob)
+        cuts = scored.groupBy(group_col).agg(
+            F.percentile_approx("avg_logprob", F.array(F.lit(2.0 / 3), F.lit(1.0 / 3)))
+            .alias("_cuts")
+        ).select(
+            group_col,
+            F.col("_cuts")[0].alias("_hi"),
+            F.col("_cuts")[1].alias("_lo"),
+        )
+        return scored.join(F.broadcast(cuts), group_col).select(
+            id_col,
+            group_col,
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("_hi"), "head")
+            .when(F.col("avg_logprob") >= F.col("_lo"), "middle")
+            .otherwise("tail").alias("bucket"),
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.desc("avg_logprob"), F.asc(id_col)
     )

@@ -270,3 +270,38 @@ def test_ratio_buckets_nearest_ladder_and_batching(spark):
     for b, ids in by_bucket.items():
         for rank, iid in enumerate(sorted(ids)):
             assert out[iid]["batch_idx"] == rank // 2, (b, iid)
+
+
+def test_ratio_buckets_salted_batching(spark):
+    """The 100 TB path: salt_groups derives batch_idx within (bucket,
+    md5(id)-group) — the window exchange must carry the salt (a raw
+    13-bucket window is 13 tasks at scale), bucket assignment is unchanged,
+    and batches fill in id order within each (bucket, grp) unit."""
+    import hashlib
+    import re
+
+    from pegasus_spark.multimodal import ratio_buckets
+
+    dims = [(1024, 1024), (1000, 1030), (512, 2000), (2000, 512),
+            (900, 1100), (1344, 768), (770, 1340), (640, 640)]
+    rows = [(f"rbs-{i:02d}", w, h) for i, (w, h) in enumerate(dims * 4)]
+    rows = [(f"rbs-{i:02d}", w, h) for i, (_, w, h) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+
+    salted = ratio_buckets(df, batch_size=2, salt_groups=3)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\([^)]*grp", plan), plan
+
+    out = {r["image_id"]: r for r in salted.collect()}
+    base = {r["image_id"]: r for r in ratio_buckets(df, batch_size=2).collect()}
+    units: dict[tuple, list[str]] = {}
+    for iid, _, _ in rows:
+        # salting never moves an image between ratio buckets
+        assert (out[iid]["bucket_w"], out[iid]["bucket_h"]) == (
+            base[iid]["bucket_w"], base[iid]["bucket_h"])
+        grp = int(hashlib.md5(iid.encode()).hexdigest()[:4], 16) % 3
+        assert out[iid]["grp"] == grp
+        units.setdefault((out[iid]["bucket_w"], out[iid]["bucket_h"], grp), []).append(iid)
+    for ids in units.values():
+        for rank, iid in enumerate(sorted(ids)):
+            assert out[iid]["batch_idx"] == rank // 2, (iid, ids)

@@ -418,6 +418,88 @@ class TestPackShards:
         # the next doc's prior=1200 → shard 2 (floor semantics)
         assert got[10] == (1200, 0) and got[11] == (100, 2)
 
+    def test_salted_packing_splits_the_window_and_keeps_first_fit(self, spark):
+        """The Zipf-safe path: salt_groups subdivides every source into
+        md5(id) sub-groups — the window exchange must carry the salt (no
+        single task per source), and within each (source, grp) packing unit
+        the first-fit rule is byte-identical to the unsalted form
+        (recomputed in plain Python)."""
+        import hashlib
+        import re
+
+        from pegasus_spark.textops.text import pack_shards
+
+        rows = [
+            (i, " ".join(["w"] * (37 + (i * 13) % 200)), "cc" if i % 5 else "wiki")
+            for i in range(1, 61)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = pack_shards(docs, budget=256, salt_groups=4)
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"hashpartitioning\([^)]*grp", plan), plan
+        assert "SinglePartition" not in plan
+
+        got = {r["doc_id"]: r for r in out.collect()}
+        units: dict[tuple, list[tuple]] = {}
+        for i, text, src in rows:
+            grp = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 4
+            assert got[i]["grp"] == grp, i
+            units.setdefault((src, grp), []).append((i, len(text.split())))
+        for unit in units.values():
+            prior = 0
+            for i, n in sorted(unit):
+                assert got[i]["shard_id"] == prior // 256, (i, prior)
+                assert got[i]["n_tokens"] == n
+                prior += n
+
+
+class TestPplBucketsApprox:
+    def test_approx_path_has_no_window_and_matches_exact_proportions(self, spark):
+        """The production (exact=False) path: no ordered window anywhere in
+        the physical plan — the cutoffs are a partial-aggregable sketch —
+        and on a small input (where percentile_approx is exact) the bucket
+        proportions track the exact terciles within boundary-tie slack,
+        with head ≥ middle ≥ tail score ordering per group by construction."""
+        from pegasus_spark.textops.text import ppl_buckets
+
+        # two sources with distinct token-frequency spreads so avg_logprob
+        # varies smoothly; 45 docs per source
+        rows = []
+        for i in range(90):
+            src = "cc" if i % 2 else "wiki"
+            # common filler plus i rare singleton tokens → strictly distinct
+            # rare-token fractions, so avg_logprob never ties across docs
+            # (threshold-vs-ntile counts only line up with distinct scores)
+            text = " ".join(["the common text"] * 5 + [f"rare{i}w{j}" for j in range(i)])
+            rows.append((i, text, src))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+        approx = ppl_buckets(docs, exact=False)
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition" not in plan, plan
+
+        got = approx.collect()
+        exact = ppl_buckets(docs, exact=True).collect()
+        for src in ("cc", "wiki"):
+            a = [r for r in got if r["source"] == src]
+            e = [r for r in exact if r["source"] == src]
+            n = len(a)
+            assert n == len(e) == 45
+            for bucket in ("head", "middle", "tail"):
+                na = sum(r["bucket"] == bucket for r in a)
+                ne = sum(r["bucket"] == bucket for r in e)
+                # ±2: percentile boundary rows (>= cut) vs ntile remainder
+                assert abs(na - ne) <= 2, (src, bucket, na, ne)
+            by_bucket = {
+                b: [r["avg_logprob"] for r in a if r["bucket"] == b]
+                for b in ("head", "middle", "tail")
+            }
+            if by_bucket["head"] and by_bucket["middle"]:
+                assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+            if by_bucket["middle"] and by_bucket["tail"]:
+                assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+
 
 class TestClusterSplit:
     def test_same_cluster_same_split(self, spark):
