@@ -270,6 +270,23 @@ ORDER BY v.doc_id
 # then run keeper selection / curation / audits against it.
 _CLUSTER_CACHE: dict[tuple, DataFrame] = {}
 
+# Write-once cluster TABLE hook: the curation CLI registers a FrontierStore
+# here, after which _cross_modal_cluster_df serves the four consumers from
+# the store's committed `clusters` table whenever its recorded input
+# fingerprint (sf_dir + parquet mtimes) matches the current inputs, and
+# otherwise builds once and COMMITS — the in-process memo made durable.
+# A second process (or a post-reset re-read in this one) then does ZERO
+# connected-component jobs: the assignment is a parquet scan.
+_CLUSTER_STORE = None
+_CC_BUILD_COUNT = 0  # how many times this process ran the CC build (diagnostics)
+
+
+def use_cluster_store(store) -> None:
+    """Attach (or detach, with ``None``) a FrontierStore whose ``clusters``
+    table backs the cross-modal cluster assignment."""
+    global _CLUSTER_STORE
+    _CLUSTER_STORE = store
+
 
 def reset_cluster_memo() -> None:
     """Drop memoized cluster assignments (and their localCheckpoint blocks).
@@ -314,6 +331,19 @@ def _cross_modal_cluster_df(spark, sf_dir):
     cached = _CLUSTER_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    fingerprint = {
+        "sf_dir": sf_dir,
+        "mt_documents": _mt("documents.parquet"),
+        "mt_embeddings": _mt("embeddings.parquet"),
+    }
+    if _CLUSTER_STORE is not None:
+        got = _CLUSTER_STORE.read_clusters()
+        if got is not None:
+            table, meta = got
+            if {k: meta.get(k) for k in fingerprint} == fingerprint:
+                # parquet-backed: stable without a checkpoint, zero CC jobs
+                _CLUSTER_CACHE[cache_key] = table
+                return table
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     # the three evidence builders each run eager localCheckpoint jobs at
@@ -345,6 +375,10 @@ def _cross_modal_cluster_df(spark, sf_dir):
         .distinct()
     )
     clusters = D.near_dup_clusters(docs, pairs).localCheckpoint(eager=True)
+    global _CC_BUILD_COUNT
+    _CC_BUILD_COUNT += 1
+    if _CLUSTER_STORE is not None:
+        _CLUSTER_STORE.write_clusters(clusters, fingerprint)
     _CLUSTER_CACHE[cache_key] = clusters
     return clusters
 

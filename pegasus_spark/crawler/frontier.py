@@ -498,6 +498,61 @@ class FrontierStore:
             return self.spark.read.parquet(self._p("lineage", f"v{version}"))
         return self._read_parts("lineage", parts)
 
+    # curation clusters table --------------------------------------------------
+    # Cross-modal near-dup cluster assignment (doc_id, cluster_id), bucketed
+    # by crc32(doc_id) % n_buckets like the frontier. Write-ONCE per input
+    # snapshot: clusters/meta.json names the committed version plus the input
+    # fingerprint (sf_dir + source-parquet mtimes) the build consumed; a
+    # reader whose inputs moved treats the table as absent and the next
+    # curation run recommits. Data + parts.json land first, the meta.json
+    # rename is the commit point (the store's manifest-last discipline) —
+    # this is the materialized form of pipeline_queries' in-process cluster
+    # memo: build the assignment once, run keepers/curation/audits against
+    # the table.
+
+    def _clusters_meta_path(self) -> str:
+        return self._p("clusters", "meta.json")
+
+    def load_clusters_meta(self) -> dict | None:
+        if not os.path.exists(self._clusters_meta_path()):
+            return None
+        with open(self._clusters_meta_path()) as f:
+            return json.load(f)
+
+    def write_clusters(self, df: DataFrame, meta: dict) -> int:
+        """Commit (doc_id, cluster_id) built from the inputs ``meta``
+        fingerprints; returns the committed version. The superseded version
+        dir is dropped after the commit (write-once table — no reader ever
+        resolves more than the meta-named version)."""
+        import shutil
+
+        old = self.load_clusters_meta()
+        version = (old["version"] + 1) if old else 0
+        key = F.pmod(
+            F.crc32(F.col("doc_id").cast("string")), F.lit(N_FRONTIER_BUCKETS)
+        ).cast("int")
+        written = self._write_partitioned("clusters", df, version, key, None)
+        self._write_parts("clusters", version, {k: version for k in written})
+        tmp = self._clusters_meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, **meta}, f, sort_keys=True)
+        os.replace(tmp, self._clusters_meta_path())
+        if old is not None:
+            shutil.rmtree(self._p("clusters", f"v{old['version']}"), ignore_errors=True)
+        return version
+
+    def read_clusters(self) -> tuple[DataFrame, dict] | None:
+        """The committed assignment + its meta, or None if never committed.
+        Freshness (meta vs current inputs) is the CALLER's check — the store
+        only guarantees the rows match the recorded fingerprint."""
+        meta = self.load_clusters_meta()
+        if meta is None:
+            return None
+        parts = self._load_parts("clusters", meta["version"])
+        if parts is None:
+            return None
+        return self._read_parts("clusters", parts), meta
+
     # snapshot lifecycle -----------------------------------------------------
     def snapshot_diff(self, v_old: int, v_new: int) -> DataFrame:
         """Row-level diff between two frontier snapshots — the local

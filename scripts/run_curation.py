@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> None:
         "default = local[$SPARK_GRAFT_CPUS]",
     )
     ap.add_argument(
+        "--store",
+        default=None,
+        metavar="DIR",
+        help="FrontierStore root for the write-once `clusters` table: the "
+        "cluster assignment is read back from the store when its committed "
+        "input fingerprint matches, else built once and committed — a second "
+        "run against the same inputs does ZERO connected-component jobs",
+    )
+    ap.add_argument(
         "--scrub-spans",
         type=int,
         default=0,
@@ -60,8 +69,14 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark(app_name="pegasus_curation", master=args.master)
 
+    import pegasus_spark.analytics.pipeline_queries as PQ
     from pegasus_spark.analytics.pipeline_queries import _docs, _keeper_df
     from pegasus_spark.textops.dedup import curate_corpus, write_curated
+
+    if args.store:
+        from pegasus_spark.crawler.frontier import FrontierStore
+
+        PQ.use_cluster_store(FrontierStore(spark, args.store))
 
     docs = _docs(spark, args.sf_dir)
     curated, dropped = curate_corpus(docs, _keeper_df(spark, args.sf_dir))
@@ -99,6 +114,14 @@ def main(argv: list[str] | None = None) -> None:
         "survivors_by_source": dict(sorted(per_source.items())),
         "out": args.out,
     }
+    if args.store:
+        # cluster_builds == 0 ⇒ this run served the assignment entirely from
+        # the store's committed table (no connected-component jobs ran)
+        summary["cluster_builds"] = PQ._CC_BUILD_COUNT
+        summary["clusters_source"] = "built" if PQ._CC_BUILD_COUNT else "store"
+        summary["clusters_version"] = (PQ._CLUSTER_STORE.load_clusters_meta() or {}).get(
+            "version"
+        )
     if args.scrub_spans:
         summary["spans_scrubbed_tokens"] = int(
             surv.agg(F.sum("n_removed")).collect()[0][0] or 0
