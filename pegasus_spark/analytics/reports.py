@@ -271,3 +271,66 @@ def caption_dup_report(items: DataFrame) -> DataFrame:
         F.col("phash").cast("string").alias("phash_key"),
     )
     return dup_rate_report(keyed, "region", "caption_md5", "phash_key")
+
+
+def caption_span_report(items: DataFrame, n: int = 3) -> DataFrame:
+    """Per-region boilerplate-SPAN triage over a committed items table — the
+    crawl-side consumer of ``dup_span_stats`` (Lee et al. 2022 exact-substring
+    signal): how much of each region's caption corpus is built from n-token
+    spans repeated anywhere in the corpus. Captions are short, so the span
+    length defaults to 3 tokens (the documents-table operator defaults to 8;
+    the crawl fixture's listing captions are exactly 3 tokens).
+    A flagged caption (≥1 corpus-repeated span) is the one span_scrub or a
+    blocklist would rewrite. Output: (region, n_captions, n_flagged,
+    flagged_rate, avg_dup_ratio). Scale shape inherits dup_span_stats' single
+    md5-key shuffle; the rollup adds one region-keyed partial agg over
+    per-caption count triples — caption text never moves past the explode."""
+    from pegasus_spark.textops.dedup import dup_span_stats
+
+    stats = dup_span_stats(
+        items.select("image_id", "caption"), n=n,
+        text_col="caption", id_col="image_id",
+    )
+    keyed = stats.withColumn(
+        "region", F.element_at(F.split("image_id", "-"), 2)
+    )
+    return (
+        keyed.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_captions"),
+            F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_flagged"),
+            F.round(
+                F.avg(F.when(F.col("n_dup_spans") > 0, 1.0).otherwise(0.0)), 4
+            ).alias("flagged_rate"),
+            F.round(F.avg("dup_span_ratio"), 4).alias("avg_dup_ratio"),
+        )
+        .orderBy("region")
+    )
+
+
+def boilerplate_spans(items: DataFrame, n: int = 3, top: int = 20) -> DataFrame:
+    """The literal boilerplate: the n-token caption spans repeated most often
+    corpus-wide, with occurrence + distinct-caption counts — the strings a
+    crawl operator turns into a scrub/blocklist. The gated span operators
+    move only md5 keys; a top-N report is FOR humans, so here the top spans
+    themselves surface — one partial-agg shuffle on the span string (map-side
+    combined, so a hot boilerplate span arrives pre-counted) and a global
+    top-N (TakeOrderedAndProject), deterministic via the full
+    (count desc, captions desc, span asc) tie-break."""
+    from pegasus_spark.textops.text import word_grams
+
+    g = items.select(
+        "image_id",
+        F.explode(word_grams("caption", n=n, clamp=False)).alias("span"),
+    )
+    return (
+        g.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("image_id").cast("bigint").alias("n_captions"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.desc("n_captions"), F.asc("span"))
+        .limit(top)
+    )

@@ -84,6 +84,33 @@ def crawl_dup_report(
     return caption_dup_report(items)
 
 
+def crawl_span_report(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+    n: int = 3, top: int = 20,
+) -> dict[str, Any]:
+    """Boilerplate-span triage over the COMMITTED items table — "which
+    captions are boilerplate spans": per-region flagged rates
+    (reports.caption_span_report, the dup_span_stats consumer) plus the top
+    repeated span strings themselves (reports.boilerplate_spans — what a
+    span_scrub blocklist would be seeded with). Reads only
+    manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import boilerplate_spans, caption_span_report
+
+    return {
+        "regions": [r.asDict() for r in caption_span_report(items, n=n).collect()],
+        "top_spans": [
+            r.asDict() for r in boilerplate_spans(items, n=n, top=top).collect()
+        ],
+    }
+
+
 def host_lineage(spark: SparkSession, workdir: str) -> Any:
     """The committed host-level frontier-state breakdown as a DataFrame
     (host, state, url_cnt) — the queryable replacement for the round-2
@@ -99,11 +126,12 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     compact = "--compact" in argv
     dup_report = "--dup-report" in argv
-    argv = [a for a in argv if a not in ("--compact", "--dup-report")]
+    span_report = "--span-report" in argv
+    argv = [a for a in argv if a not in ("--compact", "--dup-report", "--span-report")]
     if len(argv) != 1:
         print(
             "usage: python -m pegasus_spark.crawler.status"
-            " [--compact] [--dup-report] <workdir>",
+            " [--compact] [--dup-report] [--span-report] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -121,6 +149,12 @@ def main(argv: list[str] | None = None) -> int:
             # a store stopped before its first listing round has no committed
             # items — a usage-level condition, not a traceback
             print(f"--dup-report: {exc}", file=sys.stderr)
+            return 2
+    if span_report:
+        try:
+            out["span_report"] = crawl_span_report(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--span-report: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

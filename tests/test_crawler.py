@@ -314,3 +314,33 @@ def test_dup_report_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {d["region"] for d in payload["dup_report"]} == {r["region"] for r in rows}
+
+
+def test_span_report_cli_surface(crawl, capsys):
+    """VERDICT-r4 #6: the crawl CLI answers "which captions are boilerplate
+    spans" from the COMMITTED store — crawl_span_report rolls dup_span_stats
+    over every ≥n-token caption and names the top repeated spans; `status
+    --span-report` surfaces the same payload as JSON."""
+    import json
+
+    from pegasus_spark.crawler.status import crawl_span_report, main
+
+    spec, sched, result, ckpt = crawl
+    rep = crawl_span_report(sched.spark, sched.store.workdir, sched.store)
+    assert rep["regions"], "span report must cover the committed regions"
+    assert {
+        "region", "n_captions", "n_flagged", "flagged_rate", "avg_dup_ratio"
+    } == set(rep["regions"][0])
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    # captions shorter than n tokens have no spans (dup_span_stats drops
+    # them) — covered rows never exceed the committed corpus
+    covered = sum(r["n_captions"] for r in rep["regions"])
+    assert 0 < covered <= items.count()
+    for s in rep["top_spans"]:
+        assert s["n_occurrences"] >= 2 and len(s["span"].split()) == 3
+
+    rc = main(["--span-report", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["span_report"]["regions"] == rep["regions"]
+    assert payload["span_report"]["top_spans"] == rep["top_spans"]

@@ -238,3 +238,33 @@ def test_caption_dup_report_regions_from_image_id(spark):
     assert rows["ra"]["n_docs"] == 2
     assert rows["ra"]["n_exact_dups"] == 2 and rows["ra"]["n_fp_dups"] == 2
     assert rows["rb"]["n_exact_dups"] == 0 and rows["rb"]["n_fp_dups"] == 1
+
+
+def test_caption_span_report_and_boilerplate_spans(spark):
+    """Boilerplate-span triage recomputed by hand: 4-token spans shared
+    across captions flag both carriers; the per-region rollup and the
+    top-span listing agree with the manual count."""
+    from pegasus_spark.analytics.reports import boilerplate_spans, caption_span_report
+
+    items = spark.createDataFrame(
+        [
+            ("img-ra-0001-01", "a b c d e"),   # spans: "a b c d", "b c d e"
+            ("img-ra-0001-02", "x a b c d"),   # shares "a b c d" → both flagged
+            ("img-rb-0002-01", "p q r s t"),   # spans: "p q r s", "q r s t"
+            ("img-rb-0002-02", "p q r s u"),   # shares "p q r s" → both flagged
+        ],
+        "image_id string, caption string",
+    )
+    rows = {r["region"]: r for r in caption_span_report(items, n=4).collect()}
+    assert set(rows) == {"ra", "rb"}
+    assert rows["ra"]["n_captions"] == 2 and rows["ra"]["n_flagged"] == 2
+    assert float(rows["ra"]["flagged_rate"]) == 1.0
+    assert float(rows["ra"]["avg_dup_ratio"]) == 0.5  # 1 of 2 spans each
+    assert rows["rb"]["n_captions"] == 2 and rows["rb"]["n_flagged"] == 2
+    assert float(rows["rb"]["avg_dup_ratio"]) == 0.5
+
+    spans = boilerplate_spans(items, n=4, top=10).collect()
+    got = {r["span"]: (r["n_occurrences"], r["n_captions"]) for r in spans}
+    assert got == {"a b c d": (2, 2), "p q r s": (2, 2)}
+    # deterministic tie-break: counts equal → span ascending
+    assert [r["span"] for r in spans] == ["a b c d", "p q r s"]

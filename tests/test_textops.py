@@ -589,6 +589,57 @@ class TestSemanticDedup:
         b = sorted(map(tuple, semantic_dedup(emb.repartition(5), k=8, iters=1).collect()))
         assert a == b
 
+    def test_k_scaling_switch_bounds_cells_and_matches_brute_force(self, spark):
+        """The q_semantic_dedup k-scaling rule (k = max(8, n//128)) above its
+        floor: at n=2048 → k=16 the sf0.01 gate (which pins k=8) never runs,
+        so this pins the physical-choice contract directly — (a) the larger
+        k actually materializes (> 8 cells) and every cell stays within a
+        small multiple of the 128-row target (the bound that keeps the
+        quadratic within-cell pair block task-sized), and (b) the keep/drop
+        verdicts match a brute-force within-cell cosine oracle in numpy."""
+        import numpy as np
+
+        from pegasus_spark.textops.similarity import semantic_dedup
+
+        n, dim, tau = 2048, 16, 9500
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(n, dim))
+        # plant near-duplicate pairs (same direction, scaled + tiny noise) so
+        # both verdicts are exercised at this τ
+        for i in range(0, n - 1, 11):
+            base[i + 1] = base[i] * 1.5 + 0.0005
+        rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        k = max(8, n // 128)
+        assert k == 16
+        out = semantic_dedup(df, k=k, iters=1, tau_x10k=tau).collect()
+        assert len(out) == n
+
+        cells: dict[int, list[int]] = {}
+        kept = {}
+        for r in out:
+            cells.setdefault(r["cell"], []).append(r["vec_id"])
+            kept[r["vec_id"]] = r["is_kept"]
+        assert len(cells) > 8, "k-scaling switch never materialized extra cells"
+        assert max(len(m) for m in cells.values()) <= 4 * 128, {
+            c: len(m) for c, m in cells.items()
+        }
+        assert 0 < sum(kept.values()) < n, "both verdicts must be exercised"
+
+        # brute-force oracle over the same floor(x·1e6) quantization, within
+        # the cells the operator itself reports (the assignment math is
+        # pinned by the spherical_kmeans tests + oracle gate)
+        q = np.floor(base.astype(np.float64) * 1_000_000)
+        for members in cells.values():
+            ms = sorted(members)
+            Q = q[ms]
+            nrm = np.sqrt((Q * Q).sum(axis=1))
+            rc = np.round(((Q @ Q.T) / np.outer(nrm, nrm)) * 10000)
+            for i, x in enumerate(ms):
+                dup = bool((rc[i, :i] >= tau).any())
+                assert kept[x] == (0 if dup else 1), f"vec {x}"
+
 
 class TestUnigramLogprob:
     def test_matches_brute_force(self, spark, doc_df):
