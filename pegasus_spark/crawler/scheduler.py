@@ -403,7 +403,10 @@ class CrawlScheduler:
             ok = ok.repartition(
                 max(1, min(self.n_partitions, n_dq // 64 + 1)), F.col("url")
             )
-        parsed = parsed_body(ok).cache()
+        # the cache holds ONLY what the chains read (url/host/kind + the
+        # parsed struct): carrying the raw body through the cache doubled
+        # the serialized row for a column nothing downstream touches
+        parsed = parsed_body(ok).select("url", "host", "kind", "parsed").cache()
         if phase_log:
             phases["fetch+log"] = time.perf_counter() - t
             t = time.perf_counter()
@@ -414,7 +417,7 @@ class CrawlScheduler:
         # dispatches while workers fetch, masterjob.go:399-434). All chains
         # read only the materialized `fetched` cache; their outputs are
         # disjoint tables, so ordering across chains is irrelevant.
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=5) as ex:
             f_metrics = ex.submit(
                 self.store.append, "metrics", rate_stats(fetched, round_no), round_no
             )
@@ -422,37 +425,53 @@ class CrawlScheduler:
             f_enq = ex.submit(
                 self._enqueue_chain, parsed, frontier, fetched, ckpt, round_no, dq_hosts
             )
+
+            # lineage, updated INCREMENTALLY: a dirty bucket's delta carries
+            # all of its hosts' rows, so dirty buckets are replaced wholesale
+            # and clean buckets inherit — no full-frontier scan (O(dirty
+            # buckets) like the write itself). The HOST-level breakdown goes
+            # to the store `lineage` table (dirty-bucket manifest commit);
+            # the checkpoint keeps only per-BUCKET per-state counters, so the
+            # manifest and the driver collect are O(buckets) regardless of
+            # host cardinality. It depends ONLY on the enqueue chain's delta,
+            # so it starts the moment that chain resolves and runs UNDER the
+            # CDC chain's tail (round 5: the enqueue chain finishes ~2-3 s
+            # before CDC on the weak4 listing round); the lineage version dir
+            # lands before the checkpoint exactly as before — an uncommitted
+            # dir from a crash is invisible, manifest-last discipline.
+            def _lineage_job():
+                n_new, bloom_versions, delta, dirty_buckets = f_enq.result()
+                lin_rows = delta.groupBy(
+                    "host", "state", host_bucket().alias("_bucket")
+                ).agg(F.count(F.lit(1)).alias("url_cnt")).cache()
+                if ckpt.lineage_version >= 0:
+                    self.store.write_lineage_delta(
+                        lin_rows.drop("_bucket"), round_no, ckpt.lineage_version,
+                        self.n_partitions,
+                    )
+                else:
+                    self.store.write_lineage(
+                        lin_rows.drop("_bucket"), round_no, self.n_partitions
+                    )
+                bucket_rows = (
+                    lin_rows.groupBy("_bucket", "state")
+                    .agg(F.sum("url_cnt").alias("cnt")).collect()
+                )
+                lin_rows.unpersist()
+                delta.unpersist()
+                return n_new, bloom_versions, dirty_buckets, bucket_rows
+
+            f_lin = ex.submit(_lineage_job)
             f_metrics.result()
             apt_version, n_cards = f_cdc.result()
             if phase_log:
                 phases["chains:cdc_done"] = time.perf_counter() - t
-                t_enq = time.perf_counter()
-            n_new, bloom_versions, delta, dirty_buckets = f_enq.result()
+                t_lin = time.perf_counter()
+            n_new, bloom_versions, dirty_buckets, bucket_rows = f_lin.result()
             if phase_log:
-                phases["chains:enq_extra"] = time.perf_counter() - t_enq
+                phases["chains:lineage_extra"] = time.perf_counter() - t_lin
                 t = time.perf_counter()
 
-        # lineage, updated INCREMENTALLY: a dirty bucket's delta carries all
-        # of its hosts' rows, so dirty buckets are replaced wholesale and
-        # clean buckets inherit — no full-frontier scan (O(dirty buckets)
-        # like the write itself). The HOST-level breakdown goes to the store
-        # `lineage` table (dirty-bucket manifest commit); the checkpoint
-        # keeps only per-BUCKET per-state counters, so the manifest and the
-        # driver collect are O(buckets) regardless of host cardinality.
-        lin_rows = delta.groupBy(
-            "host", "state", host_bucket().alias("_bucket")
-        ).agg(F.count(F.lit(1)).alias("url_cnt")).cache()
-        if ckpt.lineage_version >= 0:
-            self.store.write_lineage_delta(
-                lin_rows.drop("_bucket"), round_no, ckpt.lineage_version, self.n_partitions
-            )
-        else:
-            self.store.write_lineage(lin_rows.drop("_bucket"), round_no, self.n_partitions)
-        bucket_rows = (
-            lin_rows.groupBy("_bucket", "state").agg(F.sum("url_cnt").alias("cnt")).collect()
-        )
-        lin_rows.unpersist()
-        delta.unpersist()
         bucket_lineage: dict[str, dict[str, int]] = {
             b: dict(v)
             for b, v in ckpt.bucket_lineage.items()
@@ -505,7 +524,7 @@ class CrawlScheduler:
         for df in (dq_raw, dq, fetched, parsed):
             df.unpersist()
         if phase_log:
-            phases["lineage+ckpt"] = time.perf_counter() - t
+            phases["rounds+ckpt"] = time.perf_counter() - t
             print(
                 f"PHASES round={round_no} dq={n_dq} "
                 + " ".join(f"{k}={v:.2f}s" for k, v in phases.items()),
@@ -893,7 +912,14 @@ class CrawlScheduler:
         cards_all = parse_cards(parsed.filter(F.col("kind") == "listing_page"))
         cards_ok, cards_bad = split_malformed(cards_all)
         cards = dedupe_cards(cards_ok).cache()
-        n_cards = cards.count()
+        # ONE job materializes the cards cache AND yields the count plus the
+        # dirty-region breakdown (round 5: was count, then a separate
+        # regions-distinct collect — ~0.4 s of the weak4 chain's critical
+        # path for a ≤|regions|-row answer the same scan already knows)
+        region_counts = cards.groupBy("region").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+        n_cards = sum(int(r["cnt"]) for r in region_counts)
         mark("parse+dedupe")
         if n_cards:
             with ThreadPoolExecutor(max_workers=6) as ex:
@@ -927,9 +953,10 @@ class CrawlScheduler:
                 # MERGE at partition granularity: only the batch's regions are
                 # dirty — read and rewrite those regions alone, inherit the
                 # rest via the manifest (per-round apartments IO is O(dirty
-                # regions), not O(table)).
+                # regions), not O(table)). The dirty set rode the parse+dedupe
+                # collect above — no extra job.
                 dirty_regions = sorted(
-                    r[0] for r in cards.select("region").distinct().collect() if r[0]
+                    {r["region"] for r in region_counts if r["region"]}
                 )
                 mark("dirty_regions")
                 old = (
@@ -945,14 +972,28 @@ class CrawlScheduler:
                 merged, changes, meta_changes, stats = merge_apartments(
                     old, batch, self.now_ts
                 )
-                if apt_version >= 0:
-                    self.store.write_apartments_delta(
-                        merged, round_no, apt_version, self.n_partitions
-                    )
-                else:
-                    self.store.write_apartments(merged, round_no, self.n_partitions)
-                apt_version = round_no
-                mark("merge+write")
+                # the three side outputs are projections of the SAME cached
+                # join as the merged snapshot — submit them WITH the write
+                # instead of after it (round 5): the join cache's per-block
+                # locks make whichever job reaches a partition first compute
+                # it while the others wait-then-read, so the appends ride
+                # under the write's wall (~0.6 s of weak4 chain tail).
+                # Different tables ⇒ no ordering requirement; the round's
+                # commit point is still the checkpoint write.
+                prev_version = apt_version
+
+                def _write_merged():
+                    t0 = time.perf_counter()
+                    if prev_version >= 0:
+                        self.store.write_apartments_delta(
+                            merged, round_no, prev_version, self.n_partitions
+                        )
+                    else:
+                        self.store.write_apartments(merged, round_no, self.n_partitions)
+                    if phase_log:
+                        cdc_phases["merge+write"] = time.perf_counter() - t0
+
+                f_merge = ex.submit(_write_merged)
                 futs = {
                     "changes": ex.submit(self.store.append, "changes", changes, round_no),
                     "meta": ex.submit(
@@ -960,10 +1001,13 @@ class CrawlScheduler:
                     ),
                     "stats": ex.submit(self.store.append, "merge_stats", stats, round_no),
                 }
+                f_merge.result()
+                apt_version = round_no
+                mark("merge_wall")
                 for name, fut in futs.items():
                     fut.result()
                 f_errors.result()
-                mark("side_outputs")
+                mark("side_outputs")  # residual sides NOT hidden by the write
                 f_items.result()
                 mark("items_wait")  # residual items time NOT hidden by merge
         else:
