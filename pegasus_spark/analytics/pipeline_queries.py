@@ -1306,6 +1306,41 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_pack_shards_salted(spark, sf_dir):
+    """The Zipf-safe PRODUCTION form of pack_shards (round 5): every source
+    subdivides into 8 md5(doc_id) salt groups and each (source, grp) unit
+    packs independently — the window exchange carries the salt
+    (plan-asserted in tests/test_textops.py), so one CommonCrawl-sized
+    source can no longer serialize the prefix sum through a single task.
+    Same first-fit rule per packing unit; a shard's global key is
+    (source, grp, shard_id). Gated with its own oracle so the salted path
+    is value-checked, not just plan-checked."""
+    return T.pack_shards(_docs(spark, sf_dir), budget=512, salt_groups=8).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_PACK_SHARDS_SALTED = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS grp
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, grp, n_tokens,
+         coalesce(SUM(n_tokens) OVER (
+           PARTITION BY source, grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prior
+  FROM t
+)
+SELECT doc_id, source, grp, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(prior / 512.0) AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
 def q_cluster_split(spark, sf_dir):
     """Leakage-safe train/valid/test assignment: the split is decided by
     the md5 of the doc's CROSS-MODAL cluster id — every member of a
@@ -1648,6 +1683,57 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_ratio_bucket_plan_salted(spark, sf_dir):
+    """The 100 TB form of ratio_buckets (round 5): batch_idx derives within
+    (bucket, md5(doc_id)-salt-group) — the raw plan's window has exactly 13
+    distinct keys, i.e. 13 tasks at any corpus size; the salt carries the
+    exchange (plan-asserted in tests/test_multimodal.py) and a trainer's
+    batch key becomes (bucket_w, bucket_h, grp, batch_idx). Bucket
+    assignment itself is identical to the unsalted gate."""
+    from pegasus_spark.multimodal import ratio_buckets
+
+    hw = F.md5(F.col("doc_id").cast("string"))
+    imgs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("w"),
+        (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("h"),
+    )
+    return ratio_buckets(
+        imgs, batch_size=64, id_col="doc_id", salt_groups=4
+    ).orderBy("doc_id")
+
+
+ORACLE_RATIO_BUCKET_PLAN_SALTED = """
+WITH imgs AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1793 + 256)::INT AS w,
+    (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 1793 + 256)::INT AS h,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 4 AS grp
+  FROM documents
+),
+ladder(bw, bh) AS (VALUES
+  (512, 2048), (512, 1536), (640, 1536), (768, 1344), (832, 1216),
+  (896, 1152), (1024, 1024), (1152, 896), (1216, 832), (1344, 768),
+  (1536, 640), (1536, 512), (2048, 512)
+),
+ranked AS (
+  SELECT i.doc_id, i.w, i.h, i.grp, l.bw, l.bh,
+    row_number() OVER (
+      PARTITION BY i.doc_id
+      ORDER BY round(abs(i.w::DOUBLE / i.h - l.bw::DOUBLE / l.bh), 9) ASC,
+               l.bw DESC, l.bh ASC
+    ) AS rn
+  FROM imgs i CROSS JOIN ladder l
+)
+SELECT doc_id, w, h, bw AS bucket_w, bh AS bucket_h, grp,
+  CAST(floor((row_number() OVER (PARTITION BY bw, bh, grp ORDER BY doc_id) - 1)
+             / 64.0) AS BIGINT) AS batch_idx
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_image_shard_plan(spark, sf_dir):
     """WebDataset-style shard planning (multimodal.pack_image_shards): items
     salted into 16 md5 groups, then byte-budgeted shards fill in id order
@@ -1711,6 +1797,7 @@ PIPELINE_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "dup_rate_by_source": q_dup_rate_by_source,
     "pack_shards": q_pack_shards,
+    "pack_shards_salted": q_pack_shards_salted,
     "cluster_split": q_cluster_split,
     "semantic_dedup": q_semantic_dedup,
     "unigram_logprob": q_unigram_logprob,
@@ -1719,6 +1806,7 @@ PIPELINE_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "span_scrub": q_span_scrub,
     "ratio_bucket_plan": q_ratio_bucket_plan,
+    "ratio_bucket_plan_salted": q_ratio_bucket_plan_salted,
     "image_shard_plan": q_image_shard_plan,
 }
 
@@ -1751,6 +1839,7 @@ PIPELINE_ORACLES = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "dup_rate_by_source": ORACLE_DUP_RATE_BY_SOURCE,
     "pack_shards": ORACLE_PACK_SHARDS,
+    "pack_shards_salted": ORACLE_PACK_SHARDS_SALTED,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
@@ -1759,5 +1848,6 @@ PIPELINE_ORACLES = {
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "span_scrub": ORACLE_SPAN_SCRUB,
     "ratio_bucket_plan": ORACLE_RATIO_BUCKET_PLAN,
+    "ratio_bucket_plan_salted": ORACLE_RATIO_BUCKET_PLAN_SALTED,
     "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
 }
