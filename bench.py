@@ -80,6 +80,52 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
+    # Curation endgame, END-TO-END: cluster build → keeper selection →
+    # curated corpus write → token-budget shard pack, timed as ONE composed
+    # chain with per-phase walls. The per-query numbers above hide the
+    # composed cost (the memo makes the three cluster CONSUMERS near-free
+    # after the first), so this section resets the memo and times each
+    # phase against a materialized boundary (eager localCheckpoint /
+    # parquet write) — every wall is that phase's own work. The shard pack
+    # runs over the WRITTEN artifact in its salted production form: the
+    # exact chain a training-data run executes.
+    try:
+        import shutil
+        import tempfile
+
+        from pegasus_spark.analytics import pipeline_queries as PQ
+        from pegasus_spark.textops.dedup import curate_corpus, write_curated
+        from pegasus_spark.textops.text import pack_shards
+
+        PQ.reset_cluster_memo()  # honest cold build, not a suite memo hit
+        out_dir = tempfile.mkdtemp(prefix="curation_e2e_")
+        phases: dict[str, float] = {}
+        t0 = time.perf_counter()
+        PQ._cross_modal_cluster_df(spark, sf_dir)  # eager localCheckpoint
+        phases["clusters"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        keepers = PQ._keeper_df(spark, sf_dir).localCheckpoint(eager=True)
+        phases["keepers"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        curated, dropped = curate_corpus(PQ._docs(spark, sf_dir), keepers)
+        write_curated(curated, dropped, out_dir)
+        phases["curated_write"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        _materialize(
+            pack_shards(
+                spark.read.parquet(f"{out_dir}/curated").select(
+                    "doc_id", "source", "text"
+                ),
+                budget=512, salt_groups=8,
+            )
+        )
+        phases["shard_pack"] = round(time.perf_counter() - t0, 4)
+        keepers.unpersist()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        curation = {"total": round(sum(phases.values()), 4), "phases": phases}
+    except Exception as exc:  # optional — analytics always report
+        curation = {"error": str(exc)[:200]}
+
     # The crawl phase runs in its OWN JVM (sequential subprocess — never two
     # Spark sessions at once). Measured escalation of in-session fixes
     # (2026-08-18, identical crawl): shared session after the 112-query
@@ -141,6 +187,7 @@ def main() -> None:
         "queries": timings,
         "warm_total": round(sum(warm.values()), 4),
         "queries_warm": warm,
+        "curation_e2e": curation,
         "sf": sf,
         **extra,
     }
