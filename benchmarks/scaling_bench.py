@@ -459,16 +459,24 @@ range §0 measures as nearly clean:
 | local[8] (4N) | {b8["pages_per_sec"]} | {b8["sustained_pages_per_sec"]} | {b8["crawl_wall_s"]} |
 
 **Compute-dominated strong efficiency: {strongbig_eff}** whole-run
-(vs {strong_eff} on §3's floor-dominated fixture — same engine, the
-fixture's compute:floor ratio is the whole difference), **{sb_sus}
+(vs {strong_eff} on §3's floor-dominated fixture), **{sb_sus}
 sustained** (bootstrap and sub-100-page rounds excluded — the steady-state
-number a long crawl converges to). The remaining gap to §0's 2→8 ceiling
-is the per-round floor STILL inside the one listing round's wall
-(dequeue + fetch-log + lineage + commit ≈ 4-6 s at any core count); it is
-per-ROUND, so it vanishes into a production round's minutes-long compute,
-which no seconds-long local fixture can emulate. Digests identical to the
-§2/§2b weak4 runs (asserted) — same logical crawl, only cores and storage
-medium vary across all four regimes.
+number a long crawl converges to). Read this ratio WITH the absolute
+walls above and their history: the round-5 CDC-chain overlap and parsed-
+cache prune raised ABSOLUTE throughput at BOTH core counts (round 4
+measured 167.7 / 283.9 whole-run on this same pair; the 2-core side
+gained the most because driver-submitted concurrent job chains overlap
+work the way extra cores otherwise would), which compresses the
+whole-run ratio: the faster the fixed-size run gets, the larger the
+share of its seconds-long wall that is round STRUCTURE (dequeue +
+fetch-log + lineage + commit ≈ 3-5 s at any core count) rather than
+core-elastic compute. That floor is per-ROUND, so it vanishes into a
+production round's minutes-long compute, which no seconds-long local
+fixture can emulate — the weak pair (§2/§2b), where work grows with
+cores, is the regime the scaling criterion names, and it meets the
+target outright. Digests identical to the §2/§2b weak4 runs (asserted)
+— same logical crawl, only cores and storage medium vary across all
+four regimes.
 """
 
     shm_md = ""
@@ -495,11 +503,11 @@ sizes, not core counts).
 
 **Disk-isolated strong efficiency: {shm_eff}**; determinism digests
 identical to the §3 disk runs (same fetch_log/URL-seen hashes, asserted) —
-the two pairs differ only in storage medium. Removing the disk raised
-absolute throughput at both levels ({gain2:+d}% at N, {gain8:+d}% at 4N)
-while the ratio stayed in the same range as §3's — so after the round-4
-amortization the strong pair's residual wall is the per-round driver
-floor, not storage. That floor is per-ROUND and fixture-size-invariant:
+the two pairs differ only in storage medium. Removing the disk moved
+absolute throughput by {gain2:+d}% at N and {gain8:+d}% at 4N — within
+sandbox noise — while the ratio stayed in the same range as §3's: after
+the round-4/5 amortization the strong pair's residual wall is the
+per-round driver floor, not storage. That floor is per-ROUND and fixture-size-invariant:
 a production round dequeues 1e5-1e6 pages against the same few seconds of
 driver latency, which is why the weak regime (§2/§2b) — the regime the
 BASELINE.md criterion names — is the number that transfers to a real
@@ -560,14 +568,15 @@ URL-seen digests (fetch_log_hash = `{s2["fetch_log_hash"]}`, url_seen_hash =
 `{s2["url_seen_hash"]}`) — asserted by this harness on every run.
 
 Strong efficiency: **{strong_eff}**. Read this WITH the absolute numbers
-and §4: the round-4 driver-floor amortization (micro-batched discovery
-commits, overlapped bootstrap and store writes) raised throughput at BOTH
-levels ~3-4× over round 3 (local[2] best 40 → {s2["pages_per_sec"]}
+and §4: the round-4/5 driver-floor amortization (micro-batched discovery
+commits; overlapped bootstrap, CDC-chain side outputs, and store writes)
+raised throughput at BOTH levels ~6× over round 3 (local[2] best 40 →
+{s2["pages_per_sec"]}
 pages/s on the identical fixture), which mechanically LOWERS this ratio —
 the parallelizable per-page work that used to dominate the wall now
 completes in a few seconds, and what remains is a per-round floor that
 does not change with cores. §4 decomposes that floor by removing the disk
-from the loop: absolute throughput rises, the ratio barely moves, so the
+from the loop: the ratio barely moves with the disk gone, so the
 residual is the driver-side per-round latency (Spark job scheduling +
 commit bookkeeping), not storage. The floor is per-ROUND, not per-page —
 the sustained rate (bootstrap excluded) rises
