@@ -1341,6 +1341,39 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_mixture_resample(spark, sf_dir):
+    """Prescribed-proportion source mixing (textops.text.mixture_resample):
+    targets src0:src1:src2 = 5:3:2 — the feasibility bound C = min(T_s/w_s)
+    makes the binding source keep everything and the others downsample by a
+    deterministic md5 threshold; sources outside the target mix drop. The
+    data-dependent sibling of source_mix's fixed rates."""
+    return T.mixture_resample(
+        _docs(spark, sf_dir), targets={"src0": 5, "src1": 3, "src2": 2}
+    ).orderBy("doc_id")
+
+
+ORACLE_MIXTURE_RESAMPLE = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+w(source, w) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+                        ('src2', 0.2::DOUBLE)),
+tot AS (
+  SELECT t.source, CAST(SUM(t.n_tokens) AS DOUBLE) AS T, MAX(w.w) AS w
+  FROM tok t JOIN w ON t.source = w.source GROUP BY t.source
+),
+c AS (SELECT MIN(round(T / w, 9)) AS C FROM tot),
+r AS (SELECT source, round(w * (SELECT C FROM c) / T, 9) AS keep_rate FROM tot)
+SELECT t.doc_id, t.source, CAST(t.n_tokens AS INT) AS n_tokens, r.keep_rate
+FROM tok t JOIN r ON t.source = r.source
+WHERE ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+      < r.keep_rate
+ORDER BY t.doc_id
+"""
+
+
 def q_cluster_split(spark, sf_dir):
     """Leakage-safe train/valid/test assignment: the split is decided by
     the md5 of the doc's CROSS-MODAL cluster id — every member of a
@@ -1798,6 +1831,7 @@ PIPELINE_QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "pack_shards": q_pack_shards,
     "pack_shards_salted": q_pack_shards_salted,
+    "mixture_resample": q_mixture_resample,
     "cluster_split": q_cluster_split,
     "semantic_dedup": q_semantic_dedup,
     "unigram_logprob": q_unigram_logprob,
@@ -1840,6 +1874,7 @@ PIPELINE_ORACLES = {
     "dup_rate_by_source": ORACLE_DUP_RATE_BY_SOURCE,
     "pack_shards": ORACLE_PACK_SHARDS,
     "pack_shards_salted": ORACLE_PACK_SHARDS_SALTED,
+    "mixture_resample": ORACLE_MIXTURE_RESAMPLE,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,

@@ -228,6 +228,59 @@ def pack_shards(
     )
 
 
+def mixture_resample(
+    df: DataFrame, targets: dict[str, float], id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic mixture matching — the data-mixing step that turns a
+    raw pool into a corpus with PRESCRIBED source proportions (the
+    SlimPajama / DoReMi recipe: fix target weights, downsample every
+    source to the largest corpus the pool supports at those weights; the
+    reference has no analog — this is pipeline-side coverage like
+    pack_shards).
+
+    Rule: with normalized weights w_s and per-source token totals T_s, the
+    largest feasible corpus is C = min_s(T_s / w_s) tokens; each source
+    keeps rate_s = w_s * C / T_s of its tokens (the binding source keeps
+    everything; sources absent from ``targets`` drop entirely). Keeping is
+    per-DOCUMENT and deterministic: md5(id)/2^32 < rate_s — no RNG in the
+    plan (rand() is neither oracle-checkable nor reproducible across task
+    retries at scale), so reruns, any partitioning, and both engines keep
+    exactly the same rows.
+
+    Scale shape: one combinable (source, sum n_tokens) aggregate over
+    O(#sources) groups, a 1-row global min broadcast back, and a narrow
+    hash filter over the pool — the text column never shuffles. Rates
+    round to 9 dp before the compare (the round-before-float-compare
+    parity rule); the hash fraction k/2^32 is exact in a double, so the
+    strict < decides identically on any engine."""
+    z = float(sum(targets.values()))
+    tok = with_token_count(df).select(id_col, group_col, "n_tokens")
+    w = F.lit(0.0)
+    for src, tw in targets.items():
+        w = F.when(F.col(group_col) == src, F.lit(tw / z)).otherwise(w)
+    totals = (
+        tok.groupBy(group_col)
+        .agg(F.sum("n_tokens").alias("_T"))
+        .withColumn("_w", w)
+        .filter(F.col("_w") > 0)
+    )
+    feas = totals.agg(F.min(F.round(F.col("_T") / F.col("_w"), 9)).alias("_C"))
+    rates = totals.crossJoin(F.broadcast(feas)).select(
+        group_col,
+        F.round(F.col("_w") * F.col("_C") / F.col("_T"), 9).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    return (
+        tok.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("keep_rate"))
+        .select(id_col, group_col, "n_tokens", "keep_rate")
+    )
+
+
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Unigram-LM quality score — the perplexity-proxy filter of a CCNet-style
     curation pipeline (Wenzek et al. 2019): score every document by the mean

@@ -730,3 +730,49 @@ def test_span_scrub_removes_non_canonical_spans(spark):
     assert out[2]["text_clean"] == "c1 c2"
     assert (out[3]["n_removed"], out[3]["text_clean"]) == (0, rows[3][1])
     assert (out[4]["n_removed"], out[4]["text_clean"]) == (0, rows[4][1])
+
+
+class TestMixtureResample:
+    def test_feasibility_rule_and_determinism(self, spark):
+        """Pins the SlimPajama-style mixing rule: C = min(T_s/w_s) makes the
+        binding source keep EVERYTHING, every other source downsamples to
+        w_s*C tokens in expectation, off-target sources drop entirely, and
+        the md5-threshold keep decision is partition-count invariant."""
+        import hashlib
+
+        from pegasus_spark.textops.text import mixture_resample
+
+        def doc(i, src, n):
+            return (i, " ".join(["w"] * n), src)
+
+        # a: 20 docs x 50 tok = 1000; b: 40 x 50 = 2000; junk: off-target
+        rows = (
+            [doc(i, "a", 50) for i in range(100, 120)]
+            + [doc(i, "b", 50) for i in range(200, 240)]
+            + [doc(i, "junk", 50) for i in range(300, 305)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        targets = {"a": 0.5, "b": 0.5}
+        out = mixture_resample(docs, targets)
+        got = {r["doc_id"]: r for r in out.collect()}
+
+        # C = min(1000/0.5, 2000/0.5) = 2000 → a keeps all (rate 1.0),
+        # b keeps rate 0.5*2000/2000 = 0.5, junk drops
+        assert all(100 <= i < 120 for i in got if i < 200) and sum(
+            1 for i in got if i < 200
+        ) == 20
+        assert not any(i >= 300 for i in got)
+        a_rate = got[100]["keep_rate"]
+        assert abs(a_rate - 1.0) < 1e-9
+
+        # b's kept set is exactly the md5-threshold rule, recomputed here
+        for i in range(200, 240):
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+            assert (i in got) == (u < 0.5), i
+
+        # partition-count invariance: same rows at any layout
+        got2 = {
+            r["doc_id"]
+            for r in mixture_resample(docs.repartition(13), targets).collect()
+        }
+        assert got2 == set(got)
