@@ -1767,6 +1767,51 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_augmentation_plan(spark, sf_dir):
+    """Deterministic per-epoch crop/flip schedule (multimodal.
+    augmentation_plan) over the same md5-synthesized dims as the ratio
+    planners: 3 epochs, 512×512 crops, undersized images excluded. All
+    integer md5 arithmetic — the reproducible-augmentation contract of a
+    resumable trainer."""
+    from pegasus_spark.multimodal import augmentation_plan
+
+    hw = F.md5(F.col("doc_id").cast("string"))
+    imgs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("w"),
+        (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("h"),
+    )
+    return augmentation_plan(
+        imgs, epochs=3, crop_w=512, crop_h=512, id_col="doc_id"
+    ).orderBy("doc_id", "epoch")
+
+
+ORACLE_AUGMENTATION_PLAN = """
+WITH imgs AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1793 + 256)::INT AS w,
+    (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 1793 + 256)::INT AS h
+  FROM documents
+),
+e AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 2)) AS epoch
+  FROM imgs WHERE w >= 512 AND h >= 512
+),
+s AS (
+  SELECT doc_id, epoch, w, h,
+         md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS sd
+  FROM e
+)
+SELECT doc_id, CAST(epoch AS INT) AS epoch, w, h,
+  CAST(('0x' || substr(sd, 1, 8))::BIGINT % (w - 511) AS INT) AS crop_x,
+  CAST(('0x' || substr(sd, 9, 8))::BIGINT % (h - 511) AS INT) AS crop_y,
+  CAST(('0x' || substr(sd, 17, 8))::BIGINT % 2 AS INT) AS flip
+FROM s ORDER BY doc_id, epoch
+"""
+
+
 def q_image_shard_plan(spark, sf_dir):
     """WebDataset-style shard planning (multimodal.pack_image_shards): items
     salted into 16 md5 groups, then byte-budgeted shards fill in id order
@@ -1841,6 +1886,7 @@ PIPELINE_QUERIES = {
     "span_scrub": q_span_scrub,
     "ratio_bucket_plan": q_ratio_bucket_plan,
     "ratio_bucket_plan_salted": q_ratio_bucket_plan_salted,
+    "augmentation_plan": q_augmentation_plan,
     "image_shard_plan": q_image_shard_plan,
 }
 
@@ -1884,5 +1930,6 @@ PIPELINE_ORACLES = {
     "span_scrub": ORACLE_SPAN_SCRUB,
     "ratio_bucket_plan": ORACLE_RATIO_BUCKET_PLAN,
     "ratio_bucket_plan_salted": ORACLE_RATIO_BUCKET_PLAN_SALTED,
+    "augmentation_plan": ORACLE_AUGMENTATION_PLAN,
     "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
 }

@@ -372,6 +372,52 @@ def ratio_buckets(
     )
 
 
+def augmentation_plan(
+    df: DataFrame, epochs: int = 3, crop_w: int = 512, crop_h: int = 512,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Deterministic per-epoch augmentation schedule — the reproducibility
+    contract of a large-scale image trainer: every (image, epoch) gets its
+    crop origin and horizontal-flip bit from md5(id:epoch), so a re-run, a
+    retried task, or a resumed epoch produces byte-identical training
+    inputs (rand() per task is NOT reproducible across Spark task retries
+    — the same reasoning as the md5 sampling in mixture_resample). Images
+    smaller than the crop in either dimension are excluded (the resize
+    path owns those).
+
+    Output: one row per (image, epoch) — (id, epoch, w, h, crop_x, crop_y,
+    flip), where crop_x ∈ [0, w-crop_w], crop_y ∈ [0, h-crop_h] from
+    disjoint md5 hex slices, and flip is the low bit of a third slice.
+
+    Scale shape: explode(sequence(0, epochs-1)) then pure per-row integer
+    arithmetic — ZERO exchanges; epochs is a small constant so the fan-out
+    is bounded, and at 100 TB the plan column-prunes to (id, w, h) with no
+    byte payload in sight. All-integer (md5 → BIGINT → mod) on both
+    engines, so parity needs no float discipline at all."""
+    import pyspark.sql.functions as F
+
+    seed = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("epoch").cast("string"))
+    )
+
+    def _slice(start: int) -> F.Column:
+        return F.conv(F.substring(seed, start, 8), 16, 10).cast("bigint")
+
+    return (
+        df.filter((F.col("w") >= crop_w) & (F.col("h") >= crop_h))
+        .select(id_col, "w", "h",
+                F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"))
+        .select(
+            id_col, "epoch", "w", "h",
+            (_slice(1) % (F.col("w") - F.lit(crop_w) + F.lit(1)))
+            .cast("int").alias("crop_x"),
+            (_slice(9) % (F.col("h") - F.lit(crop_h) + F.lit(1)))
+            .cast("int").alias("crop_y"),
+            (_slice(17) % F.lit(2)).cast("int").alias("flip"),
+        )
+    )
+
+
 def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio stub: interprets `bytes` as PCM16 mono (the deterministic fake
     for containers without torchaudio/soundfile; a real build branches on

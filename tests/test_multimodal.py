@@ -305,3 +305,42 @@ def test_ratio_buckets_salted_batching(spark):
     for ids in units.values():
         for rank, iid in enumerate(sorted(ids)):
             assert out[iid]["batch_idx"] == rank // 2, (iid, ids)
+
+
+def test_augmentation_plan_deterministic_and_bounded(spark):
+    """Pins the reproducible-augmentation contract: crop/flip derive from
+    md5(id:epoch) (recomputed in plain Python), crops stay in-bounds,
+    undersized images are excluded, and the plan is identical across
+    partition layouts."""
+    import hashlib
+
+    from pegasus_spark.multimodal import augmentation_plan
+
+    df = spark.createDataFrame(
+        [(1, 800, 600), (2, 512, 512), (3, 400, 900), (4, 2000, 513)],
+        "image_id long, w int, h int",
+    )
+    out = augmentation_plan(df, epochs=2, crop_w=512, crop_h=512)
+    rows = {(r["image_id"], r["epoch"]): r for r in out.collect()}
+
+    # image 3 (w=400 < 512) excluded; the rest get one row per epoch
+    assert set(rows) == {(i, e) for i in (1, 2, 4) for e in (0, 1)}
+    for (i, e), r in rows.items():
+        sd = hashlib.md5(f"{i}:{e}".encode()).hexdigest()
+        assert r["crop_x"] == int(sd[0:8], 16) % (r["w"] - 511)
+        assert r["crop_y"] == int(sd[8:16], 16) % (r["h"] - 511)
+        assert r["flip"] == int(sd[16:24], 16) % 2
+        assert 0 <= r["crop_x"] <= r["w"] - 512
+        assert 0 <= r["crop_y"] <= r["h"] - 512
+    # the exact-fit image can only crop at the origin
+    assert (rows[(2, 0)]["crop_x"], rows[(2, 0)]["crop_y"]) == (0, 0)
+
+    again = {
+        (r["image_id"], r["epoch"]): (r["crop_x"], r["crop_y"], r["flip"])
+        for r in augmentation_plan(
+            df.repartition(7), epochs=2, crop_w=512, crop_h=512
+        ).collect()
+    }
+    assert again == {
+        k: (r["crop_x"], r["crop_y"], r["flip"]) for k, r in rows.items()
+    }
