@@ -1846,6 +1846,89 @@ FROM items ORDER BY image_id
 """
 
 
+def q_cluster_size_histogram(spark, sf_dir):
+    """Dedup yield curve over the cross-modal near-dup clusters
+    (textops.dedup.group_size_histogram): distribution of cluster sizes and
+    how much of the corpus each size class holds — the diagnostic read
+    before committing a dedup pass ("long tail of pairs, or a few
+    boilerplate mega-clusters?").  Reuses the memoized cluster assignment;
+    the histogram itself is two map-side-combinable aggregates, and the
+    unpartitioned running-sum window sees only the aggregated histogram
+    rows (≤ max cluster size), never the corpus."""
+    return D.group_size_histogram(
+        _cross_modal_cluster_df(spark, sf_dir), key_col="cluster_id"
+    )
+
+
+ORACLE_CLUSTER_SIZE_HISTOGRAM = _ORACLE_CROSS_MODAL_BODY + r""",
+clusters AS (
+  SELECT v.doc_id,
+         CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+  FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+  GROUP BY v.doc_id
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS group_size FROM clusters GROUP BY cluster_id
+),
+h AS (SELECT group_size, COUNT(*) AS n_clusters FROM sizes GROUP BY group_size)
+SELECT group_size, n_clusters,
+       group_size * n_clusters AS n_docs,
+       (group_size - 1) * n_clusters AS n_dupes,
+       CAST(SUM(group_size * n_clusters) OVER (ORDER BY group_size) AS BIGINT)
+         AS cum_docs
+FROM h ORDER BY group_size
+"""
+
+
+def q_embedding_dispersion(spark, sf_dir):
+    """Per-label mean pairwise cosine via the centroid identity
+    (textops.similarity.embedding_dispersion): ‖Σu‖² − Σ‖u‖² replaces the
+    O(n²) pair block with one element-wise sum per group — the cohesion
+    signal SemDeDup-style pruning picks its thresholds from.  Exact parity
+    on the quantize-once integer grid (floor(x·10⁶) raw, floor(u·10⁴)
+    normalized), so every aggregate is an order-independent integer sum."""
+    return S.embedding_dispersion(_emb(spark, sf_dir), group_col="label")
+
+
+ORACLE_EMBEDDING_DISPERSION = r"""
+WITH e AS (
+  SELECT label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+nm AS (
+  SELECT label, q::DOUBLE[] AS qd,
+         sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) AS qn
+  FROM e
+  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0
+),
+u AS (
+  SELECT label,
+         list_transform(qd, x -> CAST(floor(x / qn * 10000) AS BIGINT)) AS uq
+  FROM nm
+),
+r AS (
+  SELECT label, uq,
+         CAST(list_dot_product(uq::DOUBLE[], uq::DOUBLE[]) AS BIGINT) AS sd
+  FROM u
+),
+g AS (
+  SELECT label, COUNT(*) AS n_vecs, CAST(SUM(sd) AS BIGINT) AS self_sum
+  FROM r GROUP BY label
+),
+m AS (SELECT label, generate_subscripts(uq, 1) AS pos, unnest(uq) AS x FROM r),
+d AS (SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s FROM m GROUP BY label, pos),
+ss AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS ss FROM d GROUP BY label)
+SELECT g.label, g.n_vecs,
+       CASE WHEN g.n_vecs > 1 THEN
+         round((ss.ss - g.self_sum) / (g.n_vecs * (g.n_vecs - 1.0) * 1e8), 6)
+       END AS mean_pairwise_cos
+FROM g JOIN ss USING (label)
+ORDER BY label
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -1888,6 +1971,8 @@ PIPELINE_QUERIES = {
     "ratio_bucket_plan_salted": q_ratio_bucket_plan_salted,
     "augmentation_plan": q_augmentation_plan,
     "image_shard_plan": q_image_shard_plan,
+    "cluster_size_histogram": q_cluster_size_histogram,
+    "embedding_dispersion": q_embedding_dispersion,
 }
 
 PIPELINE_ORACLES = {
@@ -1932,4 +2017,6 @@ PIPELINE_ORACLES = {
     "ratio_bucket_plan_salted": ORACLE_RATIO_BUCKET_PLAN_SALTED,
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,
     "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
+    "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,
+    "embedding_dispersion": ORACLE_EMBEDDING_DISPERSION,
 }

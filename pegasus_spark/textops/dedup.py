@@ -648,3 +648,38 @@ def span_scrub(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def group_size_histogram(
+    assignment: DataFrame, key_col: str = "cluster_id"
+) -> DataFrame:
+    """Dedup yield curve: the distribution of duplicate-group sizes, plus
+    how much of the corpus each size class holds.  This is the diagnostic a
+    curation run reads before committing to a dedup pass — "is the mass in
+    a long tail of pairs, or in a few boilerplate mega-clusters?" — and the
+    keep-1-per-group yield is ``total - sum(n_dupes)`` off the same row set
+    (RefinedWeb/Falcon report exactly this curve, arXiv:2306.01116 §4.2).
+
+    Input is any (row → group key) assignment: exact-dup text_hash groups,
+    near-dup connected components, semantic cells.  Shape at 100 TB: two
+    map-side-combinable partial aggregates (key → size, size → count) — the
+    second keys on a cardinality bounded by the largest group, so the
+    unpartitioned running-sum window at the end sees only the aggregated
+    histogram rows (≤ max group size), never the corpus.  Columns:
+    (group_size, n_groups, n_docs, n_dupes, cum_docs), cum_docs = running
+    total of docs in groups of size ≤ s."""
+    sizes = assignment.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    hist = sizes.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    w = Window.orderBy("group_size")
+    return (
+        hist.select(
+            "group_size",
+            "n_clusters",
+            (F.col("group_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("group_size") - 1) * F.col("n_clusters")).alias("n_dupes"),
+        )
+        .withColumn("cum_docs", F.sum("n_docs").over(w).cast("bigint"))
+        .orderBy("group_size")
+    )

@@ -568,3 +568,89 @@ def semantic_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def embedding_dispersion(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding dispersion: the mean pairwise cosine over all
+    i ≠ j pairs in a group, WITHOUT forming pairs.  For unit vectors,
+    Σ_{i≠j} u_i·u_j = ‖Σ u_i‖² − Σ ‖u_i‖² (the centroid identity), so the
+    O(n²) pairwise mean collapses to one element-wise sum per group — at
+    10^10 vectors the naive form is 10^20 cosine evaluations; this is a
+    posexplode → (group, pos) partial-aggregated SUM, map-side combinable,
+    one exchange of |groups|·dim rows.  It is the knob-setting diagnostic
+    for SemDeDup-style pruning (arXiv:2303.09540 picks per-cluster
+    thresholds from exactly this cohesion signal).
+
+    Exact oracle parity by the repo's quantize-once discipline
+    (spherical_kmeans pattern): raw vectors quantize to bigint
+    (floor(x·10⁶)); the quantized norm is a sqrt of an exact integer dot
+    (correctly-rounded IEEE, identical on both engines); the NORMALIZED
+    components re-quantize to floor(u·10⁴) bigints so every aggregate is
+    an exact integer sum — order- and engine-independent.  Zero-norm rows
+    drop (0/0 is NULL vs NaN across engines).  Overflow bound: the final
+    Σ_pos s² needs dim·(n·10⁴)² < 2⁶³ → exact to n ≈ 1.2·10⁵ rows/group at
+    dim 64; past that swap the squared-sum to DOUBLE (the identity itself
+    is exact either way; parity is what needs the integer grid).
+
+    Returns (group, n_vecs, mean_pairwise_cos) on the 10⁻⁸ grid implied by
+    the 4dp quantization, rounded to 6dp; single-row groups report NULL."""
+    base = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+            ).alias("q"),
+        )
+        .withColumn("_qd", F.transform(F.col("q"), lambda x: x.cast("double")))
+        .withColumn("_qn", F.sqrt(_dot_pre(F.col("_qd"), F.col("_qd"))))
+        .filter(F.col("_qn") > 0)
+    )
+    unit = base.select(
+        "grp",
+        F.transform(
+            F.col("_qd"),
+            lambda x: F.floor(x / F.col("_qn") * 10_000).cast("bigint"),
+        ).alias("uq"),
+    )
+    rows = unit.select(
+        "grp",
+        F.aggregate(
+            F.col("uq"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).alias("sd"),
+        "uq",
+    )
+    per_grp = rows.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("sd").alias("self_sum")
+    )
+    sumsq = (
+        rows.select("grp", F.posexplode("uq").alias("pos", "x"))
+        .groupBy("grp", "pos")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("grp")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    )
+    return (
+        per_grp.join(sumsq, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_vecs",
+            F.when(
+                F.col("n_vecs") > 1,
+                F.round(
+                    (F.col("ss") - F.col("self_sum")).cast("double")
+                    / (
+                        F.col("n_vecs").cast("double")
+                        * (F.col("n_vecs") - 1).cast("double")
+                        * F.lit(1e8)
+                    ),
+                    6,
+                ),
+            ).alias("mean_pairwise_cos"),
+        )
+        .orderBy(group_col)
+    )

@@ -776,3 +776,76 @@ class TestMixtureResample:
             for r in mixture_resample(docs.repartition(13), targets).collect()
         }
         assert got2 == set(got)
+
+
+class TestGroupSizeHistogram:
+    def test_yield_curve(self, spark):
+        from pegasus_spark.textops.dedup import group_size_histogram
+
+        # 3 singletons, 2 pairs, 1 triple → 10 docs total
+        rows = [(i, c) for i, c in enumerate(
+            ["a", "b", "c", "d", "d", "e", "e", "f", "f", "f"]
+        )]
+        df = spark.createDataFrame(rows, "doc_id long, cluster_id string")
+        got = {r["group_size"]: r for r in group_size_histogram(df).collect()}
+        assert got[1]["n_clusters"] == 3 and got[1]["n_dupes"] == 0
+        assert got[2]["n_clusters"] == 2 and got[2]["n_docs"] == 4
+        assert got[3]["n_clusters"] == 1 and got[3]["n_dupes"] == 2
+        # cumulative docs runs 3 → 7 → 10, and total dupes = docs - groups
+        assert [got[s]["cum_docs"] for s in (1, 2, 3)] == [3, 7, 10]
+        assert sum(r["n_dupes"] for r in got.values()) == 10 - 6
+
+
+class TestEmbeddingDispersion:
+    def test_matches_bruteforce_pairwise_mean(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from pegasus_spark.textops.similarity import embedding_dispersion
+
+        # deterministic pseudo-random vectors: md5-derived components, two
+        # groups with different cohesion (group 1 shares a common direction)
+        def vec(i, dim=16):
+            h = hashlib.md5(f"disp:{i}".encode()).hexdigest()
+            np.random.seed(int(h[:8], 16))
+            return np.random.uniform(-1, 1, dim)
+
+        rows = []
+        for i in range(12):
+            v = vec(i)
+            if i % 2 == 1:
+                v = v + 3.0 * np.ones(16)  # cohesive group
+            rows.append((i, i % 2, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+        got = {r["label"]: r for r in embedding_dispersion(df).collect()}
+
+        # brute force on the SAME quantized grid the operator defines
+        def unit_q(v):
+            q = np.floor(np.asarray(v, dtype=np.float32).astype(np.float64) * 1_000_000)
+            u = q / np.sqrt((q * q).sum())
+            return np.floor(u * 10_000)
+
+        for lbl in (0, 1):
+            us = [unit_q(r[2]) for r in rows if r[1] == lbl]
+            n = len(us)
+            acc = sum(
+                float(np.dot(us[i], us[j]))
+                for i in range(n) for j in range(n) if i != j
+            )
+            want = round(acc / (n * (n - 1) * 1e8), 6)
+            assert got[lbl]["n_vecs"] == n
+            assert abs(got[lbl]["mean_pairwise_cos"] - want) < 1e-9
+        assert got[1]["mean_pairwise_cos"] > 0.9 > got[0]["mean_pairwise_cos"]
+
+    def test_singleton_group_is_null(self, spark):
+        from pegasus_spark.textops.similarity import embedding_dispersion
+
+        df = spark.createDataFrame(
+            [(0, 7, [1.0, 0.0]), (1, 8, [1.0, 0.0]), (2, 8, [1.0, 0.0])],
+            "vec_id long, label int, embedding array<float>",
+        )
+        got = {r["label"]: r for r in embedding_dispersion(df).collect()}
+        assert got[7]["mean_pairwise_cos"] is None and got[7]["n_vecs"] == 1
+        # identical unit vectors: mean pairwise cosine on the 4dp grid is ~1
+        assert abs(got[8]["mean_pairwise_cos"] - 1.0) < 1e-3
