@@ -273,6 +273,20 @@ def caption_dup_report(items: DataFrame) -> DataFrame:
     return dup_rate_report(keyed, "region", "caption_md5", "phash_key")
 
 
+def caption_dup_histogram(items: DataFrame) -> DataFrame:
+    """Dedup yield curve over a committed items table — the crawl-side
+    consumer of ``textops.dedup.group_size_histogram``: exact caption-dup
+    group sizes and how much of the caption corpus each size class holds,
+    the "is the duplication a pair-tail or a few boilerplate mega-groups?"
+    read a crawl operator takes before scheduling a dedup pass.  The key
+    projection (md5 of the caption) happens before anything moves — caption
+    text and image bytes never enter an exchange."""
+    from pegasus_spark.textops.dedup import group_size_histogram
+
+    keyed = items.select(F.md5("caption").alias("caption_md5"))
+    return group_size_histogram(keyed, key_col="caption_md5")
+
+
 def caption_span_report(items: DataFrame, n: int = 3) -> DataFrame:
     """Per-region boilerplate-SPAN triage over a committed items table — the
     crawl-side consumer of ``dup_span_stats`` (Lee et al. 2022 exact-substring

@@ -84,6 +84,27 @@ def crawl_dup_report(
     return caption_dup_report(items)
 
 
+def crawl_dup_histogram(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None
+) -> Any:
+    """Caption dedup YIELD CURVE over the COMMITTED items table
+    (analytics/reports.caption_dup_histogram): exact-dup group-size
+    distribution + cumulative corpus share — the companion to
+    crawl_dup_report's per-region rates that says whether the duplication
+    is a pair-tail or a few boilerplate mega-groups. Reads only
+    manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import caption_dup_histogram
+
+    return caption_dup_histogram(items)
+
+
 def crawl_span_report(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
     n: int = 3, top: int = 20,
@@ -144,6 +165,10 @@ def main(argv: list[str] | None = None) -> int:
         try:
             out["dup_report"] = [
                 r.asDict() for r in crawl_dup_report(spark, argv[0], store).collect()
+            ]
+            out["dup_histogram"] = [
+                r.asDict()
+                for r in crawl_dup_histogram(spark, argv[0], store).collect()
             ]
         except FileNotFoundError as exc:
             # a store stopped before its first listing round has no committed

@@ -169,6 +169,33 @@ def image_dedup_keepers(
     return cluster_keepers(clusters, npix, id_col="image_id", metric_col="npix")
 
 
+def image_dup_histogram(
+    features: DataFrame, max_hamming: int = 3, chunks: int = 4,
+) -> DataFrame:
+    """Perceptual-dup yield curve — the image-modality consumer of
+    ``textops.dedup.group_size_histogram``: phash near-dup pairs →
+    connected components → cluster-size distribution with cumulative corpus
+    share.  Answers "how much of the image corpus is re-encodes of a few
+    pictures vs a long tail of pairs" before committing a keeper pass
+    (image_dedup_keepers).  Runs on image_features output or the crawl
+    items table; every exchange carries ids + 8-byte hashes — image bytes
+    never move, and the running-sum window sees only the aggregated
+    histogram rows."""
+    from pegasus_spark.textops.dedup import (
+        group_size_histogram,
+        hamming_near_dups,
+        near_dup_clusters,
+    )
+
+    feats = features.select("image_id", "phash").localCheckpoint(eager=True)
+    pairs = hamming_near_dups(
+        feats, hash_col="phash", max_hamming=max_hamming, chunks=chunks,
+        id_col="image_id", n_bits=64,
+    )
+    clusters = near_dup_clusters(feats, pairs, id_col="image_id")
+    return group_size_histogram(clusters, key_col="cluster_id")
+
+
 def pack_image_shards(
     df: DataFrame,
     budget_bytes: int = 1 << 20,

@@ -610,33 +610,40 @@ def embedding_dispersion(
         .withColumn("_qn", F.sqrt(_dot_pre(F.col("_qd"), F.col("_qd"))))
         .filter(F.col("_qn") > 0)
     )
-    unit = base.select(
-        "grp",
-        F.transform(
-            F.col("_qd"),
-            lambda x: F.floor(x / F.col("_qn") * 10_000).cast("bigint"),
-        ).alias("uq"),
-    )
-    rows = unit.select(
-        "grp",
-        F.aggregate(
-            F.col("uq"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
-        ).alias("sd"),
-        "uq",
-    )
-    per_grp = rows.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_vecs"), F.sum("sd").alias("self_sum")
-    )
-    sumsq = (
-        rows.select("grp", F.posexplode("uq").alias("pos", "x"))
+    # ONE explode chain carries everything: per (grp, pos) the component sum
+    # s, the squared-component sum (Σ_pos of it = the self term), and the
+    # member count (identical at every pos — max() reads it back).  No
+    # second scan of the quantize chain, no join of aggregate arms.
+    # Normalization happens AFTER the explode on scalar columns: a
+    # transform(λ x/_qn) lambda would get the 64-step norm fold substituted
+    # into the per-ELEMENT lambda body, and higher-order functions are
+    # evaluated interpretively — measured 3.3 s vs 0.9 s at sf0.1 for the
+    # identical values.  Exploded-first, the fold runs once per ROW and the
+    # division is plain codegen'd arithmetic.
+    stats = (
+        base.select("grp", "_qn", F.posexplode("_qd").alias("pos", "xd"))
+        .select(
+            "grp",
+            "pos",
+            F.floor(F.col("xd") / F.col("_qn") * 10_000)
+            .cast("bigint")
+            .alias("x"),
+        )
         .groupBy("grp", "pos")
-        .agg(F.sum("x").alias("s"))
+        .agg(
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("sq"),
+            F.count(F.lit(1)).alias("c"),
+        )
         .groupBy("grp")
-        .agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+        .agg(
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.sum("sq").alias("self_sum"),
+            F.max("c").alias("n_vecs"),
+        )
     )
     return (
-        per_grp.join(sumsq, "grp")
-        .select(
+        stats.select(
             F.col("grp").alias(group_col),
             "n_vecs",
             F.when(

@@ -314,6 +314,10 @@ def test_dup_report_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {d["region"] for d in payload["dup_report"]} == {r["region"] for r in rows}
+    # the yield-curve companion rides the same flag and covers every item row
+    hist = payload["dup_histogram"]
+    assert sum(d["n_docs"] for d in hist) == items.count()
+    assert hist[-1]["cum_docs"] == items.count()
 
 
 def test_span_report_cli_surface(crawl, capsys):

@@ -344,3 +344,27 @@ def test_augmentation_plan_deterministic_and_bounded(spark):
     assert again == {
         k: (r["crop_x"], r["crop_y"], r["flip"]) for k, r in rows.items()
     }
+
+
+def test_image_dup_histogram_yield_curve(spark):
+    """phash near-dup yield curve: 8 png+jpeg re-encode pairs and 2 loner
+    images → the histogram reads 2 singletons + 8 two-image clusters, and
+    the cumulative curve covers all 18 rows."""
+    from pegasus_spark.multimodal import image_dup_histogram, image_features
+
+    rows = []
+    for i in range(8):
+        arr = synth_image(f"dh-{i}", 32, 64)
+        rows.append((f"dh-{i}-png", bytearray(encode_image(arr, "png")), "png"))
+        rows.append((f"dh-{i}-jpeg", bytearray(encode_image(arr, "jpeg")), "jpeg"))
+    for i in range(2):
+        arr = synth_image(f"dh-lone-{i}", 32, 64)
+        rows.append((f"dh-lone-{i}", bytearray(encode_image(arr, "png")), "png"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {
+        r["group_size"]: r
+        for r in image_dup_histogram(image_features(df)).collect()
+    }
+    assert got[1]["n_clusters"] == 2 and got[1]["n_dupes"] == 0
+    assert got[2]["n_clusters"] == 8 and got[2]["n_dupes"] == 8
+    assert got[2]["cum_docs"] == 18

@@ -268,3 +268,26 @@ def test_caption_span_report_and_boilerplate_spans(spark):
     assert got == {"a b c d": (2, 2), "p q r s": (2, 2)}
     # deterministic tie-break: counts equal → span ascending
     assert [r["span"] for r in spans] == ["a b c d", "p q r s"]
+
+
+def test_caption_dup_histogram_yield_curve(spark):
+    """Crawl-side dedup yield curve: 3 captions shared by 2/3/1 items →
+    histogram rows (1,1), (2,1), (3,1) with cum_docs 1→3→6."""
+    from pegasus_spark.analytics.reports import caption_dup_histogram
+
+    items = spark.createDataFrame(
+        [
+            ("img-ra-0001-01", "nice flat", 10),
+            ("img-ra-0001-02", "nice flat", 11),
+            ("img-ra-0002-01", "big flat", 12),
+            ("img-rb-0002-02", "big flat", 13),
+            ("img-rb-0003-01", "big flat", 14),
+            ("img-rb-0003-02", "unique flat", 15),
+        ],
+        "image_id string, caption string, phash long",
+    )
+    rows = {r["group_size"]: r for r in caption_dup_histogram(items).collect()}
+    assert rows[1]["n_clusters"] == 1 and rows[1]["cum_docs"] == 1
+    assert rows[2]["n_clusters"] == 1 and rows[2]["cum_docs"] == 3
+    assert rows[3]["n_clusters"] == 1 and rows[3]["cum_docs"] == 6
+    assert sum(r["n_dupes"] for r in rows.values()) == 6 - 3
