@@ -1767,6 +1767,61 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_image_rules(spark, sf_dir):
+    """LAION/DataComp-style image curation rules (multimodal.with_image_rules):
+    per-rule boolean audit columns + the keep conjunction over image METADATA
+    (md5-derived dims/bytes — the same deterministic fake-dims convention as
+    the ratio-bucket gates — with the document text standing in as the
+    caption and its lang column as the caption language).  Zero shuffle:
+    every rule is a per-row projection fused into the parquet scan, exactly
+    like the text side's gopher_rules mapper."""
+    from pegasus_spark.multimodal import with_image_rules
+
+    hw = F.md5(F.col("doc_id").cast("string"))
+    imgs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("w"),
+        (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("h"),
+        (F.conv(F.substring(hw, 9, 8), 16, 10).cast("bigint") % 4000000
+         + 1024).alias("n_bytes"),
+        F.col("text").alias("caption"),
+        "lang",
+    )
+    return with_image_rules(imgs, id_col="doc_id").orderBy("doc_id")
+
+
+ORACLE_IMAGE_RULES = r"""
+WITH imgs AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1793 + 256)::INT AS w,
+    (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 1793 + 256)::INT AS h,
+    (('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 4000000 + 1024) AS n_bytes,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_cap_tokens,
+    lang
+  FROM documents
+),
+m AS (
+  SELECT doc_id, w, h, n_bytes, n_cap_tokens, lang,
+         round(greatest(w::DOUBLE / h, h::DOUBLE / w), 4) AS ar,
+         round(n_bytes::DOUBLE / (w::DOUBLE * h), 6) AS bpp
+  FROM imgs
+)
+SELECT doc_id, w, h, n_bytes, ar, bpp, n_cap_tokens,
+       (least(w, h) >= 512) AS r_dims,
+       (ar <= 3.0) AS r_ar,
+       (bpp >= 0.05 AND bpp <= 2.0) AS r_bpp,
+       (n_cap_tokens >= 16 AND n_cap_tokens <= 72) AS r_cap,
+       (lang = 'en') AS r_lang,
+       (least(w, h) >= 512 AND ar <= 3.0
+        AND bpp >= 0.05 AND bpp <= 2.0
+        AND n_cap_tokens >= 16 AND n_cap_tokens <= 72
+        AND lang = 'en') AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def q_augmentation_plan(spark, sf_dir):
     """Deterministic per-epoch crop/flip schedule (multimodal.
     augmentation_plan) over the same md5-synthesized dims as the ratio
@@ -1967,6 +2022,7 @@ PIPELINE_QUERIES = {
     "ppl_buckets": q_ppl_buckets,
     "dsir_weights": q_dsir_weights,
     "span_scrub": q_span_scrub,
+    "image_rules": q_image_rules,
     "ratio_bucket_plan": q_ratio_bucket_plan,
     "ratio_bucket_plan_salted": q_ratio_bucket_plan_salted,
     "augmentation_plan": q_augmentation_plan,
@@ -2013,6 +2069,7 @@ PIPELINE_ORACLES = {
     "ppl_buckets": ORACLE_PPL_BUCKETS,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "span_scrub": ORACLE_SPAN_SCRUB,
+    "image_rules": ORACLE_IMAGE_RULES,
     "ratio_bucket_plan": ORACLE_RATIO_BUCKET_PLAN,
     "ratio_bucket_plan_salted": ORACLE_RATIO_BUCKET_PLAN_SALTED,
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,

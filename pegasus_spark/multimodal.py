@@ -196,6 +196,60 @@ def image_dup_histogram(
     return group_size_histogram(clusters, key_col="cluster_id")
 
 
+def with_image_rules(
+    df: DataFrame,
+    id_col: str = "image_id",
+    min_dim: int = 512,
+    max_ar: float = 3.0,
+    bpp_lo: float = 0.05,
+    bpp_hi: float = 2.0,
+    cap_lo: int = 16,
+    cap_hi: int = 72,
+    lang: str = "en",
+) -> DataFrame:
+    """LAION/DataComp-style image curation rule filter — the image-modality
+    analog of ``textops.text.with_gopher_rules``: each rule is a separate
+    boolean column so a pipeline audit can see exactly WHICH rule dropped an
+    item, and ``keep`` is their conjunction.  Consumes image METADATA only
+    (w, h, n_bytes, caption, lang) — the narrow rows the late-payload-join
+    discipline leaves after decode, never the pixels:
+
+    - ``r_dims``: min(w, h) ≥ ``min_dim`` (LAION-2B-en's resolution floor)
+    - ``r_ar``: max(w/h, h/w) ≤ ``max_ar`` (extreme panoramas/banners out;
+      ratio rounded to 4 dp BEFORE the compare, per the parity rules)
+    - ``r_bpp``: bytes-per-pixel in [``bpp_lo``, ``bpp_hi``] (6 dp) —
+      too low = blank/solid fill, too high = corrupt or uncompressed
+    - ``r_cap``: whitespace caption tokens in [``cap_lo``, ``cap_hi``]
+      (CLIP-style text-context budget; empty/boilerplate-short out)
+    - ``r_lang``: caption language equals ``lang``
+
+    Scale: pure per-row projections — zero shuffle, fused into the scan;
+    at 100 TB this is a mapper, like the Gopher rule filter it mirrors."""
+    import pyspark.sql.functions as F
+
+    w, h = F.col("w").cast("double"), F.col("h").cast("double")
+    ar = F.round(F.greatest(w / h, h / w), 4)
+    bpp = F.round(F.col("n_bytes").cast("double") / (w * h), 6)
+    n_cap = F.size(F.split(F.trim(F.col("caption")), r"\s+"))
+    r_dims = (F.least(F.col("w"), F.col("h")) >= min_dim)
+    r_ar = ar <= max_ar
+    r_bpp = (bpp >= bpp_lo) & (bpp <= bpp_hi)
+    r_cap = (n_cap >= cap_lo) & (n_cap <= cap_hi)
+    r_lang = F.col("lang") == lang
+    return df.select(
+        id_col, "w", "h", "n_bytes",
+        ar.alias("ar"),
+        bpp.alias("bpp"),
+        n_cap.alias("n_cap_tokens"),
+        r_dims.alias("r_dims"),
+        r_ar.alias("r_ar"),
+        r_bpp.alias("r_bpp"),
+        r_cap.alias("r_cap"),
+        r_lang.alias("r_lang"),
+        (r_dims & r_ar & r_bpp & r_cap & r_lang).alias("keep"),
+    )
+
+
 def pack_image_shards(
     df: DataFrame,
     budget_bytes: int = 1 << 20,

@@ -368,3 +368,41 @@ def test_image_dup_histogram_yield_curve(spark):
     assert got[1]["n_clusters"] == 2 and got[1]["n_dupes"] == 0
     assert got[2]["n_clusters"] == 8 and got[2]["n_dupes"] == 8
     assert got[2]["cum_docs"] == 18
+
+
+def test_image_rules_per_rule_flags(spark):
+    """Each LAION/DataComp-style rule trips independently and keep is the
+    conjunction: one clean row, then one violator per rule."""
+    from pegasus_spark.multimodal import with_image_rules
+
+    cap_ok = " ".join(["word"] * 20)
+    rows = [
+        # id, w, h, n_bytes, caption, lang
+        ("ok", 800, 600, 480000 // 4, cap_ok, "en"),            # all pass
+        ("small", 300, 600, 180000 // 4, cap_ok, "en"),         # r_dims
+        ("banner", 2000, 600, 1200000 // 4, cap_ok, "en"),      # r_ar
+        ("blank", 800, 600, 1000, cap_ok, "en"),                # r_bpp low
+        ("raw", 800, 600, 3 * 480000, cap_ok, "en"),            # r_bpp high
+        ("shortcap", 800, 600, 480000 // 4, "a b", "en"),       # r_cap
+        ("de", 800, 600, 480000 // 4, cap_ok, "de"),            # r_lang
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, w int, h int, n_bytes long, caption string, lang string",
+    )
+    got = {r["image_id"]: r for r in with_image_rules(df).collect()}
+    assert got["ok"]["keep"]
+    assert all(got["ok"][c] for c in ("r_dims", "r_ar", "r_bpp", "r_cap", "r_lang"))
+    failures = {
+        "small": "r_dims", "banner": "r_ar", "blank": "r_bpp",
+        "raw": "r_bpp", "shortcap": "r_cap", "de": "r_lang",
+    }
+    for rid, rule in failures.items():
+        assert not got[rid][rule], (rid, rule)
+        assert not got[rid]["keep"], rid
+        others = {"r_dims", "r_ar", "r_bpp", "r_cap", "r_lang"} - {rule}
+        assert all(got[rid][c] for c in others), (rid, rule)
+    # audit metrics ride along, rounded per the parity rules
+    assert got["banner"]["ar"] == round(2000 / 600, 4)
+    assert got["blank"]["bpp"] == round(1000 / 480000, 6)
+    assert got["shortcap"]["n_cap_tokens"] == 2
