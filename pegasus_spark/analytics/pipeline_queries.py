@@ -1822,6 +1822,43 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_clip_filter(spark, sf_dir):
+    """CLIP-score alignment filter (multimodal.image_text_alignment), fixed-τ
+    form: each embedding pairs with its XOR-1 neighbor as the deterministic
+    stand-in for the (image tower, text tower) output pair, cosine rounded
+    to 4 dp before the τ = 0.05 compare.  The whole operator is one narrow
+    projection over the pair table — the gate's equi-join exists only to
+    BUILD that pair table from the single embeddings fixture."""
+    from pegasus_spark.multimodal import image_text_alignment
+
+    e = _emb(spark, sf_dir)
+    img = e.select(F.col("vec_id"), F.col("embedding").alias("img_vec"))
+    txt = e.select(
+        F.col("vec_id").bitwiseXOR(F.lit(1)).alias("vec_id"),
+        F.col("embedding").alias("txt_vec"),
+    )
+    pairs = img.join(txt, "vec_id")
+    return image_text_alignment(
+        pairs, id_col="vec_id", tau=0.05
+    ).orderBy("vec_id")
+
+
+ORACLE_CLIP_FILTER = r"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS clip_score
+  FROM e a JOIN e b ON b.vec_id = xor(a.vec_id, 1)
+)
+SELECT vec_id, clip_score, (clip_score >= 0.05) AS keep
+FROM p ORDER BY vec_id
+"""
+
+
 def q_augmentation_plan(spark, sf_dir):
     """Deterministic per-epoch crop/flip schedule (multimodal.
     augmentation_plan) over the same md5-synthesized dims as the ratio
@@ -2023,6 +2060,7 @@ PIPELINE_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "span_scrub": q_span_scrub,
     "image_rules": q_image_rules,
+    "clip_filter": q_clip_filter,
     "ratio_bucket_plan": q_ratio_bucket_plan,
     "ratio_bucket_plan_salted": q_ratio_bucket_plan_salted,
     "augmentation_plan": q_augmentation_plan,
@@ -2070,6 +2108,7 @@ PIPELINE_ORACLES = {
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "span_scrub": ORACLE_SPAN_SCRUB,
     "image_rules": ORACLE_IMAGE_RULES,
+    "clip_filter": ORACLE_CLIP_FILTER,
     "ratio_bucket_plan": ORACLE_RATIO_BUCKET_PLAN,
     "ratio_bucket_plan_salted": ORACLE_RATIO_BUCKET_PLAN_SALTED,
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,

@@ -250,6 +250,60 @@ def with_image_rules(
     )
 
 
+def image_text_alignment(
+    pairs: DataFrame,
+    id_col: str = "image_id",
+    img_col: str = "img_vec",
+    txt_col: str = "txt_vec",
+    tau: float = 0.05,
+    top_frac: float | None = None,
+) -> DataFrame:
+    """CLIP-score-style image↔caption alignment filter — the DataComp/LAION
+    headline curation rule: score every (image embedding, caption embedding)
+    pair by cosine and keep the aligned ones.  Two threshold modes:
+
+    - fixed ``tau`` (default): keep = score ≥ τ.  Fully narrow — the score
+      is a per-row double fold and the filter fuses into the scan; at
+      100 TB this is a mapper over the pair table, zero exchanges.  This is
+      the oracle-gated form (cosine rounded to 4 dp before the compare,
+      per the parity discipline).
+    - ``top_frac`` (e.g. 0.3 = DataComp-best "keep top 30 % by CLIP
+      score"): a first pass computes the (1 − top_frac) approx-percentile
+      cutoff (one scalar aggregate — percentile_approx, map-side
+      combinable), broadcasts it, and the second pass is the same narrow
+      filter.  The cutoff is approximate, so the kept fraction is
+      property-tested within tolerance, not oracle-gated — the same
+      two-pass discipline as ppl_buckets' production path.
+
+    Embeddings arrive as array columns on the SAME row (the pair table a
+    two-tower encoder emits); this operator never joins or shuffles them."""
+    import pyspark.sql.functions as F
+
+    from pegasus_spark.textops.similarity import _dot
+
+    img, txt = F.col(img_col), F.col(txt_col)
+    cos = _dot(img, txt) / (
+        F.sqrt(_dot(img, img)) * F.sqrt(_dot(txt, txt))
+    )
+    scored = pairs.select(
+        id_col, F.round(cos, 4).alias("clip_score")
+    )
+    if top_frac is not None:
+        cut = scored.agg(
+            F.percentile_approx("clip_score", 1.0 - top_frac).alias("_cut")
+        )
+        return (
+            scored.crossJoin(F.broadcast(cut))
+            .select(
+                id_col, "clip_score",
+                (F.col("clip_score") >= F.col("_cut")).alias("keep"),
+            )
+        )
+    return scored.select(
+        id_col, "clip_score", (F.col("clip_score") >= tau).alias("keep")
+    )
+
+
 def pack_image_shards(
     df: DataFrame,
     budget_bytes: int = 1 << 20,

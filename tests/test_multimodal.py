@@ -406,3 +406,37 @@ def test_image_rules_per_rule_flags(spark):
     assert got["banner"]["ar"] == round(2000 / 600, 4)
     assert got["blank"]["bpp"] == round(1000 / 480000, 6)
     assert got["shortcap"]["n_cap_tokens"] == 2
+
+
+def test_image_text_alignment_top_frac(spark):
+    """DataComp-style "keep top 30% by CLIP score": the approx-percentile
+    cutoff keeps the requested fraction within tolerance, the kept set is
+    exactly the highest-scoring rows, and the two modes agree on scores."""
+    import pyspark.sql.functions as F
+
+    from pegasus_spark.multimodal import image_text_alignment
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    img = e.select("vec_id", F.col("embedding").alias("img_vec"))
+    txt = e.select(
+        F.col("vec_id").bitwiseXOR(F.lit(1)).alias("vec_id"),
+        F.col("embedding").alias("txt_vec"),
+    )
+    pairs = img.join(txt, "vec_id").localCheckpoint(eager=True)
+    n = pairs.count()
+    got = image_text_alignment(pairs, id_col="vec_id", top_frac=0.3).collect()
+    kept = [r for r in got if r["keep"]]
+    # approx percentile ⇒ fraction within a loose band, never empty/all
+    assert 0.2 * n <= len(kept) <= 0.4 * n, len(kept)
+    # the kept set is a score-threshold set: min(kept) >= max(dropped)
+    dropped = [r["clip_score"] for r in got if not r["keep"]]
+    assert min(r["clip_score"] for r in kept) >= max(dropped)
+    # fixed-tau mode scores identically (same fold, same rounding)
+    fixed = {
+        r["vec_id"]: r["clip_score"]
+        for r in image_text_alignment(pairs, id_col="vec_id", tau=0.05).collect()
+    }
+    assert fixed == {r["vec_id"]: r["clip_score"] for r in got}
