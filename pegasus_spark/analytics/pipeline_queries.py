@@ -1859,6 +1859,49 @@ FROM p ORDER BY vec_id
 """
 
 
+def q_image_decontaminate(spark, sf_dir):
+    """Eval-set image leakage flag (multimodal.image_decontaminate): corpus
+    phashes (md5-derived 60-bit, the deterministic fake-metadata convention)
+    vs an eval set built from every 23rd image's hash with ONE bit flipped —
+    so the flagged rows exercise the Hamming ball, not just exact equality.
+    max_hamming = 2 with 3 chunks keeps the pigeonhole exhaustive; the
+    oracle computes the same ball naively (EXISTS over the tiny eval set),
+    which must agree exactly because the chunk trick is recall-lossless at
+    that setting."""
+    from pegasus_spark.multimodal import image_decontaminate
+
+    hw = F.md5(F.col("doc_id").cast("string"))
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(hw, 1, 15), 16, 10).cast("bigint").alias("phash"),
+    )
+    evals = corpus.filter(F.col("doc_id") % 23 == 0).select(
+        F.expr(
+            "phash ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"
+        ).alias("eval_phash")
+    )
+    return image_decontaminate(
+        corpus, evals, max_hamming=2, chunks=3, id_col="doc_id", n_bits=60
+    ).orderBy("doc_id")
+
+
+ORACLE_IMAGE_DECONTAMINATE = r"""
+WITH c AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS phash
+  FROM documents
+),
+ev AS (
+  SELECT xor(phash, (1::BIGINT << (doc_id % 60)::INT)) AS eh
+  FROM c WHERE doc_id % 23 = 0
+)
+SELECT doc_id, phash,
+       EXISTS (SELECT 1 FROM ev WHERE bit_count(xor(c.phash, ev.eh)) <= 2)
+         AS contaminated
+FROM c ORDER BY doc_id
+"""
+
+
 def q_augmentation_plan(spark, sf_dir):
     """Deterministic per-epoch crop/flip schedule (multimodal.
     augmentation_plan) over the same md5-synthesized dims as the ratio
@@ -2061,6 +2104,7 @@ PIPELINE_QUERIES = {
     "span_scrub": q_span_scrub,
     "image_rules": q_image_rules,
     "clip_filter": q_clip_filter,
+    "image_decontaminate": q_image_decontaminate,
     "ratio_bucket_plan": q_ratio_bucket_plan,
     "ratio_bucket_plan_salted": q_ratio_bucket_plan_salted,
     "augmentation_plan": q_augmentation_plan,
@@ -2109,6 +2153,7 @@ PIPELINE_ORACLES = {
     "span_scrub": ORACLE_SPAN_SCRUB,
     "image_rules": ORACLE_IMAGE_RULES,
     "clip_filter": ORACLE_CLIP_FILTER,
+    "image_decontaminate": ORACLE_IMAGE_DECONTAMINATE,
     "ratio_bucket_plan": ORACLE_RATIO_BUCKET_PLAN,
     "ratio_bucket_plan_salted": ORACLE_RATIO_BUCKET_PLAN_SALTED,
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,

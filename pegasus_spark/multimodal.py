@@ -304,6 +304,73 @@ def image_text_alignment(
     )
 
 
+def image_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    max_hamming: int = 2,
+    chunks: int = 3,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    eval_hash_col: str = "eval_phash",
+    n_bits: int = 64,
+) -> DataFrame:
+    """Eval-set image leakage guard — the image-modality analog of the text
+    side's ``decontaminate`` (benchmark 4-gram overlap): flag every corpus
+    image whose perceptual hash lies within Hamming ``max_hamming`` of ANY
+    eval-set image, so benchmark pictures (and their re-encodes/resizes,
+    which exact byte dedup misses) can't leak into a training corpus.
+
+    Same pigeonhole contract as ``hamming_near_dups``: exhaustive iff
+    max_hamming ≤ chunks − 1.  Scale shape mirrors text decontaminate — the
+    EVAL side is small (a benchmark, not a corpus) so its chunk table
+    BROADCASTS; the corpus side explodes into ``chunks`` bit-slices and
+    probes the broadcast map-side, candidates verify with one exact
+    bit_count(xor), and the contaminated-id set (eval-sized, tiny) joins
+    back as a flag.  The corpus shuffles only its (id, hash) rows for the
+    final flag join — image bytes and captions never move."""
+    import pyspark.sql.functions as F
+
+    base = df.select(id_col, hash_col).localCheckpoint(eager=True)
+    width = n_bits // chunks
+
+    def _slices(col: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftrightunsigned(col, c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("e")
+
+    corpus = base.select(id_col, hash_col, _slices(hash_col)).select(
+        id_col, hash_col, "e.c", "e.cv"
+    )
+    evals = (
+        eval_df.select(F.col(eval_hash_col).alias("_eh"), _slices(eval_hash_col))
+        .select("_eh", "e.c", "e.cv")
+    )
+    hit_ids = (
+        corpus.join(F.broadcast(evals), ["c", "cv"])
+        .filter(
+            F.bit_count(F.col(hash_col).bitwiseXOR(F.col("_eh"))) <= max_hamming
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return base.join(hit_ids, id_col, "left").select(
+        id_col,
+        hash_col,
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+    )
+
+
 def pack_image_shards(
     df: DataFrame,
     budget_bytes: int = 1 << 20,

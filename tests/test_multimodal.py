@@ -440,3 +440,29 @@ def test_image_text_alignment_top_frac(spark):
         for r in image_text_alignment(pairs, id_col="vec_id", tau=0.05).collect()
     }
     assert fixed == {r["vec_id"]: r["clip_score"] for r in got}
+
+
+def test_image_decontaminate_hamming_ball(spark):
+    """Exact hit, 1-bit and 2-bit neighbors flag; a 3-bit neighbor and an
+    unrelated hash don't (max_hamming=2, chunks=3 — pigeonhole-exhaustive)."""
+    from pegasus_spark.multimodal import image_decontaminate
+
+    ev = 0b1010_1100_0011_0101
+    rows = [
+        ("exact", ev),
+        ("one", ev ^ (1 << 7)),
+        ("two", ev ^ (1 << 7) ^ (1 << 40)),
+        ("three", ev ^ (1 << 7) ^ (1 << 40) ^ (1 << 59)),
+        ("far", 0x0F0F_0F0F_0F0F),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    evals = spark.createDataFrame([(ev,)], "eval_phash long")
+    got = {
+        r["image_id"]: r["contaminated"]
+        for r in image_decontaminate(
+            df, evals, max_hamming=2, chunks=3, n_bits=60
+        ).collect()
+    }
+    assert got == {
+        "exact": True, "one": True, "two": True, "three": False, "far": False,
+    }
