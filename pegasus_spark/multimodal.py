@@ -364,7 +364,10 @@ def image_decontaminate(
         .distinct()
         .withColumn("contaminated", F.lit(True))
     )
-    return base.join(hit_ids, id_col, "left").select(
+    # the flag join-back broadcasts: contamination is bounded by the corpus
+    # rows inside the eval set's Hamming balls — eval-benchmark-sized, not
+    # corpus-sized — so the corpus never shuffles for the flag
+    return base.join(F.broadcast(hit_ids), id_col, "left").select(
         id_col,
         hash_col,
         F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
