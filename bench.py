@@ -126,6 +126,110 @@ def main() -> None:
     except Exception as exc:  # optional — analytics always report
         curation = {"error": str(exc)[:200]}
 
+    # Image-side curation endgame, END-TO-END (the DataComp-shaped chain a
+    # multimodal training-data run executes): rule filter → CLIP-score
+    # keep-top-p → eval-set decontamination → aspect-ratio bucketing →
+    # byte-budget shard planning, timed as ONE composed chain over the
+    # md5-synthesized image metadata (the same deterministic fake-dims
+    # convention as the gates). Same discipline as curation_e2e: every
+    # phase boundary is materialized (eager localCheckpoint) so each wall
+    # is that phase's own work.
+    try:
+        import pyspark.sql.functions as F
+
+        from pegasus_spark.analytics import pipeline_queries as PQ
+        from pegasus_spark.multimodal import (
+            image_decontaminate,
+            image_text_alignment,
+            pack_image_shards,
+            ratio_buckets,
+            with_image_rules,
+        )
+
+        iphases: dict[str, float] = {}
+        hw = F.md5(F.col("doc_id").cast("string"))
+        meta = PQ._docs(spark, sf_dir).select(
+            "doc_id",
+            (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+            .cast("int").alias("w"),
+            (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+            .cast("int").alias("h"),
+            (F.conv(F.substring(hw, 9, 8), 16, 10).cast("bigint") % 4000000
+             + 1024).alias("n_bytes"),
+            F.conv(F.substring(hw, 1, 15), 16, 10).cast("bigint").alias("phash"),
+            F.col("text").alias("caption"),
+            "lang",
+        )
+        t0 = time.perf_counter()
+        ruled = (
+            with_image_rules(meta, id_col="doc_id")
+            .filter("keep")
+            .select("doc_id")
+            .join(meta, "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        iphases["rules"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        e = PQ._emb(spark, sf_dir)
+        pairs = e.select("vec_id", F.col("embedding").alias("img_vec")).join(
+            e.select(
+                F.col("vec_id").bitwiseXOR(F.lit(1)).alias("vec_id"),
+                F.col("embedding").alias("txt_vec"),
+            ),
+            "vec_id",
+        )
+        aligned = (
+            image_text_alignment(pairs, id_col="vec_id", top_frac=0.3)
+            .filter("keep")
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        clipped = ruled.join(aligned, "doc_id").localCheckpoint(eager=True)
+        iphases["clip"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        evals = meta.filter(F.col("doc_id") % 23 == 0).select(
+            F.expr(
+                "phash ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"
+            ).alias("eval_phash")
+        )
+        clean = (
+            image_decontaminate(
+                clipped, evals, max_hamming=2, chunks=3,
+                id_col="doc_id", n_bits=60,
+            )
+            .filter(~F.col("contaminated"))
+            .select("doc_id")
+            .join(clipped, "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        iphases["decontaminate"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        bucketed = ratio_buckets(
+            clean, batch_size=64, id_col="doc_id", salt_groups=4
+        ).localCheckpoint(eager=True)
+        iphases["ratio_buckets"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        _materialize(
+            pack_image_shards(
+                clean.select(
+                    F.col("doc_id").cast("string").alias("image_id"),
+                    F.col("caption").cast("binary").alias("bytes"),
+                ),
+                budget_bytes=1 << 16,
+            )
+        )
+        iphases["shard_pack"] = round(time.perf_counter() - t0, 4)
+        n_in, n_out = meta.count(), clean.count()
+        for frame in (ruled, clipped, clean, bucketed):
+            frame.unpersist()
+        image_curation = {
+            "total": round(sum(iphases.values()), 4),
+            "phases": iphases,
+            "rows_in": n_in,
+            "rows_kept": n_out,
+        }
+    except Exception as exc:  # optional — analytics always report
+        image_curation = {"error": str(exc)[:200]}
+
     # The crawl phase runs in its OWN JVM (sequential subprocess — never two
     # Spark sessions at once). Measured escalation of in-session fixes
     # (2026-08-18, identical crawl): shared session after the 112-query
@@ -188,6 +292,7 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 4),
         "queries_warm": warm,
         "curation_e2e": curation,
+        "image_curation_e2e": image_curation,
         "sf": sf,
         **extra,
     }
