@@ -348,3 +348,44 @@ def test_span_report_cli_surface(crawl, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["span_report"]["regions"] == rep["regions"]
     assert payload["span_report"]["top_spans"] == rep["top_spans"]
+
+
+def test_image_export_cli_surface(crawl, tmp_path, capsys):
+    """scripts/run_image_export.py end-to-end from a committed store: two
+    runs produce the identical summary (incl. the order-free tar digest —
+    the deterministic-artifact contract), the written shards reconcile with
+    the summary, and every unique image survives or is a counted dupe."""
+    import importlib.util
+    import json
+    import os
+
+    spec, sched, result, ckpt = crawl
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mod_spec = importlib.util.spec_from_file_location(
+        "run_image_export", os.path.join(repo, "scripts", "run_image_export.py")
+    )
+    mod = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(mod)
+
+    summaries = []
+    for sub in ("e1", "e2"):
+        mod.main(
+            ["--store", sched.store.workdir, "--out", str(tmp_path / sub),
+             "--budget-bytes", "4096"]
+        )
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        summaries.append(json.loads(line))
+    s1, s2 = summaries
+    assert s1 == s2  # identical artifact across runs, digest included
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    assert s1["items_in"] == items.select("image_id").distinct().count()
+    assert s1["keepers"] + s1["dupes_dropped"] == s1["items_in"]
+    assert s1["keepers"] >= 1 and s1["n_shards"] >= 1
+
+    shards = sched.spark.read.parquet(f"{tmp_path}/e1/shards")
+    assert shards.count() == s1["n_shards"]
+    assert shards.agg(F.sum("n_items")).collect()[0][0] == s1["keepers"]
+    # every tar is non-empty and within sanity of the byte budget + 1 item
+    assert shards.filter("length(tar) = 0").count() == 0
+    manifest = sched.spark.read.parquet(f"{tmp_path}/e1/manifest")
+    assert manifest.agg(F.sum("n_items")).collect()[0][0] == s1["keepers"]
