@@ -1767,6 +1767,66 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_ratio_bucket_stats(spark, sf_dir):
+    """Batch-utilization audit of the aspect-ratio plan
+    (multimodal.ratio_bucket_stats): per ladder bucket — image count,
+    batch count, tail-batch padding rows, and the padding fraction of the
+    bucket's batch slots. Same md5-derived dims as the plan gates; the
+    whole query is the plan's projection plus two partial-aggregable
+    groupBys (batch rows, then ladder rows) — no window anywhere."""
+    from pegasus_spark.multimodal import ratio_buckets, ratio_bucket_stats
+
+    hw = F.md5(F.col("doc_id").cast("string"))
+    imgs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("w"),
+        (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .cast("int").alias("h"),
+    )
+    plan = ratio_buckets(imgs, batch_size=64, id_col="doc_id")
+    return ratio_bucket_stats(plan, batch_size=64).orderBy("bucket_w", "bucket_h")
+
+
+ORACLE_RATIO_BUCKET_STATS = """
+WITH imgs AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1793 + 256)::INT AS w,
+    (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 1793 + 256)::INT AS h
+  FROM documents
+),
+ladder(bw, bh) AS (VALUES
+  (512, 2048), (512, 1536), (640, 1536), (768, 1344), (832, 1216),
+  (896, 1152), (1024, 1024), (1152, 896), (1216, 832), (1344, 768),
+  (1536, 640), (1536, 512), (2048, 512)
+),
+ranked AS (
+  SELECT i.doc_id, l.bw, l.bh,
+    row_number() OVER (
+      PARTITION BY i.doc_id
+      ORDER BY round(abs(i.w::DOUBLE / i.h - l.bw::DOUBLE / l.bh), 9) ASC,
+               l.bw DESC, l.bh ASC
+    ) AS rn
+  FROM imgs i CROSS JOIN ladder l
+),
+plan AS (
+  SELECT doc_id, bw, bh,
+    CAST(floor((row_number() OVER (PARTITION BY bw, bh ORDER BY doc_id) - 1)
+               / 64.0) AS BIGINT) AS batch_idx
+  FROM ranked WHERE rn = 1
+),
+per_batch AS (
+  SELECT bw, bh, batch_idx, count(*) AS n FROM plan GROUP BY bw, bh, batch_idx
+)
+SELECT bw AS bucket_w, bh AS bucket_h,
+  CAST(sum(n) AS BIGINT) AS n_images,
+  CAST(count(*) AS BIGINT) AS n_batches,
+  CAST(count(*) * 64 - sum(n) AS BIGINT) AS pad_rows,
+  round((count(*) * 64 - sum(n)) / (count(*) * 64.0), 6) AS waste_frac
+FROM per_batch GROUP BY bw, bh ORDER BY bucket_w, bucket_h
+"""
+
+
 def q_image_rules(spark, sf_dir):
     """LAION/DataComp-style image curation rules (multimodal.with_image_rules):
     per-rule boolean audit columns + the keep conjunction over image METADATA
@@ -2107,6 +2167,7 @@ PIPELINE_QUERIES = {
     "image_decontaminate": q_image_decontaminate,
     "ratio_bucket_plan": q_ratio_bucket_plan,
     "ratio_bucket_plan_salted": q_ratio_bucket_plan_salted,
+    "ratio_bucket_stats": q_ratio_bucket_stats,
     "augmentation_plan": q_augmentation_plan,
     "image_shard_plan": q_image_shard_plan,
     "cluster_size_histogram": q_cluster_size_histogram,
@@ -2156,6 +2217,7 @@ PIPELINE_ORACLES = {
     "image_decontaminate": ORACLE_IMAGE_DECONTAMINATE,
     "ratio_bucket_plan": ORACLE_RATIO_BUCKET_PLAN,
     "ratio_bucket_plan_salted": ORACLE_RATIO_BUCKET_PLAN_SALTED,
+    "ratio_bucket_stats": ORACLE_RATIO_BUCKET_STATS,
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,
     "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
     "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,

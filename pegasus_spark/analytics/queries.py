@@ -794,6 +794,89 @@ ORDER BY user_id, session_seq
 """
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-frequency re-crawl scheduling — the incremental-crawl feature
+    the reference lacks: pegasus re-fetches every listing page each run
+    (cli/crawler.go's unconditional rounds loop); a 100 TB frontier can't,
+    so each key gets a next-due time from its observed change history
+    (the mean-interval estimator from Cho & Garcia-Molina, "Estimating
+    Frequency of Change", ACM TOIT 3(3), 2003). Keys observed changing N
+    times over a span are due interval = span/(N-1) after their last
+    change; single-observation keys get a default 7-day horizon. The
+    due-set feeds the frontier's existing LPT priority dispatch — which is
+    why this deliberately emits NO global rank: ordering the whole corpus
+    by overdue-ness would be the same single-partition window the round-4
+    verdict flagged on the planners, and the dequeue already owns
+    prioritization.
+
+    Gate form: events stands in for the change log (user_id = page key,
+    event ts = observed change), "now" = the corpus max ts so the result
+    is a pure function of the input. All arithmetic in integer
+    microseconds (the sessionize parity discipline); interval uses bigint
+    `div`, identical to DuckDB's `//` on the non-negative operands here.
+
+    Scale shape: one partial-aggregable groupBy(key) + a 1-row global max
+    broadcast back — no window, no join on the big side; at 100 TB the
+    change log shuffles exactly once on the page key."""
+    micros = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(micros).alias("t")
+    )
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.min("t").alias("first_t"),
+        F.max("t").alias("last_t"),
+    )
+    now = ev.agg(F.max("t").alias("now_t"))
+    horizon_us = 7 * 86400 * 1_000_000  # single-observation default
+    est = (
+        per_key.crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            "n_obs",
+            F.col("last_t").alias("last_seen_us"),
+            F.when(
+                F.col("n_obs") >= 2,
+                F.expr("(last_t - first_t) div (n_obs - 1)"),
+            )
+            .otherwise(F.lit(horizon_us))
+            .cast("bigint")
+            .alias("interval_us"),
+            "now_t",
+        )
+        .withColumn(
+            "next_due_us", (F.col("last_seen_us") + F.col("interval_us")).cast("bigint")
+        )
+        .withColumn("overdue_us", (F.col("now_t") - F.col("next_due_us")).cast("bigint"))
+        .withColumn("due_now", F.col("overdue_us") >= 0)
+        .drop("now_t")
+    )
+    return est.orderBy("user_id")
+
+
+ORACLE_RECRAWL_PRIORITY = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+         min(t) AS first_t, max(t) AS last_t
+  FROM ev GROUP BY user_id
+),
+now_t AS (SELECT max(t) AS now_t FROM ev),
+est AS (
+  SELECT user_id, n_obs, last_t AS last_seen_us,
+         CAST(CASE WHEN n_obs >= 2 THEN (last_t - first_t) // (n_obs - 1)
+                   ELSE 604800000000 END AS BIGINT) AS interval_us,
+         now_t
+  FROM per_key, now_t
+)
+SELECT user_id, n_obs, last_seen_us, interval_us,
+       CAST(last_seen_us + interval_us AS BIGINT) AS next_due_us,
+       CAST(now_t - (last_seen_us + interval_us) AS BIGINT) AS overdue_us,
+       (now_t - (last_seen_us + interval_us)) >= 0 AS due_now
+FROM est ORDER BY user_id
+"""
+
+
 def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup of the events stream: one
     pass emits (type, day, hour), (type, day), (type) and grand-total
@@ -901,6 +984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_nearby_clicks": q_range_join_nearby_clicks,
     "multires_rollup": q_multires_rollup,
     "sessionize": q_sessionize,
+    "recrawl_priority": q_recrawl_priority,
     "shipping_priority": q_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
     "supplier_balance_by_region": q_supplier_balance_by_region,
@@ -926,6 +1010,7 @@ ORACLE_SQL: dict[str, str] = {
     "range_join_nearby_clicks": ORACLE_RANGE_JOIN_NEARBY_CLICKS,
     "multires_rollup": ORACLE_MULTIRES_ROLLUP,
     "sessionize": ORACLE_SESSIONIZE,
+    "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "supplier_balance_by_region": ORACLE_SUPPLIER_BALANCE_BY_REGION,

@@ -577,6 +577,50 @@ def ratio_buckets(
     )
 
 
+def ratio_bucket_stats(plan: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Batch-fill audit over a ``ratio_buckets`` plan — the training-ops
+    diagnostic a bucketing run ships with: per aspect bucket, how many
+    images landed there, how many fixed-size batches they fill, and how
+    many padding slots the tail batches waste. A skewed ladder (one bucket
+    hoarding the corpus while edge ratios strand half-empty batches) shows
+    up here before a trainer burns a cluster on it — the utilization
+    counterpart of the plan itself.
+
+    Works on both the raw and salted plans: ``batch_idx`` is already
+    numbered within (bucket[, grp]), so batches are counted per salt group
+    and summed — the per-bucket totals are identical either way, only
+    tail-batch padding grows with the group count (each group strands at
+    most one partial batch), which is exactly the utilization price the
+    salted plan pays and the number this audit exists to surface.
+
+    Scale shape: two partial-aggregable groupBys over the plan's narrow
+    key columns — no window. The first reduces the corpus to one row per
+    batch (ladder × salt-groups × batches — millions at 100 TB, trivially
+    shufflable); the second folds those to ladder-sized output."""
+    import pyspark.sql.functions as F
+
+    keys = ["bucket_w", "bucket_h"]
+    batch_keys = keys + (["grp"] if "grp" in plan.columns else []) + ["batch_idx"]
+    per_batch = plan.groupBy(*batch_keys).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per_batch.groupBy(*keys)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_images"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        )
+        .withColumn(
+            "pad_rows",
+            (F.col("n_batches") * F.lit(batch_size) - F.col("n_images")).cast("bigint"),
+        )
+        # same round-before-compare discipline as dup_rate_report: the ratio
+        # is a small rational of ints; both engines round the same double
+        .withColumn(
+            "waste_frac",
+            F.round(F.col("pad_rows") / (F.col("n_batches") * F.lit(float(batch_size))), 6),
+        )
+    )
+
+
 def augmentation_plan(
     df: DataFrame, epochs: int = 3, crop_w: int = 512, crop_h: int = 512,
     id_col: str = "image_id",

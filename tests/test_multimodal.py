@@ -307,6 +307,56 @@ def test_ratio_buckets_salted_batching(spark):
             assert out[iid]["batch_idx"] == rank // 2, (iid, ids)
 
 
+def test_ratio_bucket_stats_raw_vs_salted(spark):
+    """The utilization audit agrees with a plain-Python recount on the raw
+    plan, and on a salted plan: per-bucket n_images is IDENTICAL (salting
+    never moves images between buckets), batch/padding counts reflect the
+    per-(bucket, grp) batch units (each group strands at most one partial
+    batch — the utilization price of the 100 TB path the audit exists to
+    surface), and the arithmetic invariant n_batches*B = n_images + pad
+    holds row-by-row."""
+    from pegasus_spark.multimodal import ratio_buckets, ratio_bucket_stats
+
+    dims = [(1024, 1024), (1000, 1030), (512, 2000), (2000, 512),
+            (900, 1100), (1344, 768), (770, 1340), (640, 640)]
+    rows = [(f"st-{i:02d}", w, h) for i, (w, h) in enumerate(dims * 4)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+
+    raw_plan = ratio_buckets(df, batch_size=2)
+    raw = {(r["bucket_w"], r["bucket_h"]): r
+           for r in ratio_bucket_stats(raw_plan, batch_size=2).collect()}
+    expected: dict[tuple, int] = {}
+    for r in raw_plan.collect():
+        expected[(r["bucket_w"], r["bucket_h"])] = (
+            expected.get((r["bucket_w"], r["bucket_h"]), 0) + 1
+        )
+    assert set(raw) == set(expected)
+    for b, n in expected.items():
+        got = raw[b]
+        n_batches = -(-n // 2)
+        assert got["n_images"] == n
+        assert got["n_batches"] == n_batches
+        assert got["pad_rows"] == n_batches * 2 - n
+        assert got["n_batches"] * 2 == got["n_images"] + got["pad_rows"]
+
+    salted_plan = ratio_buckets(df, batch_size=2, salt_groups=3)
+    salted = {(r["bucket_w"], r["bucket_h"]): r
+              for r in ratio_bucket_stats(salted_plan, batch_size=2).collect()}
+    per_unit: dict[tuple, int] = {}
+    for r in salted_plan.collect():
+        k = (r["bucket_w"], r["bucket_h"], r["grp"])
+        per_unit[k] = per_unit.get(k, 0) + 1
+    assert set(salted) == set(expected)
+    for b, n in expected.items():
+        got = salted[b]
+        assert got["n_images"] == n  # identical corpus split
+        n_batches = sum(-(-u // 2) for (bw, bh, _), u in per_unit.items()
+                        if (bw, bh) == b)
+        assert got["n_batches"] == n_batches
+        assert got["pad_rows"] == n_batches * 2 - n
+        assert got["pad_rows"] >= raw[b]["pad_rows"]
+
+
 def test_augmentation_plan_deterministic_and_bounded(spark):
     """Pins the reproducible-augmentation contract: crop/flip derive from
     md5(id:epoch) (recomputed in plain Python), crops stay in-bounds,
