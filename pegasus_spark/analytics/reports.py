@@ -348,3 +348,63 @@ def boilerplate_spans(items: DataFrame, n: int = 3, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.desc("n_captions"), F.asc("span"))
         .limit(top)
     )
+
+def recrawl_schedule(
+    apartments: DataFrame,
+    changes: DataFrame | None,
+    now_ts: int,
+    horizon_s: int = 7 * 86400,
+) -> DataFrame:
+    """Change-frequency re-crawl schedule over a committed crawl store — the
+    crawl-side twin of the gated ``recrawl_priority`` (Cho & Garcia-Molina
+    mean-interval estimator): each listing's observations are its first-seen
+    time (nts) plus every recorded price/total change, so a listing with N
+    change rows gets interval = (last_change - nts) div N and is due that
+    long after its last change; never-changed listings get the default
+    ``horizon_s``. The reference re-fetches every page each run
+    (cli/crawler.go's unconditional rounds loop) — this is what replaces
+    that at a frontier too big to sweep.
+
+    Emits NO global rank: the frontier's LPT dequeue owns prioritization,
+    and a corpus-wide overdue ordering would be a single-partition window.
+    Output: (aid, region, n_changes, last_obs_ts, interval_s, next_due_ts,
+    overdue_s, due_now).
+
+    Scale shape: one partial-aggregable groupBy on the change log + one
+    equi-join back to the listings on (aid, region) — the change table is
+    CDC-sized (a fraction of the corpus), so AQE broadcasts it when small
+    and the join degenerates to the listings' existing partitioning."""
+    if changes is None:
+        ch = None
+    else:
+        ch = changes.groupBy("aid", "region").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+            F.max("ts").cast("bigint").alias("last_change_ts"),
+        )
+    base = apartments.select("aid", "region", F.col("nts").cast("bigint").alias("nts"))
+    if ch is not None:
+        base = base.join(ch, ["aid", "region"], "left")
+    else:
+        base = base.withColumn("n_changes", F.lit(None).cast("bigint")).withColumn(
+            "last_change_ts", F.lit(None).cast("bigint")
+        )
+    est = base.select(
+        "aid",
+        "region",
+        F.coalesce("n_changes", F.lit(0)).cast("bigint").alias("n_changes"),
+        F.coalesce("last_change_ts", F.col("nts")).cast("bigint").alias("last_obs_ts"),
+        F.when(
+            F.col("n_changes").isNotNull(),
+            F.expr("(last_change_ts - nts) div n_changes"),
+        )
+        .otherwise(F.lit(horizon_s))
+        .cast("bigint")
+        .alias("interval_s"),
+    )
+    return (
+        est.withColumn(
+            "next_due_ts", (F.col("last_obs_ts") + F.col("interval_s")).cast("bigint")
+        )
+        .withColumn("overdue_s", (F.lit(now_ts) - F.col("next_due_ts")).cast("bigint"))
+        .withColumn("due_now", F.col("overdue_s") >= 0)
+    )

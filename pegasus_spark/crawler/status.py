@@ -132,6 +132,56 @@ def crawl_span_report(
     }
 
 
+def crawl_recrawl_schedule(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+    now_ts: int | None = None, horizon_s: int = 7 * 86400, top: int = 10,
+) -> dict[str, Any]:
+    """Change-frequency re-crawl schedule over the COMMITTED store
+    (reports.recrawl_schedule, the crawl-side consumer of the gated
+    recrawl_priority): per-listing next-due times from the CDC change
+    history, summarized for the CLI — listing/changed/due counts plus the
+    ``top`` most-overdue listings (the only collect, bounded by ``top``
+    with an explicit aid tie-break). ``now_ts`` defaults to the newest
+    committed uts so the summary is a pure function of the store. Reads
+    only manifest-referenced versions/rounds — safe while a crawl runs."""
+    import pyspark.sql.functions as F
+
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    apartments = store.read_apartments(ckpt.apartments_version)
+    if apartments is None:
+        raise FileNotFoundError(f"no committed apartments under {workdir}")
+    changes = store.read_appended("changes", ckpt.appended_rounds)
+    from pegasus_spark.analytics.reports import recrawl_schedule
+
+    if now_ts is None:
+        now_ts = int(apartments.agg(F.max("uts")).first()[0])
+    sched = recrawl_schedule(apartments, changes, int(now_ts), horizon_s).cache()
+    try:
+        totals = sched.agg(
+            F.count(F.lit(1)).alias("n_listings"),
+            F.sum(F.when(F.col("n_changes") > 0, 1).otherwise(0)).alias("n_changed"),
+            F.sum(F.when(F.col("due_now"), 1).otherwise(0)).alias("n_due_now"),
+        ).first()
+        top_rows = (
+            sched.orderBy(F.desc("overdue_s"), F.asc("aid"), F.asc("region"))
+            .limit(top)
+            .collect()
+        )
+        return {
+            "now_ts": int(now_ts),
+            "horizon_s": horizon_s,
+            "n_listings": int(totals["n_listings"]),
+            "n_changed": int(totals["n_changed"]),
+            "n_due_now": int(totals["n_due_now"]),
+            "top_overdue": [r.asDict() for r in top_rows],
+        }
+    finally:
+        sched.unpersist()
+
+
 def host_lineage(spark: SparkSession, workdir: str) -> Any:
     """The committed host-level frontier-state breakdown as a DataFrame
     (host, state, url_cnt) — the queryable replacement for the round-2
@@ -148,11 +198,15 @@ def main(argv: list[str] | None = None) -> int:
     compact = "--compact" in argv
     dup_report = "--dup-report" in argv
     span_report = "--span-report" in argv
-    argv = [a for a in argv if a not in ("--compact", "--dup-report", "--span-report")]
+    recrawl = "--recrawl" in argv
+    argv = [
+        a for a in argv
+        if a not in ("--compact", "--dup-report", "--span-report", "--recrawl")
+    ]
     if len(argv) != 1:
         print(
             "usage: python -m pegasus_spark.crawler.status"
-            " [--compact] [--dup-report] [--span-report] <workdir>",
+            " [--compact] [--dup-report] [--span-report] [--recrawl] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -180,6 +234,12 @@ def main(argv: list[str] | None = None) -> int:
             out["span_report"] = crawl_span_report(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--span-report: {exc}", file=sys.stderr)
+            return 2
+    if recrawl:
+        try:
+            out["recrawl"] = crawl_recrawl_schedule(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--recrawl: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

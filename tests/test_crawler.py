@@ -389,3 +389,28 @@ def test_image_export_cli_surface(crawl, tmp_path, capsys):
     assert shards.filter("length(tar) = 0").count() == 0
     manifest = sched.spark.read.parquet(f"{tmp_path}/e1/manifest")
     assert manifest.agg(F.sum("n_items")).collect()[0][0] == s1["keepers"]
+
+
+def test_recrawl_cli_surface(crawl, capsys):
+    """The crawl CLI answers "what is due for re-crawl" from the COMMITTED
+    store: crawl_recrawl_schedule summarizes reports.recrawl_schedule (the
+    recrawl_priority consumer) and `status --recrawl` surfaces the same
+    payload as JSON. A single-run store has no changes, so every listing
+    sits on the default horizon and nothing is due at the committed uts."""
+    import json
+
+    from pegasus_spark.crawler.status import crawl_recrawl_schedule, main
+
+    spec, sched, result, ckpt = crawl
+    rep = crawl_recrawl_schedule(sched.spark, sched.store.workdir, sched.store)
+    apartments = sched.store.read_apartments(ckpt.apartments_version)
+    assert rep["n_listings"] == apartments.count() > 0
+    assert rep["n_changed"] == 0 and rep["n_due_now"] == 0
+    assert 0 < len(rep["top_overdue"]) <= 10
+    for row in rep["top_overdue"]:
+        assert row["interval_s"] == rep["horizon_s"] and not row["due_now"]
+
+    rc = main(["--recrawl", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["recrawl"] == rep

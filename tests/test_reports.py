@@ -291,3 +291,48 @@ def test_caption_dup_histogram_yield_curve(spark):
     assert rows[2]["n_clusters"] == 1 and rows[2]["cum_docs"] == 3
     assert rows[3]["n_clusters"] == 1 and rows[3]["cum_docs"] == 6
     assert sum(r["n_dupes"] for r in rows.values()) == 6 - 3
+
+
+def test_recrawl_schedule(crawled):
+    """Change-frequency re-crawl scheduling over the two-run CDC store:
+    interval/next-due/overdue recomputed in plain Python from the collected
+    apartments + changes tables, horizon fallback for never-changed
+    listings, and nothing freshly-changed is due at the change instant."""
+    from pegasus_spark.analytics.reports import recrawl_schedule
+
+    _, apartments, changes, _, _ = crawled
+    now = TS2 + 8 * 86400
+    got = {
+        (r["aid"], r["region"]): r
+        for r in recrawl_schedule(apartments, changes, now).collect()
+    }
+    ap = apartments.select("aid", "region", "nts").collect()
+    by_key: dict[tuple, list[int]] = {}
+    for r in changes.select("aid", "region", "ts").collect():
+        by_key.setdefault((r["aid"], r["region"]), []).append(r["ts"])
+    assert by_key, "fixture must produce run-2 changes"
+    assert len(got) == len(ap)
+    for r in ap:
+        k = (r["aid"], r["region"])
+        g = got[k]
+        ts_list = by_key.get(k)
+        if ts_list:
+            last_obs = max(ts_list)
+            interval = (last_obs - r["nts"]) // len(ts_list)
+            assert g["n_changes"] == len(ts_list)
+        else:
+            last_obs, interval = r["nts"], 7 * 86400
+            assert g["n_changes"] == 0
+        assert g["interval_s"] == interval
+        assert g["next_due_ts"] == last_obs + interval
+        assert g["overdue_s"] == now - (last_obs + interval)
+        assert g["due_now"] == (now >= last_obs + interval)
+
+    # at the change instant itself, a just-changed listing is never due:
+    # its interval is the full nts->change span
+    got_now = {
+        (r["aid"], r["region"]): r
+        for r in recrawl_schedule(apartments, changes, TS2).collect()
+    }
+    for k in by_key:
+        assert not got_now[k]["due_now"], k
