@@ -408,3 +408,56 @@ def recrawl_schedule(
         .withColumn("overdue_s", (F.lit(now_ts) - F.col("next_due_ts")).cast("bigint"))
         .withColumn("due_now", F.col("overdue_s") >= 0)
     )
+
+def politeness_audit(fetch_log: DataFrame, budget: DataFrame) -> DataFrame:
+    """Crawler-integrity audit over the committed fetch_log: did every host
+    actually get the politeness it was promised? Two contracts are checked
+    against the budget table — same-host fetches within a round must be
+    ≥ min_interval_ms apart (the in-batch spacing the fetcher enforces,
+    fetch.py's politeness contract), and no round may fetch more than
+    max_per_round pages from one host (the dequeue's per-host top-K bound).
+    A healthy store reports ok = true for every host; anything else means a
+    fetch-path regression (e.g. a respread that broke host co-location).
+
+    Output: (host, min_interval_ms, max_per_round, n_fetches, n_rounds,
+    min_gap_ms, n_gap_violations, max_round_fetches, n_budget_violations,
+    ok), one row per host.
+
+    Scale shape: the gap window partitions by (host, round) — bounded by
+    max_per_round rows per partition, never a hot key; the budget join
+    BROADCASTS (hosts × 4 columns); then two partial-aggregable groupBys
+    (per-(host, round), then per-host). The log's url/body columns prune
+    out at the scan."""
+    rows = fetch_log.select("host", "round", "seq", "fetch_ts_ms").join(
+        F.broadcast(budget.select("host", "min_interval_ms", "max_per_round")),
+        "host",
+        "left",
+    )
+    w = Window.partitionBy("host", "round").orderBy("fetch_ts_ms", "seq")
+    gapped = rows.withColumn(
+        "gap_ms", F.col("fetch_ts_ms") - F.lag("fetch_ts_ms").over(w)
+    )
+    per_round = gapped.groupBy("host", "round", "min_interval_ms", "max_per_round").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.min("gap_ms").cast("bigint").alias("_min_gap"),
+        F.sum(
+            F.when(F.col("gap_ms") < F.col("min_interval_ms"), 1).otherwise(0)
+        ).cast("bigint").alias("_gap_viol"),
+    )
+    return (
+        per_round.groupBy("host", "min_interval_ms", "max_per_round")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_fetches"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rounds"),
+            F.min("_min_gap").cast("bigint").alias("min_gap_ms"),
+            F.sum("_gap_viol").cast("bigint").alias("n_gap_violations"),
+            F.max("_n").cast("bigint").alias("max_round_fetches"),
+            F.sum(F.when(F.col("_n") > F.col("max_per_round"), 1).otherwise(0))
+            .cast("bigint").alias("n_budget_violations"),
+        )
+        .withColumn(
+            "ok",
+            (F.col("n_gap_violations") == 0) & (F.col("n_budget_violations") == 0),
+        )
+        .orderBy("host")
+    )

@@ -182,6 +182,66 @@ def crawl_recrawl_schedule(
         sched.unpersist()
 
 
+def crawl_politeness_audit(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+    top: int = 20,
+) -> dict[str, Any]:
+    """Politeness-compliance audit over the COMMITTED fetch_log vs the
+    persisted politeness_budget table (reports.politeness_audit): per-host
+    min-gap and per-round budget checks, summarized for the CLI — host and
+    violation totals plus the ``top`` worst hosts (violators first, then
+    tightest observed gap, explicit host tie-break; the only collect,
+    bounded by ``top``). A healthy store reports n_hosts_violating == 0;
+    anything else is a fetch-path regression. Reads only
+    manifest-referenced rounds — safe while a crawl runs."""
+    import pyspark.sql.functions as F
+
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    fetch_log = store.read_appended("fetch_log", ckpt.appended_rounds)
+    if fetch_log is None:
+        raise FileNotFoundError(f"no committed fetch_log rounds under {workdir}")
+    budget_path = f"{workdir}/politeness_budget"
+    try:
+        budget = spark.read.parquet(budget_path)
+    except Exception as exc:  # AnalysisException: path absent (pre-run store)
+        raise FileNotFoundError(f"no politeness_budget under {workdir}") from exc
+    from pegasus_spark.analytics.reports import politeness_audit
+
+    audit = politeness_audit(fetch_log, budget).cache()
+    try:
+        totals = audit.agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_hosts_violating"),
+            F.sum("n_fetches").alias("n_fetches"),
+            F.sum("n_gap_violations").alias("n_gap_violations"),
+            F.sum("n_budget_violations").alias("n_budget_violations"),
+        ).first()
+        worst = (
+            audit.orderBy(
+                F.asc("ok"),
+                F.desc("n_gap_violations"),
+                F.desc("n_budget_violations"),
+                F.asc("min_gap_ms"),
+                F.asc("host"),
+            )
+            .limit(top)
+            .collect()
+        )
+        return {
+            "n_hosts": int(totals["n_hosts"]),
+            "n_hosts_violating": int(totals["n_hosts_violating"]),
+            "n_fetches": int(totals["n_fetches"]),
+            "n_gap_violations": int(totals["n_gap_violations"]),
+            "n_budget_violations": int(totals["n_budget_violations"]),
+            "worst_hosts": [r.asDict() for r in worst],
+        }
+    finally:
+        audit.unpersist()
+
+
 def host_lineage(spark: SparkSession, workdir: str) -> Any:
     """The committed host-level frontier-state breakdown as a DataFrame
     (host, state, url_cnt) — the queryable replacement for the round-2
@@ -199,14 +259,19 @@ def main(argv: list[str] | None = None) -> int:
     dup_report = "--dup-report" in argv
     span_report = "--span-report" in argv
     recrawl = "--recrawl" in argv
+    politeness = "--politeness" in argv
     argv = [
         a for a in argv
-        if a not in ("--compact", "--dup-report", "--span-report", "--recrawl")
+        if a not in (
+            "--compact", "--dup-report", "--span-report", "--recrawl",
+            "--politeness",
+        )
     ]
     if len(argv) != 1:
         print(
             "usage: python -m pegasus_spark.crawler.status"
-            " [--compact] [--dup-report] [--span-report] [--recrawl] <workdir>",
+            " [--compact] [--dup-report] [--span-report] [--recrawl]"
+            " [--politeness] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -240,6 +305,12 @@ def main(argv: list[str] | None = None) -> int:
             out["recrawl"] = crawl_recrawl_schedule(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--recrawl: {exc}", file=sys.stderr)
+            return 2
+    if politeness:
+        try:
+            out["politeness"] = crawl_politeness_audit(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--politeness: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

@@ -414,3 +414,55 @@ def test_recrawl_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["recrawl"] == rep
+
+
+def test_politeness_audit_cli_surface(crawl, capsys):
+    """The crawl CLI proves the politeness contract HELD from the committed
+    fetch_log alone: per-host min gap and per-round budget recomputed in
+    plain Python match reports.politeness_audit, every host is ok on a
+    healthy store, and `status --politeness` surfaces the same payload."""
+    import json
+    from collections import defaultdict
+
+    from pegasus_spark.analytics.reports import politeness_audit
+    from pegasus_spark.crawler.status import crawl_politeness_audit, main
+
+    spec, sched, result, ckpt = crawl
+    fetch_log = sched.store.read_appended("fetch_log", ckpt.appended_rounds)
+    audit = {r["host"]: r for r in politeness_audit(fetch_log, sched.budget).collect()}
+    budget = {r["host"]: r for r in sched.budget.collect()}
+
+    by_host_round = defaultdict(list)
+    for r in fetch_log.select("host", "round", "seq", "fetch_ts_ms").collect():
+        by_host_round[(r["host"], r["round"])].append((r["fetch_ts_ms"], r["seq"]))
+    per_host_n = defaultdict(int)
+    per_host_min_gap: dict[str, int] = {}
+    per_host_max_round = defaultdict(int)
+    for (h, _), ts in by_host_round.items():
+        ts.sort()
+        per_host_n[h] += len(ts)
+        per_host_max_round[h] = max(per_host_max_round[h], len(ts))
+        for a, b in zip(ts, ts[1:]):
+            gap = b[0] - a[0]
+            per_host_min_gap[h] = min(per_host_min_gap.get(h, gap), gap)
+
+    assert set(audit) == set(per_host_n)
+    for h, row in audit.items():
+        assert row["ok"], (h, row)
+        assert row["n_fetches"] == per_host_n[h]
+        assert row["max_round_fetches"] == per_host_max_round[h]
+        assert row["min_gap_ms"] == per_host_min_gap.get(h)
+        assert row["max_round_fetches"] <= budget[h]["max_per_round"]
+        if row["min_gap_ms"] is not None:
+            assert row["min_gap_ms"] >= budget[h]["min_interval_ms"]
+
+    rep = crawl_politeness_audit(sched.spark, sched.store.workdir, sched.store)
+    assert rep["n_hosts"] == len(audit)
+    assert rep["n_hosts_violating"] == 0
+    assert rep["n_fetches"] == sum(per_host_n.values())
+    assert 0 < len(rep["worst_hosts"]) <= 20
+
+    rc = main(["--politeness", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["politeness"] == rep
