@@ -1785,7 +1785,8 @@ def q_ratio_bucket_stats(spark, sf_dir):
         .cast("int").alias("h"),
     )
     plan = ratio_buckets(imgs, batch_size=64, id_col="doc_id")
-    return ratio_bucket_stats(plan, batch_size=64).orderBy("bucket_w", "bucket_h")
+    # batch_size rides the plan's column metadata
+    return ratio_bucket_stats(plan).orderBy("bucket_w", "bucket_h")
 
 
 ORACLE_RATIO_BUCKET_STATS = """

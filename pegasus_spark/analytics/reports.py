@@ -423,15 +423,29 @@ def politeness_audit(fetch_log: DataFrame, budget: DataFrame) -> DataFrame:
     min_gap_ms, n_gap_violations, max_round_fetches, n_budget_violations,
     ok), one row per host.
 
+    Robots-refused rows (status 451) are excluded up front: the fetcher
+    stamps them without requesting anything (fetch.py STATUS_ROBOTS —
+    "never actually requested"), so their timestamps carry no politeness
+    obligation and would fabricate gap violations on the real-HTTP path.
+    Hosts absent from the budget table audit against the SAME defaults the
+    dequeue enforces (coalesce: max_per_round 32, min_interval_ms 0,
+    frontier.dequeue) — a left-join null must not vacuously pass.
+
     Scale shape: the gap window partitions by (host, round) — bounded by
     max_per_round rows per partition, never a hot key; the budget join
     BROADCASTS (hosts × 4 columns); then two partial-aggregable groupBys
     (per-(host, round), then per-host). The log's url/body columns prune
     out at the scan."""
-    rows = fetch_log.select("host", "round", "seq", "fetch_ts_ms").join(
-        F.broadcast(budget.select("host", "min_interval_ms", "max_per_round")),
-        "host",
-        "left",
+    rows = (
+        fetch_log.filter(F.col("status") != 451)
+        .select("host", "round", "seq", "fetch_ts_ms")
+        .join(
+            F.broadcast(budget.select("host", "min_interval_ms", "max_per_round")),
+            "host",
+            "left",
+        )
+        .withColumn("max_per_round", F.coalesce("max_per_round", F.lit(32)))
+        .withColumn("min_interval_ms", F.coalesce("min_interval_ms", F.lit(0)))
     )
     w = Window.partitionBy("host", "round").orderBy("fetch_ts_ms", "seq")
     gapped = rows.withColumn(

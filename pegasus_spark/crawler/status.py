@@ -150,14 +150,19 @@ def crawl_recrawl_schedule(
     ckpt = store.load_checkpoint()
     if ckpt is None:
         raise FileNotFoundError(f"no committed checkpoint under {workdir}")
-    apartments = store.read_apartments(ckpt.apartments_version)
-    if apartments is None:
+    # a store stopped before its first listing round has no apartments
+    # version at all (read_apartments(-1) would raise a raw path error)
+    if ckpt.apartments_version < 0:
         raise FileNotFoundError(f"no committed apartments under {workdir}")
+    apartments = store.read_apartments(ckpt.apartments_version)
     changes = store.read_appended("changes", ckpt.appended_rounds)
     from pegasus_spark.analytics.reports import recrawl_schedule
 
     if now_ts is None:
-        now_ts = int(apartments.agg(F.max("uts")).first()[0])
+        max_uts = apartments.agg(F.max("uts")).first()[0]
+        if max_uts is None:
+            raise FileNotFoundError(f"empty apartments table under {workdir}")
+        now_ts = int(max_uts)
     sched = recrawl_schedule(apartments, changes, int(now_ts), horizon_s).cache()
     try:
         totals = sched.agg(
@@ -203,10 +208,14 @@ def crawl_politeness_audit(
     fetch_log = store.read_appended("fetch_log", ckpt.appended_rounds)
     if fetch_log is None:
         raise FileNotFoundError(f"no committed fetch_log rounds under {workdir}")
+    from pyspark.errors import AnalysisException
+
     budget_path = f"{workdir}/politeness_budget"
     try:
         budget = spark.read.parquet(budget_path)
-    except Exception as exc:  # AnalysisException: path absent (pre-run store)
+    except AnalysisException as exc:  # path absent (pre-run store); real
+        # read failures (corrupt files, permissions) propagate with their
+        # traceback instead of masquerading as a missing table
         raise FileNotFoundError(f"no politeness_budget under {workdir}") from exc
     from pegasus_spark.analytics.reports import politeness_audit
 
@@ -224,7 +233,9 @@ def crawl_politeness_audit(
                 F.asc("ok"),
                 F.desc("n_gap_violations"),
                 F.desc("n_budget_violations"),
-                F.asc("min_gap_ms"),
+                # nulls LAST: a host with no measurable gaps (one fetch per
+                # round) is the least interesting, not the tightest
+                F.asc_nulls_last("min_gap_ms"),
                 F.asc("host"),
             )
             .limit(top)

@@ -571,13 +571,17 @@ def ratio_buckets(
              .cast("bigint") % salt_groups),
         )
         w = Window.partitionBy("bucket_w", "bucket_h", "grp").orderBy(id_col)
-    return out.withColumn(
-        "batch_idx",
-        F.floor((F.row_number().over(w) - 1) / F.lit(float(batch_size))).cast("bigint"),
+    # the batch size rides the column metadata so downstream consumers
+    # (ratio_bucket_stats) can't silently audit with a different one
+    return out.select(
+        "*",
+        F.floor((F.row_number().over(w) - 1) / F.lit(float(batch_size)))
+        .cast("bigint")
+        .alias("batch_idx", metadata={"batch_size": batch_size}),
     )
 
 
-def ratio_bucket_stats(plan: DataFrame, batch_size: int = 64) -> DataFrame:
+def ratio_bucket_stats(plan: DataFrame, batch_size: int | None = None) -> DataFrame:
     """Batch-fill audit over a ``ratio_buckets`` plan — the training-ops
     diagnostic a bucketing run ships with: per aspect bucket, how many
     images landed there, how many fixed-size batches they fill, and how
@@ -593,11 +597,28 @@ def ratio_bucket_stats(plan: DataFrame, batch_size: int = 64) -> DataFrame:
     most one partial batch), which is exactly the utilization price the
     salted plan pays and the number this audit exists to surface.
 
+    ``batch_size`` defaults to the one the plan was built with (it rides
+    the batch_idx column metadata) — a mismatched override would produce
+    silently-wrong (even negative) padding numbers, so an explicit value
+    that disagrees with the plan's raises.
+
     Scale shape: two partial-aggregable groupBys over the plan's narrow
     key columns — no window. The first reduces the corpus to one row per
     batch (ladder × salt-groups × batches — millions at 100 TB, trivially
     shufflable); the second folds those to ladder-sized output."""
     import pyspark.sql.functions as F
+
+    plan_bs = plan.schema["batch_idx"].metadata.get("batch_size")
+    if batch_size is None:
+        if plan_bs is None:
+            raise ValueError(
+                "plan carries no batch_size metadata; pass batch_size explicitly"
+            )
+        batch_size = int(plan_bs)
+    elif plan_bs is not None and int(plan_bs) != batch_size:
+        raise ValueError(
+            f"batch_size={batch_size} disagrees with the plan's {int(plan_bs)}"
+        )
 
     keys = ["bucket_w", "bucket_h"]
     batch_keys = keys + (["grp"] if "grp" in plan.columns else []) + ["batch_idx"]

@@ -433,7 +433,13 @@ def test_politeness_audit_cli_surface(crawl, capsys):
     budget = {r["host"]: r for r in sched.budget.collect()}
 
     by_host_round = defaultdict(list)
-    for r in fetch_log.select("host", "round", "seq", "fetch_ts_ms").collect():
+    # robots-refused rows (451) were never actually requested — the audit
+    # excludes them, so the recount must too
+    for r in (
+        fetch_log.filter("status != 451")
+        .select("host", "round", "seq", "fetch_ts_ms")
+        .collect()
+    ):
         by_host_round[(r["host"], r["round"])].append((r["fetch_ts_ms"], r["seq"]))
     per_host_n = defaultdict(int)
     per_host_min_gap: dict[str, int] = {}

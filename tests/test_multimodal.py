@@ -323,8 +323,12 @@ def test_ratio_bucket_stats_raw_vs_salted(spark):
     df = spark.createDataFrame(rows, "image_id string, w int, h int")
 
     raw_plan = ratio_buckets(df, batch_size=2)
+    # batch_size resolves from the plan's column metadata; a disagreeing
+    # override must raise, not silently produce negative padding
+    with pytest.raises(ValueError, match="disagrees"):
+        ratio_bucket_stats(raw_plan, batch_size=64)
     raw = {(r["bucket_w"], r["bucket_h"]): r
-           for r in ratio_bucket_stats(raw_plan, batch_size=2).collect()}
+           for r in ratio_bucket_stats(raw_plan).collect()}
     expected: dict[tuple, int] = {}
     for r in raw_plan.collect():
         expected[(r["bucket_w"], r["bucket_h"])] = (
@@ -341,7 +345,7 @@ def test_ratio_bucket_stats_raw_vs_salted(spark):
 
     salted_plan = ratio_buckets(df, batch_size=2, salt_groups=3)
     salted = {(r["bucket_w"], r["bucket_h"]): r
-              for r in ratio_bucket_stats(salted_plan, batch_size=2).collect()}
+              for r in ratio_bucket_stats(salted_plan).collect()}
     per_unit: dict[tuple, int] = {}
     for r in salted_plan.collect():
         k = (r["bucket_w"], r["bucket_h"], r["grp"])
