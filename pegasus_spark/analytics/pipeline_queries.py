@@ -1586,6 +1586,64 @@ ORDER BY toks.doc_id
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (T.pii_scrub) — emails / IPv4s / phone numbers replaced
+    by typed placeholders with per-class counts, the standard pre-release
+    scrub pass. The synthetic corpus carries no PII, so the gate PLANTS a
+    deterministic suffix per doc (an email, an IP, and a dotted-quad-proof
+    phone number derived from doc_id) — the regexes then have real work to
+    do and the oracle rebuilds the identical suffix. Pure narrow map: zero
+    exchanges past the scan at any scale."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), d.cast("string"),
+            F.lit("@mail.example.com or 10."), (d % 200).cast("string"),
+            F.lit(".0."), (d % 250).cast("string"),
+            F.lit(" tel 555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return T.pii_scrub(planted).orderBy("doc_id")
+
+
+ORACLE_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || ' reach user' || doc_id::VARCHAR || '@mail.example.com or 10.'
+         || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+         || ' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+         || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    regexp_replace(t,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+  n_email::INT AS n_email,
+  n_ipv4::INT AS n_ipv4,
+  len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::INT AS n_phone
+FROM s2 ORDER BY doc_id
+"""
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet-style head/middle/tail perplexity buckets per source
     (T.ppl_buckets): terciles of the unigram-LM score within each source —
@@ -2042,6 +2100,66 @@ FROM items ORDER BY image_id
 """
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs (multimodal.image_near_dups' engine,
+    textops.dedup.hamming_near_dups) — the driver-gated twin of the
+    pytest-only binary-image path. A 60-bit phash is synthesized per doc
+    with PLANTED duplicate groups (reference crawl stores a phash per
+    fetched image, items table): group = doc_id % 97 picks a base
+    md5-derived hash, and the member's variant flips 0-2 deterministic bit
+    positions, so every within-group pair sits at hamming ≤ 2 while
+    cross-group pairs are random 60-bit (chunk-collision candidates get
+    filtered by the exact verify). Pigeonhole 4×15-bit chunk equality join —
+    exhaustive for hamming ≤ 3, shuffle key is the chunk value, never
+    all-pairs; same scale shape as simhash_near_dup."""
+    from pegasus_spark.textops.dedup import hamming_near_dups
+
+    ph = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id % 97 AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            " ^ (CASE WHEN (doc_id div 97) % 4 IN (1, 3)"
+            "      THEN shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 97 % 60 AS INT))"
+            "      ELSE CAST(0 AS BIGINT) END)"
+            " ^ (CASE WHEN (doc_id div 97) % 4 IN (2, 3)"
+            "      THEN shiftleft(CAST(1 AS BIGINT), CAST((doc_id % 97 * 7 + 13) % 60 AS INT))"
+            "      ELSE CAST(0 AS BIGINT) END)"
+        ).alias("phash"),
+    )
+    return hamming_near_dups(
+        ph, hash_col="phash", max_hamming=3, chunks=4,
+        id_col="doc_id", n_bits=60,
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_PHASH_NEAR_DUP = """
+WITH ph AS (
+  SELECT doc_id,
+    xor(xor(
+      ('0x' || substr(md5((doc_id % 97)::VARCHAR), 1, 15))::BIGINT,
+      CASE WHEN (doc_id // 97) % 4 IN (1, 3)
+           THEN 1::BIGINT << ((doc_id % 97) % 60) ELSE 0 END),
+      CASE WHEN (doc_id // 97) % 4 IN (2, 3)
+           THEN 1::BIGINT << (((doc_id % 97) * 7 + 13) % 60) ELSE 0 END
+    ) AS phash
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id, phash, c, (phash >> (c * 15)) & 32767 AS cv
+  FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS c FROM ph)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.phash AS ph_a, b.phash AS ph_b
+  FROM chunked a JOIN chunked b
+    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_cluster_size_histogram(spark, sf_dir):
     """Dedup yield curve over the cross-modal near-dup clusters
     (textops.dedup.group_size_histogram): distribution of cluster sizes and
@@ -2163,6 +2281,7 @@ PIPELINE_QUERIES = {
     "ppl_buckets": q_ppl_buckets,
     "dsir_weights": q_dsir_weights,
     "span_scrub": q_span_scrub,
+    "pii_scrub": q_pii_scrub,
     "image_rules": q_image_rules,
     "clip_filter": q_clip_filter,
     "image_decontaminate": q_image_decontaminate,
@@ -2171,6 +2290,7 @@ PIPELINE_QUERIES = {
     "ratio_bucket_stats": q_ratio_bucket_stats,
     "augmentation_plan": q_augmentation_plan,
     "image_shard_plan": q_image_shard_plan,
+    "phash_near_dup": q_phash_near_dup,
     "cluster_size_histogram": q_cluster_size_histogram,
     "embedding_dispersion": q_embedding_dispersion,
 }
@@ -2213,6 +2333,7 @@ PIPELINE_ORACLES = {
     "ppl_buckets": ORACLE_PPL_BUCKETS,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "span_scrub": ORACLE_SPAN_SCRUB,
+    "pii_scrub": ORACLE_PII_SCRUB,
     "image_rules": ORACLE_IMAGE_RULES,
     "clip_filter": ORACLE_CLIP_FILTER,
     "image_decontaminate": ORACLE_IMAGE_DECONTAMINATE,
@@ -2221,6 +2342,7 @@ PIPELINE_ORACLES = {
     "ratio_bucket_stats": ORACLE_RATIO_BUCKET_STATS,
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,
     "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
+    "phash_near_dup": ORACLE_PHASH_NEAR_DUP,
     "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,
     "embedding_dispersion": ORACLE_EMBEDDING_DISPERSION,
 }

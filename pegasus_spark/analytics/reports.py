@@ -323,6 +323,43 @@ def caption_span_report(items: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def caption_pii_report(items: DataFrame) -> DataFrame:
+    """Per-region PII triage over a committed items table — the crawl-side
+    consumer of ``textops.text.pii_scrub``: how many of each region's
+    captions carry an email / IPv4 / phone number, i.e. what a pre-release
+    scrub pass would redact from this crawl's caption corpus. Output:
+    (region, n_captions, n_with_pii, pii_rate, n_email, n_ipv4, n_phone).
+    Scale shape: pii_scrub is a pure narrow map (the regexes fuse into the
+    scan); the rollup is one region-keyed partial agg over per-caption count
+    triples — caption text never enters an exchange."""
+    from pegasus_spark.textops.text import pii_scrub
+
+    counts = pii_scrub(
+        items.select("image_id", "caption"),
+        text_col="caption", id_col="image_id",
+    )
+    keyed = counts.withColumn(
+        "region", F.element_at(F.split("image_id", "-"), 2)
+    )
+    has_pii = (
+        (F.col("n_email") > 0) | (F.col("n_ipv4") > 0) | (F.col("n_phone") > 0)
+    )
+    return (
+        keyed.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_captions"),
+            F.sum(F.when(has_pii, 1).otherwise(0)).cast("bigint")
+            .alias("n_with_pii"),
+            F.round(F.avg(F.when(has_pii, 1.0).otherwise(0.0)), 4)
+            .alias("pii_rate"),
+            F.sum("n_email").cast("bigint").alias("n_email"),
+            F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+            F.sum("n_phone").cast("bigint").alias("n_phone"),
+        )
+        .orderBy("region")
+    )
+
+
 def boilerplate_spans(items: DataFrame, n: int = 3, top: int = 20) -> DataFrame:
     """The literal boilerplate: the n-token caption spans repeated most often
     corpus-wide, with occurrence + distinct-caption counts — the strings a

@@ -132,6 +132,26 @@ def crawl_span_report(
     }
 
 
+def crawl_pii_report(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> list[dict[str, Any]]:
+    """PII triage over the COMMITTED items table — "what would a pre-release
+    scrub redact from this crawl's captions": per-region counts of captions
+    carrying an email / IPv4 / phone number
+    (reports.caption_pii_report, the pii_scrub consumer). Reads only
+    manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import caption_pii_report
+
+    return [r.asDict() for r in caption_pii_report(items).collect()]
+
+
 def crawl_recrawl_schedule(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
     now_ts: int | None = None, horizon_s: int = 7 * 86400, top: int = 10,
@@ -271,18 +291,19 @@ def main(argv: list[str] | None = None) -> int:
     span_report = "--span-report" in argv
     recrawl = "--recrawl" in argv
     politeness = "--politeness" in argv
+    pii = "--pii" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
-            "--politeness",
+            "--politeness", "--pii",
         )
     ]
     if len(argv) != 1:
         print(
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
-            " [--politeness] <workdir>",
+            " [--politeness] [--pii] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -322,6 +343,12 @@ def main(argv: list[str] | None = None) -> int:
             out["politeness"] = crawl_politeness_audit(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--politeness: {exc}", file=sys.stderr)
+            return 2
+    if pii:
+        try:
+            out["pii_report"] = crawl_pii_report(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--pii: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

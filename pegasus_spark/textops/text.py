@@ -174,6 +174,49 @@ def with_fingerprint(df: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+# PII patterns — standard pretraining-pipeline scrub classes (emails, IPv4
+# addresses, NANP-style phone numbers), written to parse and behave
+# IDENTICALLY under Java regex (Spark's codegen'd regexp_replace /
+# regexp_count) and RE2 (the DuckDB oracle): ASCII classes only, no
+# backreferences, no lookaround, no alternation whose match length differs
+# between leftmost-first engines. Scrub ORDER is part of the contract —
+# emails first, so an address's digit runs can't later half-match the
+# IP/phone patterns; each count is taken on the text as it stands at that
+# stage. The oracle mirrors the exact patterns and staging.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction over a text/caption column: replaces emails, IPv4
+    addresses, and phone numbers with typed placeholder tokens and reports a
+    per-class redaction count per document — the standard pre-release scrub
+    a pretraining corpus (or a crawl's caption table) gets before packing.
+
+    Scale shape: a pure narrow projection — three chained regexp_replace /
+    regexp_count expressions, all JVM-side whole-stage codegen, ZERO
+    exchanges; at 100 TB this fuses into the scan like the other text
+    mappers. Non-overlapping match counting (regexp_count) matches the
+    oracle's len(regexp_extract_all(...)) semantics."""
+    txt = F.col(text_col)
+    n_email = F.regexp_count(txt, F.lit(PII_EMAIL))
+    s1 = F.regexp_replace(txt, PII_EMAIL, "<EMAIL>")
+    n_ipv4 = F.regexp_count(s1, F.lit(PII_IPV4))
+    s2 = F.regexp_replace(s1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(s2, F.lit(PII_PHONE))
+    scrubbed = F.regexp_replace(s2, PII_PHONE, "<PHONE>")
+    return df.select(
+        id_col,
+        scrubbed.alias("scrubbed"),
+        n_email.cast("int").alias("n_email"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+        n_phone.cast("int").alias("n_phone"),
+    )
+
+
 def pack_shards(
     df: DataFrame, budget: int = 512, group_col: str = "source",
     id_col: str = "doc_id", salt_groups: int | None = None,

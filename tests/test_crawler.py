@@ -472,3 +472,45 @@ def test_politeness_audit_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["politeness"] == rep
+
+
+def test_pii_cli_surface(crawl, capsys):
+    """The crawl CLI answers "what would a scrub redact" from the COMMITTED
+    items table: crawl_pii_report's per-region counts match a plain-Python
+    regex recount over the same captions, and `status --pii` surfaces the
+    same payload as JSON."""
+    import json
+    import re
+    from collections import defaultdict
+
+    from pegasus_spark.crawler.status import crawl_pii_report, main
+    from pegasus_spark.textops.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    spec, sched, result, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])  # caps, with_pii, em, ip, ph
+    for r in items.select("image_id", "caption").collect():
+        region = r["image_id"].split("-")[1]
+        em = len(re.findall(PII_EMAIL, r["caption"]))
+        rest = re.sub(PII_EMAIL, "<EMAIL>", r["caption"])
+        ip = len(re.findall(PII_IPV4, rest))
+        rest = re.sub(PII_IPV4, "<IP>", rest)
+        ph = len(re.findall(PII_PHONE, rest))
+        w = want[region]
+        w[0] += 1
+        w[1] += 1 if (em or ip or ph) else 0
+        w[2] += em; w[3] += ip; w[4] += ph
+
+    rep = crawl_pii_report(sched.spark, sched.store.workdir, sched.store)
+    assert {r["region"] for r in rep} == set(want)
+    for row in rep:
+        caps, with_pii, em, ip, ph = want[row["region"]]
+        assert row["n_captions"] == caps
+        assert row["n_with_pii"] == with_pii
+        assert (row["n_email"], row["n_ipv4"], row["n_phone"]) == (em, ip, ph)
+        assert float(row["pii_rate"]) == round(with_pii / caps, 4)
+
+    rc = main(["--pii", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["pii_report"] == rep

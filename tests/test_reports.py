@@ -270,6 +270,32 @@ def test_caption_span_report_and_boilerplate_spans(spark):
     assert [r["span"] for r in spans] == ["a b c d", "p q r s"]
 
 
+def test_caption_pii_report_counts_by_region(spark):
+    """PII triage recomputed by hand: captions carrying an email / IPv4 /
+    phone flag their region's rollup; clean captions don't."""
+    from pegasus_spark.analytics.reports import caption_pii_report
+
+    items = spark.createDataFrame(
+        [
+            ("img-ra-0001-01", "contact agent@homes.example.com today"),
+            ("img-ra-0001-02", "lovely flat near the park"),
+            ("img-rb-0002-01", "call 555-867-5309 or visit 10.1.2.3"),
+            ("img-rb-0002-02", "mail a@b.io and c@d.org now"),
+            ("img-rb-0003-01", "no pii in this caption"),
+        ],
+        "image_id string, caption string",
+    )
+    rows = {r["region"]: r for r in caption_pii_report(items).collect()}
+    assert set(rows) == {"ra", "rb"}
+    ra, rb = rows["ra"], rows["rb"]
+    assert (ra["n_captions"], ra["n_with_pii"]) == (2, 1)
+    assert (ra["n_email"], ra["n_ipv4"], ra["n_phone"]) == (1, 0, 0)
+    assert float(ra["pii_rate"]) == 0.5
+    assert (rb["n_captions"], rb["n_with_pii"]) == (3, 2)
+    assert (rb["n_email"], rb["n_ipv4"], rb["n_phone"]) == (2, 1, 1)
+    assert abs(float(rb["pii_rate"]) - 0.6667) < 1e-9
+
+
 def test_caption_dup_histogram_yield_curve(spark):
     """Crawl-side dedup yield curve: 3 captions shared by 2/3/1 items →
     histogram rows (1,1), (2,1), (3,1) with cum_docs 1→3→6."""

@@ -849,3 +849,75 @@ class TestEmbeddingDispersion:
         assert got[7]["mean_pairwise_cos"] is None and got[7]["n_vecs"] == 1
         # identical unit vectors: mean pairwise cosine on the 4dp grid is ~1
         assert abs(got[8]["mean_pairwise_cos"] - 1.0) < 1e-3
+
+
+class TestPIIScrub:
+    def test_exact_redaction_and_counts(self, spark):
+        from pegasus_spark.textops.text import pii_scrub
+
+        rows = [
+            (0, "mail bob.smith+x@sub.example.co.uk now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (2, "call 555-867-5309 or 555.123.4567 today"),
+            (3, "none here, just words and 1234 numbers"),
+            (4, "a@b.io from 8.8.8.8 tel 800-555-0100"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert got[0]["scrubbed"] == "mail <EMAIL> now"
+        assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (1, 0, 0)
+        assert got[1]["scrubbed"] == "server at <IP> and <IP> up"
+        assert got[1]["n_ipv4"] == 2
+        # dotted phone must scrub as PHONE, not half-match as an IP
+        assert got[2]["scrubbed"] == "call <PHONE> or <PHONE> today"
+        assert (got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 2)
+        assert got[3]["scrubbed"] == rows[3][1] and got[3]["n_email"] == 0
+        assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
+
+    def test_scrub_is_idempotent(self, spark):
+        from pegasus_spark.textops.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [(0, "x a@b.io 8.8.8.8 555-123-4567 y")], "doc_id long, text string"
+        )
+        once = pii_scrub(df).withColumnRenamed("scrubbed", "text")
+        twice = pii_scrub(once.select("doc_id", "text")).collect()[0]
+        assert twice["scrubbed"] == "x <EMAIL> <IP> <PHONE> y"
+        assert (twice["n_email"], twice["n_ipv4"], twice["n_phone"]) == (0, 0, 0)
+
+
+class TestPhashNearDup:
+    def test_planted_groups_match_brute_force(self, spark, sf_dir):
+        """The gated phash query's pair set must equal an all-pairs brute
+        force over the same synthesized hashes (pigeonhole 4×15 chunks is
+        exhaustive for hamming ≤ 3)."""
+        from pegasus_spark.analytics.pipeline_queries import q_phash_near_dup
+
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in q_phash_near_dup(spark, sf_dir).collect()}
+
+        import hashlib
+
+        def phash(doc_id: int) -> int:
+            g, v = doc_id % 97, (doc_id // 97) % 4
+            h = int(hashlib.md5(str(g).encode()).hexdigest()[:15], 16)
+            if v in (1, 3):
+                h ^= 1 << (g % 60)
+            if v in (2, 3):
+                h ^= 1 << ((g * 7 + 13) % 60)
+            return h
+
+        ids = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").collect()
+        )
+        hs = {i: phash(i) for i in ids}
+        want = {}
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1:]:
+                d = bin(hs[a] ^ hs[b]).count("1")
+                if d <= 3:
+                    want[(a, b)] = d
+        assert got == want
+        assert want, "planted scheme must actually produce near-dup pairs"
