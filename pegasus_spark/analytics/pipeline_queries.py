@@ -2100,6 +2100,24 @@ FROM items ORDER BY image_id
 """
 
 
+def _phash_df(spark, sf_dir):
+    """Synthesized 60-bit perceptual hash with PLANTED duplicate groups —
+    shared by q_phash_near_dup / q_phash_clusters / q_phash_keepers (see
+    q_phash_near_dup for the planting scheme and recall argument)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id % 97 AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            " ^ (CASE WHEN (doc_id div 97) % 4 IN (1, 3)"
+            "      THEN shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 97 % 60 AS INT))"
+            "      ELSE CAST(0 AS BIGINT) END)"
+            " ^ (CASE WHEN (doc_id div 97) % 4 IN (2, 3)"
+            "      THEN shiftleft(CAST(1 AS BIGINT), CAST((doc_id % 97 * 7 + 13) % 60 AS INT))"
+            "      ELSE CAST(0 AS BIGINT) END)"
+        ).alias("phash"),
+    )
+
+
 def q_phash_near_dup(spark, sf_dir):
     """Perceptual-hash near-dup pairs (multimodal.image_near_dups' engine,
     textops.dedup.hamming_near_dups) — the driver-gated twin of the
@@ -2112,24 +2130,60 @@ def q_phash_near_dup(spark, sf_dir):
     filtered by the exact verify). Pigeonhole 4×15-bit chunk equality join —
     exhaustive for hamming ≤ 3, shuffle key is the chunk value, never
     all-pairs; same scale shape as simhash_near_dup."""
-    from pegasus_spark.textops.dedup import hamming_near_dups
-
-    ph = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.expr(
-            "CAST(conv(substring(md5(CAST(doc_id % 97 AS STRING)), 1, 15), 16, 10) AS BIGINT)"
-            " ^ (CASE WHEN (doc_id div 97) % 4 IN (1, 3)"
-            "      THEN shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 97 % 60 AS INT))"
-            "      ELSE CAST(0 AS BIGINT) END)"
-            " ^ (CASE WHEN (doc_id div 97) % 4 IN (2, 3)"
-            "      THEN shiftleft(CAST(1 AS BIGINT), CAST((doc_id % 97 * 7 + 13) % 60 AS INT))"
-            "      ELSE CAST(0 AS BIGINT) END)"
-        ).alias("phash"),
-    )
-    return hamming_near_dups(
-        ph, hash_col="phash", max_hamming=3, chunks=4,
+    return D.hamming_near_dups(
+        _phash_df(spark, sf_dir), hash_col="phash", max_hamming=3, chunks=4,
         id_col="doc_id", n_bits=60,
     ).orderBy("id_a", "id_b")
+
+
+def _phash_cluster_df(spark, sf_dir):
+    """Shared by q_phash_clusters / q_phash_keepers: connected components
+    over the phash near-dup pair graph (the same D.near_dup_clusters
+    machinery the text side uses — min-label propagation + pointer
+    jumping, pairs from the chunk-equality join, never all-pairs)."""
+    ph = _phash_df(spark, sf_dir)
+    pairs = D.hamming_near_dups(
+        ph, hash_col="phash", max_hamming=3, chunks=4,
+        id_col="doc_id", n_bits=60,
+    ).select("id_a", "id_b")
+    return D.near_dup_clusters(ph, pairs)
+
+
+def q_phash_clusters(spark, sf_dir):
+    """Transitive image dedup: connected components over the phash near-dup
+    pairs — the image twin of near_dup_clusters, completing the
+    pairs → clusters → keepers chain on the image axis. Pairwise phash
+    matching alone cannot dedup a drifting series (A~B at 2 bits, B~C at
+    2 bits, A~C at 4 bits escapes the radius); the CC step guarantees one
+    cluster per connected group. Oracle = DuckDB recursive-CTE transitive
+    closure over the identical pair graph. Scale: the pair graph comes
+    from the bucketed chunk join; CC is the proven min-label +
+    pointer-jumping loop (O(component diameter) rounds, shallow here)."""
+    return _phash_cluster_df(spark, sf_dir).orderBy("doc_id")
+
+
+def q_phash_keepers(spark, sf_dir):
+    """Image keeper selection: within each phash cluster keep the
+    HIGHEST-RESOLUTION copy (ties to the lowest doc_id) — the standard
+    image-dedup keep rule (LAION dedup keeps the largest variant), via the
+    same D.cluster_keepers argmax helper the text pipeline uses with
+    quality. Dims are the md5 synthesis ratio_bucket_plan uses, so
+    resolution = w·h is an exact BIGINT — the parity contract (never order
+    on raw floats) is satisfied with no rounding. Scale: one cluster_id
+    hash shuffle of (doc_id, cluster_id, resolution) triples on top of the
+    cluster build; image bytes never move."""
+    hw = F.md5(F.col("doc_id").cast("string"))
+    res = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+            * (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+        ).alias("resolution"),
+    )
+    clusters = _phash_cluster_df(spark, sf_dir)
+    return D.cluster_keepers(clusters, res, metric_col="resolution").orderBy(
+        "doc_id"
+    )
 
 
 ORACLE_PHASH_NEAR_DUP = """
@@ -2157,6 +2211,75 @@ cand AS (
 SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
 FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
 ORDER BY id_a, id_b
+"""
+
+
+# Shared CTE body: the synthesized phash pair graph + transitive
+# reachability (identical planting/chunking to the phash_near_dup oracle).
+# Used by the phash_clusters and phash_keepers oracles.
+_ORACLE_PHASH_GRAPH = """
+WITH RECURSIVE ph AS (
+  SELECT doc_id,
+    xor(xor(
+      ('0x' || substr(md5((doc_id % 97)::VARCHAR), 1, 15))::BIGINT,
+      CASE WHEN (doc_id // 97) % 4 IN (1, 3)
+           THEN 1::BIGINT << ((doc_id % 97) % 60) ELSE 0 END),
+      CASE WHEN (doc_id // 97) % 4 IN (2, 3)
+           THEN 1::BIGINT << (((doc_id % 97) * 7 + 13) % 60) ELSE 0 END
+    ) AS phash
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id, phash, c, (phash >> (c * 15)) & 32767 AS cv
+  FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS c FROM ph)
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunked a JOIN chunked b
+    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+)"""
+
+ORACLE_PHASH_CLUSTERS = _ORACLE_PHASH_GRAPH + """
+SELECT v.doc_id,
+       CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+GROUP BY v.doc_id
+ORDER BY v.doc_id
+"""
+
+ORACLE_PHASH_KEEPERS = _ORACLE_PHASH_GRAPH + """,
+clusters AS (
+  SELECT v.doc_id,
+         CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+  FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+  GROUP BY v.doc_id
+),
+imgs AS (
+  SELECT doc_id,
+    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1793 + 256)
+     * (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 1793 + 256))
+      AS resolution
+  FROM documents
+),
+kk AS (
+  SELECT c.doc_id, c.cluster_id,
+         first_value(c.doc_id) OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY i.resolution DESC, c.doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS keeper_id
+  FROM clusters c JOIN imgs i ON i.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper
+FROM kk
+ORDER BY doc_id
 """
 
 
@@ -2291,6 +2414,8 @@ PIPELINE_QUERIES = {
     "augmentation_plan": q_augmentation_plan,
     "image_shard_plan": q_image_shard_plan,
     "phash_near_dup": q_phash_near_dup,
+    "phash_clusters": q_phash_clusters,
+    "phash_keepers": q_phash_keepers,
     "cluster_size_histogram": q_cluster_size_histogram,
     "embedding_dispersion": q_embedding_dispersion,
 }
@@ -2343,6 +2468,8 @@ PIPELINE_ORACLES = {
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,
     "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
     "phash_near_dup": ORACLE_PHASH_NEAR_DUP,
+    "phash_clusters": ORACLE_PHASH_CLUSTERS,
+    "phash_keepers": ORACLE_PHASH_KEEPERS,
     "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,
     "embedding_dispersion": ORACLE_EMBEDDING_DISPERSION,
 }
