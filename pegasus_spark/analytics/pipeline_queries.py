@@ -2366,6 +2366,89 @@ ORDER BY label
 """
 
 
+def q_corpus_datacard(spark, sf_dir):
+    """Per-source corpus datasheet ("datasheets for datasets", Gebru et al.,
+    arXiv:1803.09010): the one-page per-source summary a pipeline publishes
+    with a release — volume (docs, tokens, share of corpus), exact-dup
+    rate, mean document length, and the dominant language. One scan feeds
+    two partial-aggregable groupBys (source; source×lang); the corpus
+    total is a 1-row broadcast and the dominant-language argmax window
+    sees only |sources|×|langs| aggregated rows — bounded cardinality at
+    any corpus size, so the whole datacard is two count-shuffles at 100 TB.
+
+    Parity: counts ride exact BIGINT sums (md5-only text hashing for the
+    dup rate); every ratio is a single IEEE division (+subtraction) of
+    exact integers rounded once — the doc_quality discipline."""
+    docs = _docs(spark, sf_dir)
+    base = T.with_token_count(docs).select(
+        "source", "lang", "n_chars", "n_tokens", F.md5("text").alias("th")
+    )
+    per_src = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("th").alias("n_uniq"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    total = per_src.agg(F.sum("n_docs").alias("corpus_docs"))
+    lc = base.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_src.join(F.broadcast(top), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_docs") / F.col("corpus_docs"), 4).alias("pct_docs"),
+            F.round(
+                F.lit(1.0) - F.col("n_uniq") / F.col("n_docs"), 4
+            ).alias("exact_dup_rate"),
+            F.round(F.col("total_chars") / F.col("n_docs"), 2).alias("mean_chars"),
+            "top_lang",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_DATACARD = r"""
+WITH b AS (
+  SELECT source, lang, n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(text) AS th
+  FROM documents
+),
+s AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT th) AS n_uniq,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM b GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS corpus_docs FROM s),
+lc AS (SELECT source, lang, COUNT(*) AS n FROM b GROUP BY source, lang),
+top AS (
+  SELECT source, lang AS top_lang
+  FROM (SELECT source, lang,
+               row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+        FROM lc)
+  WHERE rn = 1
+)
+SELECT s.source, s.n_docs, s.total_tokens,
+       round(s.n_docs * 1.0 / t.corpus_docs, 4) AS pct_docs,
+       round(1.0 - s.n_uniq * 1.0 / s.n_docs, 4) AS exact_dup_rate,
+       round(s.total_chars * 1.0 / s.n_docs, 2) AS mean_chars,
+       top.top_lang
+FROM s CROSS JOIN t JOIN top ON top.source = s.source
+ORDER BY s.source
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -2418,6 +2501,7 @@ PIPELINE_QUERIES = {
     "phash_keepers": q_phash_keepers,
     "cluster_size_histogram": q_cluster_size_histogram,
     "embedding_dispersion": q_embedding_dispersion,
+    "corpus_datacard": q_corpus_datacard,
 }
 
 PIPELINE_ORACLES = {
@@ -2472,4 +2556,5 @@ PIPELINE_ORACLES = {
     "phash_keepers": ORACLE_PHASH_KEEPERS,
     "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,
     "embedding_dispersion": ORACLE_EMBEDDING_DISPERSION,
+    "corpus_datacard": ORACLE_CORPUS_DATACARD,
 }
