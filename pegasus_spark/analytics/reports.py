@@ -360,6 +360,71 @@ def caption_pii_report(items: DataFrame) -> DataFrame:
     )
 
 
+def caption_datacard(items: DataFrame) -> DataFrame:
+    """Per-region release datasheet over a committed items table — the
+    crawl-side twin of the gated ``corpus_datacard``: volume (images,
+    caption tokens, share of the crawl), exact caption-dup and phash-dup
+    rates, mean caption length, mean decoded megapixels, and the dominant
+    image format. The one-page read a crawl operator takes before exporting
+    shards: which regions carry the mass, where the boilerplate is, what
+    the pixel payload looks like.
+
+    Scale shape mirrors the gated twin: captions reduce to md5 (and images
+    to their stored 8-byte phash / dims) BEFORE anything moves; two
+    partial-aggregable groupBys on bounded keys, a 1-row broadcast total,
+    and a WindowGroupLimit format argmax over |regions|×|fmts| aggregated
+    rows — image bytes never enter the plan (column pruning drops them at
+    the scan)."""
+    base = items.select(
+        F.element_at(F.split("image_id", "-"), 2).alias("region"),
+        "fmt",
+        F.size(F.split(F.trim(F.col("caption")), r"\s+")).alias("n_tokens"),
+        F.length("caption").alias("n_chars"),
+        F.md5("caption").alias("cap_md5"),
+        "phash",
+        (F.col("w").cast("bigint") * F.col("h")).alias("pixels"),
+    )
+    per_region = base.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("n_tokens").cast("bigint").alias("total_caption_tokens"),
+        F.countDistinct("cap_md5").alias("n_uniq_captions"),
+        F.countDistinct("phash").alias("n_uniq_phash"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("pixels").cast("bigint").alias("total_pixels"),
+    )
+    total = per_region.agg(F.sum("n_images").alias("corpus_images"))
+    fc = base.groupBy("region", "fmt").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("region").orderBy(F.desc("n"), F.asc("fmt"))
+    top_fmt = (
+        fc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("region", F.col("fmt").alias("top_fmt"))
+    )
+    return (
+        per_region.join(F.broadcast(top_fmt), "region")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "region",
+            "n_images",
+            "total_caption_tokens",
+            F.round(F.col("n_images") / F.col("corpus_images"), 4)
+            .alias("pct_corpus"),
+            F.round(
+                F.lit(1.0) - F.col("n_uniq_captions") / F.col("n_images"), 4
+            ).alias("caption_dup_rate"),
+            F.round(
+                F.lit(1.0) - F.col("n_uniq_phash") / F.col("n_images"), 4
+            ).alias("phash_dup_rate"),
+            F.round(F.col("total_chars") / F.col("n_images"), 2)
+            .alias("mean_caption_chars"),
+            F.round(F.col("total_pixels") / F.col("n_images") / 1e6, 3)
+            .alias("mean_megapixels"),
+            "top_fmt",
+        )
+        .orderBy("region")
+    )
+
+
 def boilerplate_spans(items: DataFrame, n: int = 3, top: int = 20) -> DataFrame:
     """The literal boilerplate: the n-token caption spans repeated most often
     corpus-wide, with occurrence + distinct-caption counts — the strings a

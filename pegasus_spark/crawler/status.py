@@ -152,6 +152,26 @@ def crawl_pii_report(
     return [r.asDict() for r in caption_pii_report(items).collect()]
 
 
+def crawl_datacard(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> list[dict[str, Any]]:
+    """Per-region release datasheet over the COMMITTED items table
+    (reports.caption_datacard, the crawl twin of the gated corpus_datacard):
+    volume, caption-token totals, exact caption/phash dup rates, mean
+    caption length, mean megapixels, dominant format. Reads only
+    manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import caption_datacard
+
+    return [r.asDict() for r in caption_datacard(items).collect()]
+
+
 def crawl_recrawl_schedule(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
     now_ts: int | None = None, horizon_s: int = 7 * 86400, top: int = 10,
@@ -292,18 +312,19 @@ def main(argv: list[str] | None = None) -> int:
     recrawl = "--recrawl" in argv
     politeness = "--politeness" in argv
     pii = "--pii" in argv
+    datacard = "--datacard" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
-            "--politeness", "--pii",
+            "--politeness", "--pii", "--datacard",
         )
     ]
     if len(argv) != 1:
         print(
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
-            " [--politeness] [--pii] <workdir>",
+            " [--politeness] [--pii] [--datacard] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -349,6 +370,12 @@ def main(argv: list[str] | None = None) -> int:
             out["pii_report"] = crawl_pii_report(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--pii: {exc}", file=sys.stderr)
+            return 2
+    if datacard:
+        try:
+            out["datacard"] = crawl_datacard(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--datacard: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

@@ -514,3 +514,51 @@ def test_pii_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["pii_report"] == rep
+
+
+def test_datacard_cli_surface(crawl, capsys):
+    """`status --datacard` publishes the per-region release datasheet from
+    the COMMITTED items table (reports.caption_datacard, the crawl twin of
+    the gated corpus_datacard); every column matches a plain-Python recount
+    over the same items."""
+    import json
+    from collections import defaultdict
+
+    from pegasus_spark.crawler.status import crawl_datacard, main
+
+    spec, sched, result, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    agg = defaultdict(
+        lambda: {
+            "n": 0, "caps": set(), "ph": set(), "toks": 0, "chars": 0,
+            "pixels": 0, "fmts": defaultdict(int),
+        }
+    )
+    for r in items.select("image_id", "caption", "phash", "w", "h", "fmt").collect():
+        a = agg[r["image_id"].split("-")[1]]
+        a["n"] += 1
+        a["caps"].add(r["caption"])
+        a["ph"].add(r["phash"])
+        a["toks"] += len(r["caption"].strip().split())
+        a["chars"] += len(r["caption"])
+        a["pixels"] += r["w"] * r["h"]
+        a["fmts"][r["fmt"]] += 1
+    total = sum(a["n"] for a in agg.values())
+
+    rep = crawl_datacard(sched.spark, sched.store.workdir, sched.store)
+    assert {r["region"] for r in rep} == set(agg)
+    for row in rep:
+        a = agg[row["region"]]
+        assert row["n_images"] == a["n"]
+        assert row["total_caption_tokens"] == a["toks"]
+        assert float(row["pct_corpus"]) == round(a["n"] / total, 4)
+        assert float(row["caption_dup_rate"]) == round(1 - len(a["caps"]) / a["n"], 4)
+        assert float(row["phash_dup_rate"]) == round(1 - len(a["ph"]) / a["n"], 4)
+        assert float(row["mean_caption_chars"]) == round(a["chars"] / a["n"], 2)
+        assert float(row["mean_megapixels"]) == round(a["pixels"] / a["n"] / 1e6, 3)
+        assert row["top_fmt"] == min(a["fmts"], key=lambda f: (-a["fmts"][f], f))
+
+    rc = main(["--datacard", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["datacard"] == rep

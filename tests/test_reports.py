@@ -296,6 +296,43 @@ def test_caption_pii_report_counts_by_region(spark):
     assert abs(float(rb["pii_rate"]) - 0.6667) < 1e-9
 
 
+def test_caption_datacard_by_region(spark):
+    """Per-region datasheet recomputed by hand: volume, token totals, dup
+    rates, mean length/megapixels, and the dominant format (count desc,
+    fmt asc tie-break)."""
+    from pegasus_spark.analytics.reports import caption_datacard
+
+    items = spark.createDataFrame(
+        [
+            ("img-ra-0001-01", "nice flat here", 10, 100, 200, "png"),
+            ("img-ra-0001-02", "nice flat here", 10, 300, 100, "jpeg"),
+            ("img-ra-0002-01", "other flat", 11, 200, 200, "jpeg"),
+            ("img-rb-0002-02", "unique flat", 12, 400, 500, "png"),
+            ("img-rb-0003-01", "lone flat", 13, 100, 100, "jpeg"),
+        ],
+        "image_id string, caption string, phash long, w int, h int, fmt string",
+    )
+    rows = {r["region"]: r for r in caption_datacard(items).collect()}
+    assert set(rows) == {"ra", "rb"}
+    ra, rb = rows["ra"], rows["rb"]
+    assert ra["n_images"] == 3 and rb["n_images"] == 2
+    assert ra["total_caption_tokens"] == 3 + 3 + 2
+    assert rb["total_caption_tokens"] == 2 + 2
+    assert float(ra["pct_corpus"]) == 0.6 and float(rb["pct_corpus"]) == 0.4
+    assert float(ra["caption_dup_rate"]) == round(1 - 2 / 3, 4)
+    assert float(ra["phash_dup_rate"]) == round(1 - 2 / 3, 4)
+    assert float(rb["caption_dup_rate"]) == 0.0
+    assert float(ra["mean_caption_chars"]) == round((14 + 14 + 10) / 3, 2)
+    assert float(ra["mean_megapixels"]) == round(
+        (100 * 200 + 300 * 100 + 200 * 200) / 3 / 1e6, 3
+    )
+    assert float(rb["mean_megapixels"]) == round(
+        (400 * 500 + 100 * 100) / 2 / 1e6, 3
+    )
+    # ra: jpeg 2 vs png 1 → jpeg; rb: 1-1 tie → fmt ascending → jpeg
+    assert ra["top_fmt"] == "jpeg" and rb["top_fmt"] == "jpeg"
+
+
 def test_caption_dup_histogram_yield_curve(spark):
     """Crawl-side dedup yield curve: 3 captions shared by 2/3/1 items →
     histogram rows (1,1), (2,1), (3,1) with cum_docs 1→3→6."""
