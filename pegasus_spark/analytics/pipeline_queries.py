@@ -2366,6 +2366,54 @@ ORDER BY label
 """
 
 
+def q_aesthetic_score(spark, sf_dir):
+    """LAION-Aesthetics-style quality scoring (Schuhmann et al.,
+    arXiv:2210.08402 §3.3): the aesthetics predictor is a small linear
+    head over the image's CLIP embedding, and images below a score cutoff
+    are dropped before training. At engine level the stage is exactly a
+    fixed O(dim) weight vector applied to every embedding — a broadcastable
+    model, one narrow fold per row, the filter fused into the scan (the
+    same class as clip_filter's fixed-τ mode). Weights are md5-derived per
+    dimension so the gate is a pure function of position; the dot product
+    runs on the quantize-once integer grid (floor(x·10⁶) embedding,
+    integer weights in [-1000, 1000]) so the score is an exact BIGINT — no
+    float enters the plan, and keep = score > 0 stands in for the real τ.
+    Scale: zero exchanges before the presentation sort."""
+    scored = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with("
+            " transform(embedding,"
+            "  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+            " transform(sequence(1, 64), i ->"
+            "  CAST(conv(substring(md5(CAST(i AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+            "  % 2001 - 1000),"
+            " (q, w) -> q * w), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("aesthetic_q"),
+    )
+    return scored.withColumn("keep", F.col("aesthetic_q") > 0).orderBy("vec_id")
+
+
+ORACLE_AESTHETIC_SCORE = """
+WITH w AS (
+  SELECT list_transform(generate_series(1, 64),
+           i -> ('0x' || substr(md5(i::VARCHAR), 1, 4))::BIGINT % 2001 - 1000)
+         AS wv
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(list_dot_product(qv::DOUBLE[], wv::DOUBLE[]) AS BIGINT) AS aesthetic_q,
+       CAST(list_dot_product(qv::DOUBLE[], wv::DOUBLE[]) AS BIGINT) > 0 AS keep
+FROM q CROSS JOIN w
+ORDER BY vec_id
+"""
+
+
 def q_corpus_datacard(spark, sf_dir):
     """Per-source corpus datasheet ("datasheets for datasets", Gebru et al.,
     arXiv:1803.09010): the one-page per-source summary a pipeline publishes
@@ -2502,6 +2550,7 @@ PIPELINE_QUERIES = {
     "cluster_size_histogram": q_cluster_size_histogram,
     "embedding_dispersion": q_embedding_dispersion,
     "corpus_datacard": q_corpus_datacard,
+    "aesthetic_score": q_aesthetic_score,
 }
 
 PIPELINE_ORACLES = {
@@ -2557,4 +2606,5 @@ PIPELINE_ORACLES = {
     "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,
     "embedding_dispersion": ORACLE_EMBEDDING_DISPERSION,
     "corpus_datacard": ORACLE_CORPUS_DATACARD,
+    "aesthetic_score": ORACLE_AESTHETIC_SCORE,
 }
