@@ -1341,6 +1341,55 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (T.sequence_pack): the
+    corpus concatenated in doc_id order is cut into fixed 2048-token
+    training sequences; each doc reports its global token start offset and
+    the [first_seq, last_seq] span it lands in — docs CROSS sequence
+    boundaries, unlike pack_shards' whole-doc bins. This entry gates the
+    small-input strategy (one global running-sum window); its twin
+    `sequence_pack_ranged` forces the 100 TB strategy against the SAME
+    oracle. All chunk math is exact integer division (DIV / //)."""
+    return T.sequence_pack(_docs(spark, sf_dir), seq_len=2048).orderBy("doc_id")
+
+
+def q_sequence_pack_ranged(spark, sf_dir):
+    """The 100 TB strategy of sequence_pack, value-checked against the SAME
+    oracle as the window form (the strategy switch is a pure physical
+    choice, like the scheduler's dequeue-seq switch): repartitionByRange on
+    doc_id → partition-local running sums → broadcast per-partition token
+    offsets (a ≤ n_partitions-row collect) — NO single-partition exchange,
+    plan-asserted in tests/test_textops.py. n_partitions=5 here so the
+    gate actually exercises multi-partition offset stitching at sf0.01."""
+    return T.sequence_pack(
+        _docs(spark, sf_dir), seq_len=2048, ranged=True, n_partitions=5
+    ).orderBy("doc_id")
+
+
+ORACLE_SEQUENCE_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 2048 AS BIGINT) AS first_seq,
+       CAST((start_off + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+       CAST((start_off + n_tokens - 1) // 2048
+            - start_off // 2048 + 1 AS INT) AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
+
 def q_mixture_resample(spark, sf_dir):
     """Prescribed-proportion source mixing (textops.text.mixture_resample):
     targets src0:src1:src2 = 5:3:2 — the feasibility bound C = min(T_s/w_s)
@@ -2551,6 +2600,8 @@ PIPELINE_QUERIES = {
     "embedding_dispersion": q_embedding_dispersion,
     "corpus_datacard": q_corpus_datacard,
     "aesthetic_score": q_aesthetic_score,
+    "sequence_pack": q_sequence_pack,
+    "sequence_pack_ranged": q_sequence_pack_ranged,
 }
 
 PIPELINE_ORACLES = {
@@ -2607,4 +2658,6 @@ PIPELINE_ORACLES = {
     "embedding_dispersion": ORACLE_EMBEDDING_DISPERSION,
     "corpus_datacard": ORACLE_CORPUS_DATACARD,
     "aesthetic_score": ORACLE_AESTHETIC_SCORE,
+    "sequence_pack": ORACLE_SEQUENCE_PACK,
+    "sequence_pack_ranged": ORACLE_SEQUENCE_PACK,
 }

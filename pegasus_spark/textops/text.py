@@ -271,6 +271,104 @@ def pack_shards(
     )
 
 
+# strategy switch for sequence_pack, same convention as the scheduler's
+# dequeue-seq switch (frontier.SEQ_SCALABLE_THRESHOLD): below it a single
+# global running-sum window is ONE cheap task; above it the range+offsets
+# plan sequences at full parallelism with no single-partition exchange.
+SEQPACK_SCALABLE_THRESHOLD = 100_000
+
+
+def sequence_pack(
+    df: DataFrame, seq_len: int = 2048, id_col: str = "doc_id",
+    n_rows: int | None = None, n_partitions: int | None = None,
+    ranged: bool | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing — the training-loader
+    layout (Brown et al. 2020 §2.1; every mainstream LLM data loader): the
+    whole corpus is concatenated in document-id order and cut into fixed
+    ``seq_len``-token windows, so a document starts at the exclusive prefix
+    sum of every earlier doc's token count and may SPAN training sequences.
+    This is the complement of ``pack_shards`` (which bins whole docs into
+    budgeted shards): here the chunk grid is global and docs cross
+    boundaries. Output per doc: (id, n_tokens, start_off, first_seq,
+    last_seq, n_seqs) — everything a loader needs to slice doc text into
+    its sequences, all exact BIGINT integer division (DIV, mirrored as //
+    in the SQL twin — no float enters the chunk math at any corpus size).
+
+    Two physical strategies, same logical result (the with_dequeue_seq
+    pattern, crawler/frontier.py:117 — a global prefix sum is the same
+    problem as a global sequence number, just SUM instead of row_number):
+
+    - small inputs (``n_rows`` unknown or ≤ SEQPACK_SCALABLE_THRESHOLD):
+      one global running-sum window — a single-partition exchange, fine
+      for one task's worth of rows.
+    - large inputs (or ``ranged=True``): repartitionByRange on the id →
+      partition-local running sum + per-partition token-total offsets
+      (a ≤ n_partitions-row collect, the documented bounded driver
+      pattern). No single-partition exchange anywhere; range boundaries
+      only decide placement, never the offset value, so sampling
+      nondeterminism cannot leak into the output — the placement is
+      FROZEN (localCheckpoint) before offsets are collected, exactly as
+      the frontier path does, because a lineage recompute could re-sample
+      boundaries after the offsets were fixed.
+    """
+    from pyspark.sql import Window
+
+    sized = with_token_count(df).select(id_col, "n_tokens")
+    if ranged is None:
+        ranged = n_rows is not None and n_rows > SEQPACK_SCALABLE_THRESHOLD
+
+    def finish(with_start: DataFrame) -> DataFrame:
+        first = F.expr(f"start_off DIV {seq_len}")
+        last = F.expr(f"(start_off + n_tokens - 1) DIV {seq_len}")
+        return with_start.select(
+            id_col,
+            "n_tokens",
+            F.col("start_off").cast("bigint").alias("start_off"),
+            first.cast("bigint").alias("first_seq"),
+            last.cast("bigint").alias("last_seq"),
+            (last - first + F.lit(1)).cast("int").alias("n_seqs"),
+        )
+
+    if not ranged:
+        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+        return finish(
+            sized.withColumn(
+                "start_off",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+            )
+        )
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        sized.repartitionByRange(n, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        int(r["_pid"]): int(r["s"])
+        for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):  # range partitions are ordered by the id
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return finish(
+        d.withColumn(
+            "start_off",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+            + off_map[F.col("_pid")].cast("bigint"),
+        ).drop("_pid")
+    )
+
+
 def mixture_resample(
     df: DataFrame, targets: dict[str, float], id_col: str = "doc_id",
     group_col: str = "source",

@@ -454,6 +454,55 @@ class TestPackShards:
                 prior += n
 
 
+class TestSequencePack:
+    def test_ranged_strategy_matches_window_and_avoids_single_partition(
+        self, spark
+    ):
+        """sequence_pack's two strategies are the same logical operator:
+        the range+offsets path (the 100 TB form) must produce byte-identical
+        rows to the global-window path at EVERY partition count — range
+        boundaries decide placement, never the offset — and its physical
+        plan must contain no single-partition exchange (the window path, by
+        contrast, is exactly one). Also pins the chunk math against a plain
+        Python replay: exact integer division, docs spanning sequences."""
+        from pegasus_spark.textops.text import sequence_pack
+
+        rows = [
+            (i, " ".join(["w"] * (1 + (i * 37) % 300))) for i in range(1, 241)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        base = sequence_pack(docs, seq_len=256)
+        plan = base._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" in plan  # the small-input form, by design
+
+        expect = sorted(tuple(r) for r in base.collect())
+        for n_parts in (2, 5, 13):
+            ranged = sequence_pack(
+                docs, seq_len=256, ranged=True, n_partitions=n_parts
+            )
+            rplan = ranged._jdf.queryExecution().executedPlan().toString()
+            # the range exchange itself sits behind the localCheckpoint
+            # (lineage truncated, like the frontier path) — what the final
+            # plan must show is the window keyed by the partition id and NO
+            # single-partition exchange anywhere
+            assert "SinglePartition" not in rplan, rplan
+            assert "hashpartitioning(_pid" in rplan, rplan
+            assert sorted(tuple(r) for r in ranged.collect()) == expect, n_parts
+
+        # plain-Python replay of the concat-and-chunk rule
+        got = {r["doc_id"]: r for r in base.collect()}
+        off = 0
+        for i, text in rows:
+            n = len(text.split())
+            r = got[i]
+            assert (r["n_tokens"], r["start_off"]) == (n, off), i
+            assert r["first_seq"] == off // 256
+            assert r["last_seq"] == (off + n - 1) // 256
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+            off += n
+
+
 class TestPplBucketsApprox:
     def test_approx_path_has_no_window_and_matches_exact_proportions(self, spark):
         """The production (exact=False) path: no ordered window anywhere in
