@@ -1693,6 +1693,55 @@ FROM s2 ORDER BY doc_id
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Within-doc repeated-line removal (T.line_dedup) — the Gopher
+    "repetition removal" action. The synthetic corpus is single-line, so
+    the gate PLANTS a deterministic boilerplate block per doc: a shared
+    nav line and a doc_id%7-keyed footer line each appear TWICE, plus one
+    unique line — every doc must drop exactly those 2 repeats and keep
+    first occurrences in order; the oracle rebuilds the identical layout.
+    Pure narrow map: zero exchanges past the scan at any scale."""
+    docs = _docs(spark, sf_dir)
+    nl = F.lit("\n")
+    nav = F.lit("home | listings | contact")
+    footer = F.concat(F.lit("footer-"), (F.col("doc_id") % 7).cast("string"))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), nl, nav, nl, footer, nl, nav, nl, footer, nl,
+            F.lit("unique-"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return T.line_dedup(planted).orderBy("doc_id")
+
+
+ORACLE_LINE_DEDUP = r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || chr(10) || 'home | listings | contact'
+         || chr(10) || 'footer-' || (doc_id % 7)::VARCHAR
+         || chr(10) || 'home | listings | contact'
+         || chr(10) || 'footer-' || (doc_id % 7)::VARCHAR
+         || chr(10) || 'unique-' || doc_id::VARCHAR AS text
+  FROM documents
+),
+split_lines AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted
+),
+kept AS (
+  SELECT doc_id, lines,
+    list_filter(generate_series(1, len(lines)),
+                i -> list_position(lines, lines[i]) = i) AS keep
+  FROM split_lines
+)
+SELECT doc_id,
+  array_to_string(list_transform(keep, i -> lines[i]), chr(10)) AS clean_text,
+  len(lines)::INT AS n_lines,
+  (len(lines) - len(keep))::INT AS n_dup_lines
+FROM kept ORDER BY doc_id
+"""
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet-style head/middle/tail perplexity buckets per source
     (T.ppl_buckets): terciles of the unigram-LM score within each source —
@@ -2585,6 +2634,7 @@ PIPELINE_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "span_scrub": q_span_scrub,
     "pii_scrub": q_pii_scrub,
+    "line_dedup": q_line_dedup,
     "image_rules": q_image_rules,
     "clip_filter": q_clip_filter,
     "image_decontaminate": q_image_decontaminate,
@@ -2643,6 +2693,7 @@ PIPELINE_ORACLES = {
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "span_scrub": ORACLE_SPAN_SCRUB,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "line_dedup": ORACLE_LINE_DEDUP,
     "image_rules": ORACLE_IMAGE_RULES,
     "clip_filter": ORACLE_CLIP_FILTER,
     "image_decontaminate": ORACLE_IMAGE_DECONTAMINATE,

@@ -271,6 +271,43 @@ def pack_shards(
     )
 
 
+def line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repeated-line removal — the Gopher/MassiveText
+    "repetition removal" cleaning step (Rae et al. 2021, arXiv:2112.11446
+    App. A): boilerplate lines (nav text, terms-of-service, cookie banners)
+    repeat VERBATIM inside a page, so every line keeps only its first
+    occurrence and later exact duplicates drop; the doc is rebuilt in
+    original line order. The diagnostic sibling is ``doc_repetition``
+    (gram-level ratio, no action); this is the action, like span_scrub is
+    to dup_span_stats — but within-doc, so it needs no corpus-wide state.
+
+    Output: (id, clean_text, n_lines, n_dup_lines).
+
+    Scale shape: a PURE NARROW map — split, first-occurrence index filter,
+    rebuild, all Catalyst array expressions with single-argument lambdas
+    (the parity rule: DuckDB's list_filter/list_transform mirror them
+    exactly; the first-occurrence test is array_position == own index over
+    a sequence(1, n) index array, not an index-lambda). Zero exchanges at
+    any corpus size. The per-doc cost is O(lines²) compute inside one row
+    — CPU, never a shuffle; a pathological million-line doc would already
+    have been dropped by the gopher_rules length gates upstream."""
+    lines = F.split(F.col(text_col), "\n")
+    idx = F.sequence(F.lit(1), F.size(lines))
+    keep = F.filter(
+        idx, lambda i: F.array_position(lines, F.element_at(lines, i)) == i
+    )
+    return df.select(
+        id_col,
+        F.concat_ws(
+            "\n", F.transform(keep, lambda i: F.element_at(lines, i))
+        ).alias("clean_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        (F.size(lines) - F.size(keep)).cast("int").alias("n_dup_lines"),
+    )
+
+
 # strategy switch for sequence_pack, same convention as the scheduler's
 # dequeue-seq switch (frontier.SEQ_SCALABLE_THRESHOLD): below it a single
 # global running-sum window is ONE cheap task; above it the range+offsets

@@ -454,6 +454,40 @@ class TestPackShards:
                 prior += n
 
 
+class TestLineDedup:
+    def test_first_occurrence_kept_in_order_and_plan_is_narrow(self, spark):
+        """Gopher repetition removal: later exact-duplicate lines drop,
+        first occurrences keep their original order (replayed in plain
+        Python), and the plan is a pure narrow map — no exchange at all."""
+        from pegasus_spark.textops.text import line_dedup
+
+        rows = [
+            (1, "a\nb\na\nc\nb\na"),
+            (2, "only one line"),
+            (3, "x\nx\nx\nx"),
+            (4, "\n\nbody\n\nbody"),  # blank lines dedup like any line
+            (5, "tail\nTail\ntail"),  # case-sensitive: 'Tail' survives
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup(docs)
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        got = {r["doc_id"]: r for r in out.collect()}
+        for i, text in rows:
+            lines = text.split("\n")
+            seen, keep = set(), []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    keep.append(ln)
+            r = got[i]
+            assert r["clean_text"] == "\n".join(keep), i
+            assert r["n_lines"] == len(lines)
+            assert r["n_dup_lines"] == len(lines) - len(keep)
+
+
 class TestSequencePack:
     def test_ranged_strategy_matches_window_and_avoids_single_partition(
         self, spark
