@@ -158,14 +158,9 @@ def with_dequeue_seq(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = {int(r["_pid"]): r["count"] for r in d.groupBy("_pid").count().collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):  # range partitions are ordered by the sort keys
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
-    )
+    from pegasus_spark.operators import range_prefix_offsets
+
+    off_map = range_prefix_offsets(d)
     w = Window.partitionBy("_pid").orderBy(*keys)
     return (
         d.withColumn(

@@ -129,3 +129,43 @@ def range_join_binned(
         .filter(F.col(right_on).between(F.col(left_on) + F.lit(lo), F.col(left_on) + F.lit(hi)))
         .drop("_bin")
     )
+
+
+def range_prefix_offsets(frozen: DataFrame, value_col: str | None = None):
+    """Per-partition exclusive prefix offsets for a range-partitioned frame —
+    the shared second half of the "global sequence / global prefix sum
+    without a single-partition exchange" pattern (frontier.with_dequeue_seq
+    for row_number seqs; textops.text.sequence_pack for token-offset sums).
+
+    ``frozen`` must carry a ``_pid`` = spark_partition_id() column taken
+    AFTER repartitionByRange on the ordering keys, and must already be
+    FROZEN (eager localCheckpoint): the offsets are collected from that
+    placement, so a lineage recompute that re-samples range boundaries
+    after the collect would shift rows across partitions and silently
+    corrupt every downstream offset. That invariant lives HERE — callers
+    checkpoint before calling, and this function only reads the frozen
+    frame.
+
+    ``value_col=None`` counts rows per partition (offset for a row_number
+    sequence); otherwise sums ``value_col`` (offset for a running sum).
+    Returns a map Column keyed by _pid — a ≤ n_partitions-entry literal,
+    the documented bounded-driver-collect pattern (the collect is one row
+    per partition, never data rows)."""
+    # coalesce: a partition whose value_col is all-NULL sums to NULL (ANSI
+    # SUM skips nulls) — it contributes 0 to downstream offsets, not a crash
+    agg = (
+        F.count(F.lit(1))
+        if value_col is None
+        else F.coalesce(F.sum(value_col), F.lit(0))
+    ).alias("v")
+    per_pid = {
+        int(r["_pid"]): int(r["v"])
+        for r in frozen.groupBy("_pid").agg(agg).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(per_pid):  # range partitions are ordered by the keys
+        offsets[pid] = acc
+        acc += per_pid[pid]
+    return F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )

@@ -292,7 +292,10 @@ def line_dedup(
     a sequence(1, n) index array, not an index-lambda). Zero exchanges at
     any corpus size. The per-doc cost is O(lines²) compute inside one row
     — CPU, never a shuffle; a pathological million-line doc would already
-    have been dropped by the gopher_rules length gates upstream."""
+    have been dropped by the gopher_rules length gates upstream. NULL text
+    yields NULL counts (ANSI size(NULL) = NULL; pinned by tests) — null
+    hygiene belongs to the upstream malformed-row drop, as everywhere in
+    textops."""
     lines = F.split(F.col(text_col), "\n")
     idx = F.sequence(F.lit(1), F.size(lines))
     keep = F.filter(
@@ -348,6 +351,13 @@ def sequence_pack(
       FROZEN (localCheckpoint) before offsets are collected, exactly as
       the frontier path does, because a lineage recompute could re-sample
       boundaries after the offsets were fixed.
+
+    NULL-text contract (shared with every text op here; ANSI size(NULL) is
+    NULL): a null doc contributes NOTHING to the concatenation stream —
+    SUM skips NULLs, so other docs' offsets are unaffected on both
+    strategies — and its own n_tokens/last_seq/n_seqs are NULL
+    (pinned by tests). Null hygiene belongs upstream (the F5
+    malformed-row drop / gopher_rules), not silently coerced here.
     """
     from pyspark.sql import Window
 
@@ -375,23 +385,15 @@ def sequence_pack(
                 F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
             )
         )
+    from pegasus_spark.operators import range_prefix_offsets
+
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (
         sized.repartitionByRange(n, id_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # freeze placement BEFORE the collect
     )
-    sums = {
-        int(r["_pid"]): int(r["s"])
-        for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sums):  # range partitions are ordered by the id
-        offsets[pid] = acc
-        acc += sums[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
-    )
+    off_map = range_prefix_offsets(d, value_col="n_tokens")
     w = (
         Window.partitionBy("_pid")
         .orderBy(id_col)

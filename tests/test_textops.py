@@ -536,6 +536,32 @@ class TestSequencePack:
             assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
             off += n
 
+    def test_null_text_is_inert_and_does_not_shift_other_docs(self, spark):
+        """The NULL-text contract (review finding, verified): ANSI
+        size(NULL) is NULL — a null doc contributes nothing to the
+        concatenation stream (SUM skips NULLs, so every other doc's offset
+        is identical with or without it, on BOTH strategies) and reports
+        NULL n_tokens/last_seq/n_seqs itself. line_dedup likewise: NULL
+        counts, never a fabricated -1."""
+        from pegasus_spark.textops.text import line_dedup, sequence_pack
+
+        rows = [(1, "a b c"), (2, None), (3, "d e f g")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        clean = spark.createDataFrame(
+            [r for r in rows if r[1] is not None], "doc_id long, text string"
+        )
+        for kw in ({}, {"ranged": True, "n_partitions": 3}):
+            got = {r["doc_id"]: r for r in sequence_pack(docs, 4, **kw).collect()}
+            ref = {r["doc_id"]: r for r in sequence_pack(clean, 4, **kw).collect()}
+            assert got[2]["n_tokens"] is None
+            assert got[2]["n_seqs"] is None
+            for i in (1, 3):
+                assert tuple(got[i]) == tuple(ref[i]), (kw, i)
+
+        ld = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert ld[2]["n_lines"] is None and ld[2]["n_dup_lines"] is None
+        assert ld[1]["clean_text"] == "a b c" and ld[1]["n_dup_lines"] == 0
+
 
 class TestPplBucketsApprox:
     def test_approx_path_has_no_window_and_matches_exact_proportions(self, spark):
