@@ -2595,6 +2595,111 @@ ORDER BY s.source
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (D.paragraph_dedup — RefinedWeb
+    arXiv:2306.01116 §3.3 / Dolma's paragraph deduper): keep only the
+    globally-first occurrence of every distinct paragraph, rebuild docs.
+    The synthetic corpus is single-line, so the gate PLANTS the cross-doc
+    layout: a banner paragraph shared by ALL docs (survives only in the
+    smallest doc_id), a promo paragraph shared within each doc_id%5 class
+    (survives once per class), the doc's own text, and a unique tail.
+    Winner agg carries (md5, id, pos) only — partial-aggregable, so the
+    banner's corpus-sized key collapses map-side (see docstring in
+    textops/dedup.py for the 100 TB shape)."""
+    docs = _docs(spark, sf_dir)
+    nl = F.lit("\n")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("banner: one corpus-wide boilerplate paragraph"), nl,
+            F.col("text"), nl,
+            F.lit("promo-"), (F.col("doc_id") % 5).cast("string"), nl,
+            F.lit("tail-"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return D.paragraph_dedup(planted).orderBy("doc_id")
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH planted AS (
+  SELECT doc_id,
+    'banner: one corpus-wide boilerplate paragraph'
+      || chr(10) || text
+      || chr(10) || 'promo-' || (doc_id % 5)::VARCHAR
+      || chr(10) || 'tail-' || doc_id::VARCHAR AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted
+),
+paras AS (
+  SELECT doc_id, unnest(generate_series(1, len(lines))) AS i, lines FROM split
+),
+p2 AS (SELECT doc_id, i, lines[i] AS para FROM paras),
+marked AS (
+  SELECT doc_id, i, para,
+    (doc_id * 1000 + i) = min(doc_id * 1000 + i)
+      OVER (PARTITION BY md5(para)) AS keep
+  FROM p2
+)
+SELECT doc_id,
+  COALESCE(string_agg(para, chr(10) ORDER BY i) FILTER (WHERE keep), '')
+    AS clean_text,
+  count(*)::INT AS n_paras,
+  (count(*) - count(*) FILTER (WHERE keep))::INT AS n_dup_paras
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_label_outliers(spark, sf_dir):
+    """Label-noise audit by nearest-class-centroid (S.label_outliers —
+    the distance side of confident learning, arXiv:1911.00068): exact
+    BIGINT grid distances to the own-label vs nearest-other-label
+    centroid; is_outlier marks mislabel candidates. One bounded
+    label×dim partial agg + a |labels|-row driver collect (the k-means
+    centroid precedent), then a zero-exchange narrow fold per row —
+    n cancels out of the per-row math, so the BIGINT bound holds at any
+    corpus size."""
+    return S.label_outliers(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+ORACLE_LABEL_OUTLIERS = r"""
+WITH q AS (
+  SELECT vec_id, label::INT AS label,
+    list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor((x + 1.0) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (
+  SELECT label, unnest(generate_series(1, 64)) AS dim, qv FROM q
+),
+sums AS (
+  SELECT label, dim, SUM(qv[dim]) AS s, COUNT(*) AS n
+  FROM dims GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS clbl, dim, (1000 * s) // n AS c FROM sums
+),
+pairs AS (
+  SELECT q.vec_id, q.label, c.clbl,
+    CAST(SUM((1000 * q.qv[c.dim] - c.c) * (1000 * q.qv[c.dim] - c.c))
+         AS BIGINT) AS d
+  FROM q CROSS JOIN cent c
+  GROUP BY q.vec_id, q.label, c.clbl
+),
+best AS (
+  SELECT vec_id, label, clbl, d,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, clbl ASC) AS rn
+  FROM pairs
+),
+own AS (SELECT vec_id, d AS d_own FROM pairs WHERE label = clbl)
+SELECT b.vec_id, b.label, b.clbl AS nearest_label, o.d_own,
+       b.d AS d_nearest, b.clbl <> b.label AS is_outlier
+FROM best b JOIN own o ON o.vec_id = b.vec_id
+WHERE b.rn = 1 ORDER BY b.vec_id
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -2652,6 +2757,8 @@ PIPELINE_QUERIES = {
     "aesthetic_score": q_aesthetic_score,
     "sequence_pack": q_sequence_pack,
     "sequence_pack_ranged": q_sequence_pack_ranged,
+    "paragraph_dedup": q_paragraph_dedup,
+    "label_outliers": q_label_outliers,
 }
 
 PIPELINE_ORACLES = {
@@ -2711,4 +2818,6 @@ PIPELINE_ORACLES = {
     "aesthetic_score": ORACLE_AESTHETIC_SCORE,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "sequence_pack_ranged": ORACLE_SEQUENCE_PACK,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+    "label_outliers": ORACLE_LABEL_OUTLIERS,
 }

@@ -650,6 +650,74 @@ def span_scrub(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Corpus-WIDE exact paragraph dedup (RefinedWeb arXiv:2306.01116 §3.3
+    "exact deduplication at the paragraph level"; Dolma's paragraph deduper):
+    split each doc on ``sep``, keep only the globally-FIRST occurrence of
+    each distinct paragraph — first = smallest (id, position) — and rebuild
+    every doc from its surviving paragraphs in original order.  The
+    cross-doc sibling of ``line_dedup`` (within-doc) and the
+    paragraph-granularity sibling of ``span_scrub`` (token-granularity).
+
+    Paragraphs shorter than ``min_chars`` are exempt (always kept): real
+    corpora share vast numbers of tiny paragraphs ("", "—", "Home") whose
+    removal destroys documents without deduplicating anything.
+
+    Scale shape at 100 TB: the winner table is a groupBy on md5(paragraph)
+    carrying ONLY (16-byte hash, id, pos) — partial-aggregable, so the
+    boilerplate mega-keys ("© 2024 …" across 10^9 pages) collapse to one
+    row per map task before the exchange.  The paragraph text itself moves
+    exactly twice: once on the md5-keyed join back (AQE skew-join splits
+    the hot keys) and once on the per-doc rebuild agg.  A window over
+    md5(paragraph) would sort entire hot partitions instead — that is why
+    this is groupBy+join, not row_number.
+
+    Returns (id_col, clean_text, n_paras, n_dup_paras) — clean_text joins
+    kept paragraphs with ``sep``; n_dup_paras counts removed ones.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("h", F.md5(F.col("para")))
+    eligible = paras.filter(F.length("para") >= min_chars)
+    winners = eligible.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("wid"), F.col("pos").alias("wpos"))).alias("w")
+    )
+    marked = paras.join(winners, "h", "left").select(
+        id_col,
+        "pos",
+        "para",
+        (
+            F.col("w").isNull()  # exempt (< min_chars): always kept
+            | ((F.col("w.wid") == F.col(id_col)) & (F.col("w.wpos") == F.col("pos")))
+        ).alias("keep"),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("int").alias("n_paras"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("int").alias("n_dup_paras"),
+        )
+    )
+
+
 def group_size_histogram(
     assignment: DataFrame, key_col: str = "cluster_id"
 ) -> DataFrame:

@@ -661,3 +661,97 @@ def embedding_dispersion(
         )
         .orderBy(group_col)
     )
+
+
+def label_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    grid: int = 1000,
+) -> DataFrame:
+    """Label-noise audit by nearest-class-centroid (the distance side of
+    "confident learning", Northcutt et al. arXiv:1911.00068; the standard
+    pre-training label-QA sweep over a classification/caption-class corpus):
+    for every vector, its exact squared distance to its OWN label centroid
+    vs the nearest OTHER label centroid — a row whose nearest centroid is a
+    different label is a mislabel candidate.
+
+    Exact cross-engine arithmetic, no float accumulation anywhere:
+    - components land on a shifted integer grid q = floor((x + 1)·grid)
+      (the +1 shift makes every value non-negative, so truncating integer
+      division below IS floor division in both Spark and DuckDB);
+    - each label centroid is quantized to the finer grid
+      c_j = (grid · Σ q_j) DIV n — one exact integer division;
+    - distances are Σ (grid·q_j − c_j)² in BIGINT.  With |q| ≤ 2·grid and
+      64 dims this stays < 2^63 for any corpus size (n cancels out of the
+      per-row math entirely — only the centroid build sees it).
+
+    Scale shape at 100 TB: one bounded partial-agg (label × dim → sum,
+    |labels|·dims groups), a driver collect of |labels| centroid rows
+    (class-label cardinality — the k-means-centroid precedent), then a
+    ZERO-exchange narrow fold per row against the literal centroid array.
+    Ties on distance break toward the smaller label (deterministic, §4.3).
+
+    Returns (id_col, label, nearest_label, d_own, d_nearest, is_outlier)
+    where d_* are the exact BIGINT grid distances.
+    """
+    g = F.lit(grid)
+    q = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("int").alias("_lbl"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor((x.cast("double") + F.lit(1.0)) * g).cast("long"),
+        ).alias("_qv"),
+    )
+    sums = (
+        q.select("_lbl", F.posexplode("_qv").alias("dim", "v"))
+        .groupBy("_lbl", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cent_rows = (
+        sums.select(
+            "_lbl", "dim", F.expr(f"({grid} * s) DIV n").alias("c")
+        )
+        .groupBy("_lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs"))
+        .collect()  # |labels| rows — bounded by class-label cardinality
+    )
+    centroids = sorted(
+        (r["_lbl"], [s["c"] for s in r["cs"]]) for r in cent_rows
+    )
+    qg = F.transform(F.col("_qv"), lambda x: x * g)
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        qg,
+                        F.array(*[F.lit(c).cast("long") for c in cvec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(lbl).cast("int").alias("lbl"),
+            )
+            for lbl, cvec in centroids
+        ]
+    )
+    scored = q.select(
+        id_col,
+        F.col("_lbl").alias(label_col),
+        F.array_min(dists).alias("_best"),
+        F.element_at(
+            F.filter(dists, lambda s: s["lbl"] == F.col("_lbl")), 1
+        )["d"].alias("d_own"),
+    )
+    return scored.select(
+        id_col,
+        label_col,
+        F.col("_best")["lbl"].alias("nearest_label"),
+        "d_own",
+        F.col("_best")["d"].alias("d_nearest"),
+        (F.col("_best")["lbl"] != F.col(label_col)).alias("is_outlier"),
+    )

@@ -1030,3 +1030,101 @@ class TestPhashNearDup:
                     want[(a, b)] = d
         assert got == want
         assert want, "planted scheme must actually produce near-dup pairs"
+
+
+class TestParagraphDedup:
+    def test_global_first_occurrence_and_min_chars_exemption(self, spark):
+        """Corpus-wide paragraph dedup: a paragraph shared across docs
+        survives only at its globally-smallest (doc_id, pos); within-doc
+        order is preserved; paragraphs under min_chars are exempt.
+        Replayed exactly in plain Python."""
+        from pegasus_spark.textops.dedup import paragraph_dedup
+
+        rows = [
+            (1, "shared banner\nunique one\nok"),
+            (2, "shared banner\nunique two\nok"),
+            (3, "unique three\nshared banner\nshared banner"),
+            (4, "ok\nok\nunique four"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def replay(min_chars):
+            seen = {}
+            for did, text in sorted(rows):
+                for pos, p in enumerate(text.split("\n")):
+                    seen.setdefault(p, (did, pos))
+            out = {}
+            for did, text in rows:
+                paras = text.split("\n")
+                keep = [
+                    p for pos, p in enumerate(paras)
+                    if len(p) < min_chars or seen[p] == (did, pos)
+                ]
+                out[did] = ("\n".join(keep), len(paras), len(paras) - len(keep))
+            return out
+
+        for min_chars in (0, 3):
+            got = {
+                r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_dup_paras"])
+                for r in paragraph_dedup(docs, min_chars=min_chars).collect()
+            }
+            assert got == replay(min_chars), f"min_chars={min_chars}"
+
+    def test_winner_agg_is_partial_aggregable(self, spark):
+        """The 100 TB posture: the winner side must be a partial-mode
+        aggregate keyed on the md5 (map-side combinable, so boilerplate
+        mega-keys collapse before the exchange) — NOT a window sort over
+        the paragraph partitions."""
+        from pegasus_spark.textops.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"banner\nbody-{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        plan = paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "partial_min" in plan, plan
+        assert "Window" not in plan, plan
+
+
+class TestLabelOutliers:
+    def test_matches_numpy_grid_brute_force_and_plants_outlier(self, spark):
+        """label_outliers == the exact integer-grid brute force in numpy;
+        a vector planted at another label's centroid is flagged."""
+        import numpy as np
+
+        from pegasus_spark.textops.similarity import label_outliers
+
+        rng = np.random.default_rng(7)
+        dim, grid = 8, 1000
+        centers = {0: rng.normal(0.3, 0.02, dim), 1: rng.normal(-0.3, 0.02, dim)}
+        rows = []
+        for vid in range(40):
+            lbl = vid % 2
+            rows.append((vid, (centers[lbl] + rng.normal(0, 0.01, dim)).tolist(), lbl))
+        # vec 40 carries label 0 but sits on label 1's center → outlier
+        rows.append((40, centers[1].tolist(), 0))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+        got = {r["vec_id"]: r for r in label_outliers(df).collect()}
+
+        # exact replay on the same grid (floats go through float32 like parquet)
+        q = {
+            vid: np.floor((np.array(v, dtype=np.float32).astype(np.float64) + 1.0) * grid
+                          ).astype(np.int64)
+            for vid, v, _ in rows
+        }
+        labels = {vid: l for vid, _, l in rows}
+        cent = {}
+        for l in (0, 1):
+            members = [q[v] for v in q if labels[v] == l]
+            s = np.sum(members, axis=0, dtype=np.int64)
+            cent[l] = (grid * s) // len(members)
+        for vid in q:
+            d = {l: int(np.sum((grid * q[vid] - cent[l]) ** 2)) for l in (0, 1)}
+            nearest = min((d[l], l) for l in (0, 1))
+            r = got[vid]
+            assert r["d_own"] == d[labels[vid]], vid
+            assert (r["d_nearest"], r["nearest_label"]) == nearest, vid
+            assert r["is_outlier"] == (nearest[1] != labels[vid]), vid
+        assert got[40]["is_outlier"] is True
+        assert sum(r["is_outlier"] for r in got.values()) == 1
