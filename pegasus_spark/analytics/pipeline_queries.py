@@ -2700,6 +2700,122 @@ WHERE b.rn = 1 ORDER BY b.vec_id
 """
 
 
+def q_token_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility report (T.token_fertility — the
+    XLM-R-style per-language token-cost table, arXiv:1911.02116): exact
+    BIGINT char/word/subword sums per lang, divided once and rounded.
+    One narrow projection + one partial-aggregable groupBy on the bounded
+    lang key — the exchange carries |langs| rows at any corpus size."""
+    return T.token_fertility(_docs(spark, sf_dir))
+
+
+ORACLE_TOKEN_FERTILITY = r"""
+WITH t AS (
+  SELECT lang,
+    len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+    CAST(floor(length(trim(text)) / 4.0) AS BIGINT) AS ns,
+    length(trim(text)) AS nc
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+  round(SUM(nc) * 1.0 / SUM(nt), 4) AS chars_per_token,
+  round(SUM(ns) * 1.0 / SUM(nt), 4) AS subwords_per_token
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (S.hard_negatives,
+    Robinson et al. arXiv:2010.04592): per anchor, the 5 most-similar
+    vectors with a DIFFERENT label — cosine_topk_multi's broadcast-batch /
+    WindowGroupLimit plan with the label-inequality predicate fused into
+    the scoring stage; the shuffle carries |anchors|·k rows at any scale."""
+    return S.hard_negatives(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3], k=5)
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH e AS (
+  SELECT vec_id, label::INT AS label, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv
+  FROM e WHERE vec_id IN (0, 1, 2, 3)
+),
+s AS (
+  SELECT q.anchor_id, q.anchor_label, e.vec_id, e.label,
+    round(list_dot_product(v, qv)
+          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4)
+      AS cos
+  FROM e CROSS JOIN q WHERE e.label <> q.anchor_label
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC
+  ) AS neg_rank FROM s
+)
+SELECT anchor_id, anchor_label, vec_id, label, neg_rank, cos
+FROM r WHERE neg_rank <= 5
+ORDER BY anchor_id, neg_rank
+"""
+
+
+def q_rule_ablation(spark, sf_dir):
+    """Filter-ablation accounting (T.rule_ablation): per Gopher rule, how
+    many docs fail it and how many fail ONLY it (recoverable by relaxing
+    that one threshold), plus the any-rule row. One narrow map + ONE 1-row
+    aggregate + a 5-row stack unpivot — no exchange carries more than one
+    row of BIGINTs at any corpus size."""
+    return T.rule_ablation(_docs(spark, sf_dir))
+
+
+ORACLE_RULE_ABLATION = r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n, length(tt) AS tlen,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS n_stop,
+         len(list_distinct(toks)) AS n_uniq
+  FROM t
+), r AS (
+  SELECT doc_id, n AS n_tokens, n_stop,
+         round((tlen - (n - 1)) * 1.0 / n, 4) AS mean_word_len,
+         round(n_uniq * 1.0 / n, 4) AS uniq_ratio
+  FROM m
+), f AS (
+  SELECT doc_id,
+    NOT (n_tokens >= 32 AND n_tokens <= 4096) AS f_len,
+    NOT (mean_word_len >= 4.0 AND mean_word_len <= 10.0) AS f_mwl,
+    NOT (n_stop >= 2) AS f_stop,
+    NOT (uniq_ratio >= 0.35) AS f_uniq
+  FROM r
+), g AS (
+  SELECT *,
+    (f_len::INT + f_mwl::INT + f_stop::INT + f_uniq::INT) AS n_fails
+  FROM f
+), agg AS (
+  SELECT count(*) AS n_docs,
+    SUM(f_len::INT) AS fail_len,  SUM((f_len  AND n_fails = 1)::INT) AS only_len,
+    SUM(f_mwl::INT) AS fail_mwl,  SUM((f_mwl  AND n_fails = 1)::INT) AS only_mwl,
+    SUM(f_stop::INT) AS fail_stop, SUM((f_stop AND n_fails = 1)::INT) AS only_stop,
+    SUM(f_uniq::INT) AS fail_uniq, SUM((f_uniq AND n_fails = 1)::INT) AS only_uniq,
+    SUM((n_fails > 0)::INT) AS fail_any, SUM((n_fails = 1)::INT) AS fail_one
+  FROM g
+), rows_out AS (
+  SELECT 'r_len' AS rule, fail_len AS nf, only_len AS nfo, n_docs FROM agg
+  UNION ALL SELECT 'r_mean_wlen', fail_mwl, only_mwl, n_docs FROM agg
+  UNION ALL SELECT 'r_stop', fail_stop, only_stop, n_docs FROM agg
+  UNION ALL SELECT 'r_uniq', fail_uniq, only_uniq, n_docs FROM agg
+  UNION ALL SELECT 'any', fail_any, fail_one, n_docs FROM agg
+)
+SELECT rule, CAST(nf AS BIGINT) AS n_fail, CAST(nfo AS BIGINT) AS n_fail_only,
+       round(nf * 1.0 / n_docs, 4) AS fail_rate
+FROM rows_out ORDER BY rule
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -2759,6 +2875,9 @@ PIPELINE_QUERIES = {
     "sequence_pack_ranged": q_sequence_pack_ranged,
     "paragraph_dedup": q_paragraph_dedup,
     "label_outliers": q_label_outliers,
+    "token_fertility": q_token_fertility,
+    "hard_negatives": q_hard_negatives,
+    "rule_ablation": q_rule_ablation,
 }
 
 PIPELINE_ORACLES = {
@@ -2820,4 +2939,7 @@ PIPELINE_ORACLES = {
     "sequence_pack_ranged": ORACLE_SEQUENCE_PACK,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "label_outliers": ORACLE_LABEL_OUTLIERS,
+    "token_fertility": ORACLE_TOKEN_FERTILITY,
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "rule_ablation": ORACLE_RULE_ABLATION,
 }

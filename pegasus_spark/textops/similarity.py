@@ -755,3 +755,44 @@ def label_outliers(
         F.col("_best")["d"].alias("d_nearest"),
         (F.col("_best")["lbl"] != F.col(label_col)).alias("is_outlier"),
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (Robinson et al.,
+    arXiv:2010.04592; the negative-selection pass a CLIP-style run makes
+    over its corpus): for each anchor vector, the k most-similar corpus
+    vectors carrying a DIFFERENT label — the negatives that dominate the
+    InfoNCE gradient.  cosine_topk_multi's plan with the label-inequality
+    predicate fused into the scoring stage: the anchor batch broadcasts
+    once, the corpus streams through one narrow scoring pass, and the
+    per-anchor rank is a WindowGroupLimit — ≤ k rows per anchor survive
+    map-side before the anchor-id exchange, so the shuffle carries
+    |anchors|·k rows at any corpus size.  Deterministic: cosine rounded to
+    4 dp before ranking, ties break on id asc."""
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    base = df.crossJoin(F.broadcast(q)).filter(
+        F.col(label_col) != F.col("anchor_label")
+    )
+    cos = _dot(F.col(vec_col), F.col("_qvec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(_dot(F.col("_qvec"), F.col("_qvec")))
+    )
+    scored = base.withColumn("cos", F.round(cos, 4))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "anchor_label", id_col, label_col, "neg_rank", "cos")
+        .orderBy("anchor_id", "neg_rank")
+    )

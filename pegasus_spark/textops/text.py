@@ -638,3 +638,85 @@ def dsir_weights(
             ),
         )
     )
+
+
+def token_fertility(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer-fertility report (the multilingual budgeting
+    metric: how many characters/subwords one whitespace word costs per
+    language — high-fertility languages consume a larger share of a fixed
+    token budget; cf. the fertility tables in XLM-R, arXiv:1911.02116, and
+    the per-language token accounting every multilingual data mix
+    publishes).  chars_per_token = total trimmed chars / total words;
+    subwords_per_token = total ⌊chars/4⌋ subword estimates / total words —
+    both exact BIGINT sums divided once at the end (order-free), rounded
+    to 4 dp for cross-engine parity.
+
+    Scale shape: one narrow projection + ONE partial-aggregable groupBy on
+    the bounded language key — the exchange carries |langs| rows of BIGINT
+    triples at any corpus size."""
+    t = with_token_count(df).select(
+        F.col(group_col),
+        F.col("n_tokens").cast("long").alias("nt"),
+        F.col("n_subwords_est").cast("long").alias("ns"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("nc"),
+    )
+    return (
+        t.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.sum("nc") / F.sum("nt"), 4).alias("chars_per_token"),
+            F.round(F.sum("ns") / F.sum("nt"), 4).alias("subwords_per_token"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def rule_ablation(df: DataFrame) -> DataFrame:
+    """Filter-ablation accounting over the Gopher rule set (the per-rule
+    drop table every curation paper publishes — e.g. Gopher A1, RefinedWeb
+    §G): for each rule, how many docs fail it (``n_fail``) and how many
+    fail ONLY it (``n_fail_only`` — the docs recoverable by relaxing that
+    single threshold), plus an ``any`` row (docs failing ≥1 rule; its
+    n_fail_only = docs failing exactly one — total single-rule casualties).
+    Rates are n/corpus rounded to 4 dp.
+
+    Scale shape: with_gopher_rules is a pure narrow map, and everything
+    here reduces through ONE all-column 1-row aggregate (partial-agg
+    combinable); the 5-row output is built from that single row with a
+    stack() unpivot — no exchange carries more than one row of BIGINTs at
+    any corpus size."""
+    rules = ["r_len", "r_mean_wlen", "r_stop", "r_uniq"]
+    flags = with_gopher_rules(df).select(
+        *[F.col(r) for r in rules],
+        sum(F.when(~F.col(r), 1).otherwise(0) for r in rules).alias("n_fails"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in rules:
+        aggs.append(F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(f"fail_{r}"))
+        aggs.append(
+            F.sum(
+                F.when(~F.col(r) & (F.col("n_fails") == 1), 1).otherwise(0)
+            ).alias(f"only_{r}")
+        )
+    aggs.append(F.sum(F.when(F.col("n_fails") > 0, 1).otherwise(0)).alias("fail_any"))
+    aggs.append(F.sum(F.when(F.col("n_fails") == 1, 1).otherwise(0)).alias("fail_one"))
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        [f"'{r}', fail_{r}, only_{r}" for r in rules] + ["'any', fail_any, fail_one"]
+    )
+    return (
+        one.select(
+            "n_docs",
+            F.expr(
+                f"stack({len(rules) + 1}, {stack_args}) AS (rule, n_fail, n_fail_only)"
+            ),
+        )
+        .select(
+            "rule",
+            F.col("n_fail").cast("bigint").alias("n_fail"),
+            F.col("n_fail_only").cast("bigint").alias("n_fail_only"),
+            F.round(F.col("n_fail") / F.col("n_docs"), 4).alias("fail_rate"),
+        )
+        .orderBy("rule")
+    )

@@ -1128,3 +1128,99 @@ class TestLabelOutliers:
             assert r["is_outlier"] == (nearest[1] != labels[vid]), vid
         assert got[40]["is_outlier"] is True
         assert sum(r["is_outlier"] for r in got.values()) == 1
+
+
+class TestTokenFertility:
+    def test_matches_plain_python_sums(self, spark):
+        from pegasus_spark.textops.text import token_fertility
+
+        rows = [
+            (1, "aaaa bbbb cc", "en"),
+            (2, "dddddddd ee", "en"),
+            (3, "ffff", "de"),
+            (4, "gg hh ii jj kk", "de"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r["lang"]: r for r in token_fertility(docs).collect()}
+        for lang in ("en", "de"):
+            texts = [t for _, t, l in rows if l == lang]
+            nt = sum(len(t.split()) for t in texts)
+            nc = sum(len(t) for t in texts)
+            ns = sum(len(t) // 4 for t in texts)
+            r = got[lang]
+            assert r["n_docs"] == len(texts)
+            assert r["total_tokens"] == nt
+            assert r["chars_per_token"] == round(nc / nt, 4)
+            assert r["subwords_per_token"] == round(ns / nt, 4)
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_matches_brute_force(self, spark):
+        import numpy as np
+
+        from pegasus_spark.textops.similarity import hard_negatives
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (vid, rng.normal(0, 1, 6).tolist(), vid % 3) for vid in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = hard_negatives(df, query_ids=[0, 1], k=4).collect()
+
+        vecs = {v: np.array(e, dtype=np.float32).astype(np.float64) for v, e, _ in rows}
+        labels = {v: l for v, _, l in rows}
+        for aid in (0, 1):
+            mine = [r for r in out if r["anchor_id"] == aid]
+            assert len(mine) == 4
+            assert all(r["label"] != labels[aid] for r in mine)
+            cand = sorted(
+                (
+                    -round(float(vecs[v] @ vecs[aid])
+                           / (np.linalg.norm(vecs[v]) * np.linalg.norm(vecs[aid])), 4),
+                    v,
+                )
+                for v in vecs
+                if labels[v] != labels[aid]
+            )[:4]
+            got = [(-round(r["cos"], 4), r["vec_id"]) for r in
+                   sorted(mine, key=lambda r: r["neg_rank"])]
+            assert got == cand
+
+
+class TestRuleAblation:
+    def test_matches_plain_python_replay(self, spark):
+        from pegasus_spark.textops.text import rule_ablation, with_gopher_rules
+
+        # mix of docs failing various rule subsets
+        rows = [(i, t) for i, t in enumerate([
+            "short",                                           # fails len+stop+mwl
+            " ".join(f"word{j} the of and is to longish" for j in range(8)),
+            " ".join("the" for _ in range(40)),                # fails uniq+mwl
+            " ".join(f"uniquetoken{j} the of" for j in range(16)),
+        ])]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        flags = {
+            r["doc_id"]: r
+            for r in with_gopher_rules(docs)
+            .select("doc_id", "r_len", "r_mean_wlen", "r_stop", "r_uniq")
+            .collect()
+        }
+        rules = ["r_len", "r_mean_wlen", "r_stop", "r_uniq"]
+        nfails = {d: sum(not flags[d][r] for r in rules) for d in flags}
+        expect = {}
+        for r in rules:
+            nf = sum(not flags[d][r] for d in flags)
+            nfo = sum((not flags[d][r]) and nfails[d] == 1 for d in flags)
+            expect[r] = (nf, nfo, round(nf / len(rows), 4))
+        nf_any = sum(nfails[d] > 0 for d in flags)
+        expect["any"] = (nf_any, sum(nfails[d] == 1 for d in flags),
+                         round(nf_any / len(rows), 4))
+
+        got = {
+            r["rule"]: (r["n_fail"], r["n_fail_only"], r["fail_rate"])
+            for r in rule_ablation(docs).collect()
+        }
+        assert got == expect
+        # the report must not be vacuous on this fixture
+        assert got["any"][0] > 0
