@@ -722,30 +722,38 @@ def label_outliers(
         (r["_lbl"], [s["c"] for s in r["cs"]]) for r in cent_rows
     )
     qg = F.transform(F.col("_qv"), lambda x: x * g)
+
+    def dist_to(cvec):
+        return F.aggregate(
+            F.zip_with(
+                qg,
+                F.array(*[F.lit(c).cast("long") for c in cvec]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     dists = F.array(
         *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        qg,
-                        F.array(*[F.lit(c).cast("long") for c in cvec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(lbl).cast("int").alias("lbl"),
-            )
+            F.struct(dist_to(cvec).alias("d"), F.lit(lbl).cast("int").alias("lbl"))
             for lbl, cvec in centroids
         ]
     )
+    # d_own via a lazy CASE chain: higher-order folds run INTERPRETED, and
+    # a filter() over `dists` would re-evaluate all |labels| folds a second
+    # time — CASE evaluates exactly ONE branch at runtime (A/B-measured
+    # ~20% faster at sf0.1; a fully-unrolled scalar form was tried and is
+    # WORSE — the projection blows janino's method limit, falls back to
+    # interpreted, and recomputes the quantization per label)
+    d_own = F.lit(None).cast("long")
+    for lbl, cvec in centroids:
+        d_own = F.when(F.col("_lbl") == F.lit(lbl), dist_to(cvec)).otherwise(d_own)
     scored = q.select(
         id_col,
         F.col("_lbl").alias(label_col),
         F.array_min(dists).alias("_best"),
-        F.element_at(
-            F.filter(dists, lambda s: s["lbl"] == F.col("_lbl")), 1
-        )["d"].alias("d_own"),
+        d_own.alias("d_own"),
     )
     return scored.select(
         id_col,
