@@ -2816,6 +2816,65 @@ FROM rows_out ORDER BY rule
 """
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4 heuristic filters (T.with_c4_rules, Raffel et al. arXiv:1910.10683
+    §2.2) — the other canonical rule family beside gopher_rules, with
+    per-rule audit flags. The synthetic corpus is uniform prose, so the
+    gate PLANTS deterministic violations: doc_id%4 picks the tail
+    (terminal '.', '!', an un-terminated '{x}' brace block, or nothing),
+    doc_id%13 injects 'lorem ipsum', doc_id%17 injects 'javascript' —
+    every rule fires on a known residue class. Pure narrow map."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 13 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+            F.when(did % 17 == 0, F.lit(" javascript")).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit("."))
+            .when(did % 4 == 1, F.lit("!"))
+            .when(did % 4 == 2, F.lit(" {x}"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        T.with_c4_rules(planted)
+        .select(
+            "doc_id", "n_tokens", "c_terminal", "c_min_words",
+            "c_no_braces", "c_no_lorem", "c_no_badword", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_C4_RULES = r"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum' ELSE '' END)
+    || (CASE WHEN doc_id % 17 = 0 THEN ' javascript' ELSE '' END)
+    || (CASE doc_id % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                        WHEN 2 THEN ' {x}' ELSE '' END) AS text
+  FROM documents
+), r AS (
+  SELECT doc_id, trim(text) AS tt, lower(trim(text)) AS low,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM planted
+)
+SELECT doc_id, n_tokens,
+  regexp_matches(tt, '[.!?]["”’]?$') AS c_terminal,
+  (n_tokens >= 5) AS c_min_words,
+  NOT contains(tt, '{') AS c_no_braces,
+  NOT contains(low, 'lorem ipsum') AS c_no_lorem,
+  NOT contains(low, 'javascript') AS c_no_badword,
+  (regexp_matches(tt, '[.!?]["”’]?$') AND n_tokens >= 5
+   AND NOT contains(tt, '{') AND NOT contains(low, 'lorem ipsum')
+   AND NOT contains(low, 'javascript')) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -2878,6 +2937,7 @@ PIPELINE_QUERIES = {
     "token_fertility": q_token_fertility,
     "hard_negatives": q_hard_negatives,
     "rule_ablation": q_rule_ablation,
+    "c4_rules": q_c4_rules,
 }
 
 PIPELINE_ORACLES = {
@@ -2942,4 +3002,5 @@ PIPELINE_ORACLES = {
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
     "rule_ablation": ORACLE_RULE_ABLATION,
+    "c4_rules": ORACLE_C4_RULES,
 }

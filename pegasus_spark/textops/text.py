@@ -720,3 +720,46 @@ def rule_ablation(df: DataFrame) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+def with_c4_rules(df: DataFrame) -> DataFrame:
+    """C4-style heuristic document filters (Raffel et al., arXiv:1910.10683
+    §2.2 — the other canonical rule family beside Gopher's): each rule is a
+    separate boolean audit column, ``keep`` their conjunction, so a
+    curation run can see WHICH rule dropped a doc.  Adapted to this
+    corpus's scale the way gopher_rules' thresholds are:
+
+    - ``c_terminal``: the doc ends in a terminal punctuation mark
+      (. ! ? or a closing quote after one) — C4 applies this per line;
+      the corpus here is single-line so it is a doc rule.
+    - ``c_min_words``: ≥ 5 whitespace words (C4 drops pages with < 5
+      sentences / lines with < 3 words; collapsed to one word floor).
+    - ``c_no_braces``: no '{' (C4 removes anything with code braces).
+    - ``c_no_lorem``: 'lorem ipsum' absent (case-insensitive).
+    - ``c_no_badword``: placeholder blocklist hit — 'javascript'
+      (C4 uses the "List of Dirty, Naughty …" blocklist; one stand-in
+      token keeps the rule non-vacuous and the oracle tiny).
+
+    Every rule is a narrow regex/arithmetic projection — zero exchanges,
+    fused into the scan at any corpus size; patterns are chosen to behave
+    identically under Java regex and RE2 (the pii_scrub discipline)."""
+    tt = F.trim(F.col("text"))
+    low = F.lower(tt)
+    n = F.size(tokens_col())
+    c_terminal = tt.rlike(r'[.!?]["”’]?$')
+    c_min_words = n >= 5
+    c_no_braces = ~tt.contains("{")
+    c_no_lorem = ~low.contains("lorem ipsum")
+    c_no_badword = ~low.contains("javascript")
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("c_terminal", c_terminal)
+        .withColumn("c_min_words", c_min_words)
+        .withColumn("c_no_braces", c_no_braces)
+        .withColumn("c_no_lorem", c_no_lorem)
+        .withColumn("c_no_badword", c_no_badword)
+        .withColumn(
+            "keep",
+            c_terminal & c_min_words & c_no_braces & c_no_lorem & c_no_badword,
+        )
+    )

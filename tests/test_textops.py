@@ -1224,3 +1224,41 @@ class TestRuleAblation:
         assert got == expect
         # the report must not be vacuous on this fixture
         assert got["any"][0] > 0
+
+
+class TestC4Rules:
+    def test_each_rule_fires_and_keep_is_conjunction(self, spark):
+        from pegasus_spark.textops.text import with_c4_rules
+
+        rows = [
+            (1, "a good clean sentence with enough words."),
+            (2, "too short."),                               # fails min_words
+            (3, "code block here { x = 1 } with words."),    # fails braces
+            (4, "lorem ipsum dolor sit amet filler text."),  # fails lorem
+            (5, "enable javascript to view this page now."), # fails badword
+            (6, "no terminal punctuation on this line here"),# fails terminal
+            (7, 'he said "stop!" and they did so then.'),
+            (8, "ends with a quote after punctuation.”"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in with_c4_rules(docs).collect()}
+
+        assert got[1]["keep"] is True
+        assert got[2]["c_min_words"] is False and got[2]["keep"] is False
+        assert got[3]["c_no_braces"] is False and got[3]["keep"] is False
+        assert got[4]["c_no_lorem"] is False and got[4]["keep"] is False
+        assert got[5]["c_no_badword"] is False and got[5]["keep"] is False
+        assert got[6]["c_terminal"] is False and got[6]["keep"] is False
+        assert got[7]["keep"] is True   # '.' terminal
+        assert got[8]["c_terminal"] is True and got[8]["keep"] is True
+        for d, r in got.items():
+            flags = [r["c_terminal"], r["c_min_words"], r["c_no_braces"],
+                     r["c_no_lorem"], r["c_no_badword"]]
+            assert r["keep"] == all(flags), d
+
+    def test_plan_is_narrow(self, spark):
+        from pegasus_spark.textops.text import with_c4_rules
+
+        docs = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+        plan = with_c4_rules(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
