@@ -577,3 +577,28 @@ def politeness_audit(fetch_log: DataFrame, budget: DataFrame) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+def caption_rule_ablation(items: DataFrame) -> DataFrame:
+    """Filter-ablation table over a committed items table's captions — the
+    crawl-side twin of the gated ``rule_ablation``, run against the C4 rule
+    family (captions are short single sentences, so the C4 predicates are
+    the meaningful ones — Gopher's 32-token floor would reject every
+    caption vacuously): per rule, how many captions fail it, how many fail
+    ONLY it (recoverable by relaxing that one threshold), and the any-rule
+    row. The read a crawl operator takes before exporting a caption corpus:
+    "which filter would cost us the most captions, and which casualties are
+    one-rule-recoverable".
+
+    Scale shape: with_c4_rules is a pure narrow map over the caption column
+    and flag_ablation reduces through ONE 1-row partial-aggregable
+    aggregate — caption text never enters an exchange."""
+    from pegasus_spark.textops.text import flag_ablation, with_c4_rules
+
+    flagged = with_c4_rules(
+        items.select(F.col("caption").alias("text"))
+    )
+    return flag_ablation(
+        flagged,
+        ["c_terminal", "c_min_words", "c_no_braces", "c_no_lorem", "c_no_badword"],
+    )

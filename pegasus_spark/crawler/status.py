@@ -172,6 +172,28 @@ def crawl_datacard(
     return [r.asDict() for r in caption_datacard(items).collect()]
 
 
+
+def crawl_rule_ablation(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> list[dict[str, Any]]:
+    """Filter-ablation table over the COMMITTED items table's captions —
+    "which C4 rule would cost this crawl the most captions"
+    (reports.caption_rule_ablation, the crawl twin of the gated
+    rule_ablation; C4 rules because caption-length makes Gopher's floors
+    vacuous). Reads only manifest-referenced rounds, so it is safe while a
+    crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import caption_rule_ablation
+
+    return [r.asDict() for r in caption_rule_ablation(items).collect()]
+
+
 def crawl_recrawl_schedule(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
     now_ts: int | None = None, horizon_s: int = 7 * 86400, top: int = 10,
@@ -313,18 +335,19 @@ def main(argv: list[str] | None = None) -> int:
     politeness = "--politeness" in argv
     pii = "--pii" in argv
     datacard = "--datacard" in argv
+    ablation = "--ablation" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
-            "--politeness", "--pii", "--datacard",
+            "--politeness", "--pii", "--datacard", "--ablation",
         )
     ]
     if len(argv) != 1:
         print(
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
-            " [--politeness] [--pii] [--datacard] <workdir>",
+            " [--politeness] [--pii] [--datacard] [--ablation] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -376,6 +399,12 @@ def main(argv: list[str] | None = None) -> int:
             out["datacard"] = crawl_datacard(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--datacard: {exc}", file=sys.stderr)
+            return 2
+    if ablation:
+        try:
+            out["rule_ablation"] = crawl_rule_ablation(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--ablation: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

@@ -686,8 +686,18 @@ def rule_ablation(df: DataFrame) -> DataFrame:
     combinable); the 5-row output is built from that single row with a
     stack() unpivot — no exchange carries more than one row of BIGINTs at
     any corpus size."""
-    rules = ["r_len", "r_mean_wlen", "r_stop", "r_uniq"]
-    flags = with_gopher_rules(df).select(
+    return flag_ablation(
+        with_gopher_rules(df), ["r_len", "r_mean_wlen", "r_stop", "r_uniq"]
+    )
+
+
+def flag_ablation(flagged: DataFrame, rules: list[str]) -> DataFrame:
+    """The generic ablation core behind ``rule_ablation`` (and the crawl
+    CLI's caption twin): given any DataFrame carrying one boolean column
+    per rule, emit the per-rule (n_fail, n_fail_only, fail_rate) table plus
+    the 'any' row. Shape: ONE 1-row partial-aggregable aggregate + a
+    |rules|+1-row stack unpivot — see rule_ablation's docstring."""
+    flags = flagged.select(
         *[F.col(r) for r in rules],
         sum(F.when(~F.col(r), 1).otherwise(0) for r in rules).alias("n_fails"),
     )

@@ -562,3 +562,50 @@ def test_datacard_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["datacard"] == rep
+
+
+def test_ablation_cli_surface(crawl, capsys):
+    """`status --ablation` publishes the C4 filter-ablation table over the
+    COMMITTED items captions (reports.caption_rule_ablation, the crawl twin
+    of the gated rule_ablation); every row matches a plain-Python replay of
+    the C4 predicates over the same captions."""
+    import json
+    import re
+
+    from pegasus_spark.crawler.status import crawl_rule_ablation, main
+
+    spec, sched, result, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    caps = [r["caption"] for r in items.select("caption").collect()]
+
+    def flags(text):
+        tt = text.strip()
+        low = tt.lower()
+        return {
+            "c_terminal": re.search(r'[.!?]["”’]?$', tt) is not None,
+            "c_min_words": len(tt.split()) >= 5,
+            "c_no_braces": "{" not in tt,
+            "c_no_lorem": "lorem ipsum" not in low,
+            "c_no_badword": "javascript" not in low,
+        }
+
+    rules = ["c_terminal", "c_min_words", "c_no_braces", "c_no_lorem", "c_no_badword"]
+    per_cap = [flags(c) for c in caps]
+    nfails = [sum(not f[r] for r in rules) for f in per_cap]
+    want = {}
+    for r in rules:
+        nf = sum(not f[r] for f in per_cap)
+        nfo = sum((not f[r]) and k == 1 for f, k in zip(per_cap, nfails))
+        want[r] = (nf, nfo, round(nf / len(caps), 4))
+    nf_any = sum(k > 0 for k in nfails)
+    want["any"] = (nf_any, sum(k == 1 for k in nfails), round(nf_any / len(caps), 4))
+
+    rep = crawl_rule_ablation(sched.spark, sched.store.workdir, sched.store)
+    got = {r["rule"]: (r["n_fail"], r["n_fail_only"], float(r["fail_rate"]))
+           for r in rep}
+    assert got == want
+
+    rc = main(["--ablation", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rule_ablation"] == rep
