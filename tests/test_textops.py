@@ -1262,3 +1262,43 @@ class TestC4Rules:
         docs = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
         plan = with_c4_rules(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestParagraphDedupRandomized:
+    def test_random_corpora_match_python_replay(self, spark):
+        """Seeded random corpora (shared paragraph pool so cross-doc dups
+        are dense, variable doc lengths, blank paragraphs): paragraph_dedup
+        must equal the plain-Python first-occurrence replay on every doc,
+        for min_chars 0 and 3."""
+        import random
+
+        from pegasus_spark.textops.dedup import paragraph_dedup
+
+        rng = random.Random(1234)
+        pool = [f"para-{i}" for i in range(12)] + ["", "x", "yy"]
+        for case in range(4):
+            rows = []
+            for did in range(rng.randint(5, 25)):
+                paras = [rng.choice(pool) for _ in range(rng.randint(1, 8))]
+                rows.append((did, "\n".join(paras)))
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            for min_chars in (0, 3):
+                seen = {}
+                for did, text in sorted(rows):
+                    for pos, p in enumerate(text.split("\n")):
+                        seen.setdefault(p, (did, pos))
+                expect = {}
+                for did, text in rows:
+                    paras = text.split("\n")
+                    keep = [
+                        p for pos, p in enumerate(paras)
+                        if len(p) < min_chars or seen[p] == (did, pos)
+                    ]
+                    expect[did] = (
+                        "\n".join(keep), len(paras), len(paras) - len(keep)
+                    )
+                got = {
+                    r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_dup_paras"])
+                    for r in paragraph_dedup(docs, min_chars=min_chars).collect()
+                }
+                assert got == expect, f"case={case} min_chars={min_chars}"
