@@ -959,6 +959,72 @@ ORDER BY doc_id
 """
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark decontamination (the near-dup complement of
+    `decontaminate`, per GPT-3 appx C's 13-gram fuzzy dedup and the Llama
+    eval-overlap scrubs): corpus docs whose MINHASH signature LSH-collides
+    with an eval doc's and agrees on ≥ 4 of 8 positions. The eval stand-in
+    is the same deterministic doc_id % 101 == 0 slice `decontaminate` uses,
+    so the two operators triage the SAME leak surface at different
+    sensitivities (exact n-gram vs Jaccard-level similarity).
+
+    Scale: eval signatures and bands broadcast (an eval suite is KBs against
+    a 100 TB corpus); the corpus computes signatures once — one md5-explode
+    plus a per-doc partial-aggregated MIN row, text never shuffles — and
+    probes the broadcast. No corpus self-join anywhere, unlike
+    minhash_near_dup whose band join is corpus×corpus."""
+    docs = _docs(spark, sf_dir)
+    flagged = D.minhash_decontaminate(
+        docs.filter(F.col("doc_id") % 101 != 0),
+        docs.filter(F.col("doc_id") % 101 == 0),
+    )
+    return flagged.orderBy("doc_id")
+
+
+ORACLE_FUZZY_DECONTAMINATE = r"""
+WITH t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+  FROM bands c JOIN bands e ON c.band = e.band AND c.bh = e.bh
+  WHERE c.doc_id % 101 <> 0 AND e.doc_id % 101 = 0
+),
+ver AS (
+  SELECT cand.doc_id, cand.eval_id,
+    (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) AS sig_matches
+  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_id JOIN sig sb ON sb.doc_id = cand.eval_id
+)
+SELECT doc_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_matches,
+       CAST(max(sig_matches) AS BIGINT) AS max_sig_matches
+FROM ver WHERE sig_matches >= 4
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Intra-document repetition ratio (the Gopher/C4-style quality rule:
     heavily self-repeating docs are boilerplate): fraction of a doc's token
@@ -1420,6 +1486,84 @@ FROM tok t JOIN r ON t.source = r.source
 WHERE ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
       < r.keep_rate
 ORDER BY t.doc_id
+"""
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Quality-filter operating-point table
+    (textops.text.quality_threshold_sweep): docs/tokens surviving each
+    decile quality cut plus pool shares — the ablation table that picks a
+    filter's threshold before committing a 100 TB pass."""
+    return T.quality_threshold_sweep(_docs(spark, sf_dir))
+
+
+ORACLE_THRESHOLD_SWEEP = r"""
+WITH t AS (
+  SELECT trim(text) AS tt, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT length(tt) AS tlen, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS n_stop
+  FROM t
+), q AS (
+  SELECT n AS n_tokens,
+         round(least(n / 64.0, 1.0) * 0.5
+               + (1.0 - least(n_stop * 1.0 / n, 1.0)) * 0.3
+               + least(((tlen - (n - 1)) * 1.0 / n) / 8.0, 1.0) * 0.2, 4) AS quality
+  FROM m
+), hist AS (
+  SELECT CAST(least(floor(quality * 10), 9) AS INT) AS threshold_x10,
+         CAST(count(*) AS BIGINT) AS d, CAST(SUM(n_tokens) AS BIGINT) AS tk
+  FROM q GROUP BY 1
+)
+SELECT threshold_x10,
+       CAST(SUM(d) OVER (ORDER BY threshold_x10 DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(tk) OVER (ORDER BY threshold_x10 DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens_kept,
+       round(SUM(d) OVER (ORDER BY threshold_x10 DESC ROWS UNBOUNDED PRECEDING) * 1.0
+             / SUM(d) OVER (), 4) AS doc_share,
+       round(SUM(tk) OVER (ORDER BY threshold_x10 DESC ROWS UNBOUNDED PRECEDING) * 1.0
+             / SUM(tk) OVER (), 4) AS token_share
+FROM hist
+ORDER BY threshold_x10
+"""
+
+
+def q_epoch_schedule(spark, sf_dir):
+    """Data-constrained epoch scheduling (textops.text.epoch_schedule,
+    Muennighoff et al. 2023): a token budget of 50% of the pool aimed at
+    just 3 of the 20 sources (weights 5:3:2) — src0's demand exceeds the
+    4-epoch repeat cap (exercising the saturation branch: served < need,
+    unfilled > 0) while src1/src2 stay under it, so the gate checks both
+    arms of the cap on exact BIGINT columns."""
+    return T.epoch_schedule(
+        _docs(spark, sf_dir),
+        targets={"src0": 5, "src1": 3, "src2": 2},
+        budget_mult_pct=50,
+    ).orderBy("source")
+
+
+ORACLE_EPOCH_SCHEDULE = r"""
+WITH tok AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+avail AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+  FROM tok GROUP BY source
+),
+tot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS t FROM avail),
+w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+need AS (
+  SELECT a.source, a.avail_tokens,
+         CAST(tot.t * 50 // 100 * w.w // 10 AS BIGINT) AS need_tokens
+  FROM avail a JOIN w ON a.source = w.source CROSS JOIN tot
+)
+SELECT source, avail_tokens, need_tokens,
+       CAST(least(need_tokens * 1000 // avail_tokens, 4000) AS BIGINT) AS epochs_milli,
+       CAST(least(need_tokens, avail_tokens * 4) AS BIGINT) AS served_tokens,
+       CAST(need_tokens - least(need_tokens, avail_tokens * 4) AS BIGINT) AS unfilled_tokens
+FROM need
+ORDER BY source
 """
 
 
@@ -2138,6 +2282,47 @@ def q_augmentation_plan(spark, sf_dir):
     return augmentation_plan(
         imgs, epochs=3, crop_w=512, crop_h=512, id_col="doc_id"
     ).orderBy("doc_id", "epoch")
+
+
+def q_frame_sample_plan(spark, sf_dir):
+    """Uniform-k video frame-sampling schedule (multimodal.frame_sample_plan)
+    over md5-synthesized video metadata: duration 1-61 s, fps 10-40 carried
+    ×100 (the ratio-planner dim-synthesis convention lifted to the video
+    modality). 8 midpoint samples per video, exact integer DIV throughout —
+    the decode stays stubbed (no ffmpeg in this environment), the schedule
+    the decoder would follow is fully gated."""
+    from pegasus_spark.multimodal import frame_sample_plan
+
+    hw = F.md5(F.col("doc_id").cast("string"))
+    vids = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 60000 + 1000)
+        .cast("bigint").alias("duration_ms"),
+        (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 3001 + 1000)
+        .cast("bigint").alias("fps_x100"),
+    )
+    return frame_sample_plan(vids, n_samples=8, id_col="doc_id").orderBy(
+        "doc_id", "sample_idx"
+    )
+
+
+ORACLE_FRAME_SAMPLE_PLAN = """
+WITH vids AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 60000 + 1000) AS duration_ms,
+    (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 3001 + 1000) AS fps_x100
+  FROM documents
+),
+t AS (
+  SELECT doc_id, CAST(duration_ms * fps_x100 // 100000 AS BIGINT) AS total_frames
+  FROM vids
+)
+SELECT doc_id, total_frames, CAST(k AS INT) AS sample_idx,
+       CAST((2 * k + 1) * total_frames // 16 AS BIGINT) AS frame_idx
+FROM (SELECT doc_id, total_frames, unnest(generate_series(0, 7)) AS k FROM t)
+WHERE total_frames >= 8
+ORDER BY doc_id, sample_idx
+"""
 
 
 ORACLE_AUGMENTATION_PLAN = """
@@ -2897,6 +3082,7 @@ PIPELINE_QUERIES = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "decontaminate": q_decontaminate,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2906,6 +3092,8 @@ PIPELINE_QUERIES = {
     "pack_shards": q_pack_shards,
     "pack_shards_salted": q_pack_shards_salted,
     "mixture_resample": q_mixture_resample,
+    "epoch_schedule": q_epoch_schedule,
+    "threshold_sweep": q_threshold_sweep,
     "cluster_split": q_cluster_split,
     "semantic_dedup": q_semantic_dedup,
     "unigram_logprob": q_unigram_logprob,
@@ -2922,6 +3110,7 @@ PIPELINE_QUERIES = {
     "ratio_bucket_plan_salted": q_ratio_bucket_plan_salted,
     "ratio_bucket_stats": q_ratio_bucket_stats,
     "augmentation_plan": q_augmentation_plan,
+    "frame_sample_plan": q_frame_sample_plan,
     "image_shard_plan": q_image_shard_plan,
     "phash_near_dup": q_phash_near_dup,
     "phash_clusters": q_phash_clusters,
@@ -2962,6 +3151,7 @@ PIPELINE_ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ivf_topk": ORACLE_IVF_TOPK,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "fuzzy_decontaminate": ORACLE_FUZZY_DECONTAMINATE,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "source_mix": ORACLE_SOURCE_MIX,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
@@ -2971,6 +3161,8 @@ PIPELINE_ORACLES = {
     "pack_shards": ORACLE_PACK_SHARDS,
     "pack_shards_salted": ORACLE_PACK_SHARDS_SALTED,
     "mixture_resample": ORACLE_MIXTURE_RESAMPLE,
+    "epoch_schedule": ORACLE_EPOCH_SCHEDULE,
+    "threshold_sweep": ORACLE_THRESHOLD_SWEEP,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
@@ -2987,6 +3179,7 @@ PIPELINE_ORACLES = {
     "ratio_bucket_plan_salted": ORACLE_RATIO_BUCKET_PLAN_SALTED,
     "ratio_bucket_stats": ORACLE_RATIO_BUCKET_STATS,
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,
+    "frame_sample_plan": ORACLE_FRAME_SAMPLE_PLAN,
     "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
     "phash_near_dup": ORACLE_PHASH_NEAR_DUP,
     "phash_clusters": ORACLE_PHASH_CLUSTERS,

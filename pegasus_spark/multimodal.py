@@ -688,6 +688,45 @@ def augmentation_plan(
     )
 
 
+def frame_sample_plan(
+    df: DataFrame, n_samples: int = 8, id_col: str = "video_id",
+) -> DataFrame:
+    """Uniform-k temporal frame-sampling SCHEDULE — the decode-free planning
+    step of a video-training pipeline (the uniform sampling of
+    CLIP4Clip/VideoMAE-style trainers): from per-video metadata alone
+    (duration_ms, fps_x100 — fps carried ×100 so 23.97 is exact), emit the
+    ``n_samples`` frame indices the decoder should extract. The midpoint
+    rule places sample k at frame (2k+1)·total_frames DIV (2·n_samples) —
+    centers of equal spans, so the schedule never clusters at either end.
+
+    All math is exact integer (total_frames = duration_ms · fps_x100 DIV
+    100000); videos with fewer than ``n_samples`` frames are excluded — the
+    decode-every-frame path owns those, the same exclusion contract as
+    augmentation_plan's undersized images. The planner is the schedule twin
+    of `video_frame_sample`, which does the (stubbed) decode.
+
+    Scale shape: explode(sequence(0, n-1)) over a small constant then pure
+    per-row integer arithmetic — ZERO exchanges, and at 100 TB the plan
+    column-prunes to the metadata columns; video bytes never enter it."""
+    import pyspark.sql.functions as F
+
+    total = F.expr("duration_ms * fps_x100 DIV 100000").cast("bigint")
+    return (
+        df.select(id_col, total.alias("total_frames"))
+        .filter(F.col("total_frames") >= n_samples)
+        .select(
+            id_col, "total_frames",
+            F.explode(F.sequence(F.lit(0), F.lit(n_samples - 1))).alias("sample_idx"),
+        )
+        .withColumn(
+            "frame_idx",
+            F.expr(
+                f"(2 * sample_idx + 1) * total_frames DIV {2 * n_samples}"
+            ).cast("bigint"),
+        )
+    )
+
+
 def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio stub: interprets `bytes` as PCM16 mono (the deterministic fake
     for containers without torchaudio/soundfile; a real build branches on

@@ -97,14 +97,19 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 4, rows: int = 2, id_col: str = "doc_id"
+def banded_sigs(
+    sig_df: DataFrame, bands: int = 4, rows: int = 2, id_col: str = "doc_id",
+    keep_sig: bool = False,
 ) -> DataFrame:
-    """Band the signature (bands × rows), bucket-join on (band, band_hash) —
-    the shingle→minhash→band→bucket-join pipeline. Returns candidate pairs
-    (id_a < id_b). Shuffle key = band hash ⇒ no all-pairs comparison."""
-    banded = sig_df.select(
-        id_col,
+    """Explode a minhash signature into its (band, band_hash) keys — the LSH
+    bucketing step shared by pair search (`lsh_candidate_pairs`) and the
+    eval-probe decontamination (`minhash_decontaminate`). ``keep_sig``
+    carries the full signature on each banded row (64 hex bytes × bands) so
+    a downstream verify can run without re-joining — and therefore without
+    re-COMPUTING — the signature subtree."""
+    keep = [id_col, "sig"] if keep_sig else [id_col]
+    return sig_df.select(
+        *keep,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -116,7 +121,16 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("e"),
-    ).select(id_col, "e.band", "e.bh")
+    ).select(*keep, "e.band", "e.bh")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 4, rows: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (bands × rows), bucket-join on (band, band_hash) —
+    the shingle→minhash→band→bucket-join pipeline. Returns candidate pairs
+    (id_a < id_b). Shuffle key = band hash ⇒ no all-pairs comparison."""
+    banded = banded_sigs(sig_df, bands, rows, id_col)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (
@@ -151,6 +165,60 @@ def minhash_near_dups(
         )
         .filter(F.col("sig_matches") >= min_sig_match)
         .select("id_a", "id_b", "sig_matches")
+    )
+
+
+def minhash_decontaminate(
+    corpus_df: DataFrame, eval_df: DataFrame,
+    n_hashes: int = 8, k: int = 5, bands: int = 4, rows: int = 2,
+    min_sig_match: int = 4, id_col: str = "doc_id",
+) -> DataFrame:
+    """FUZZY benchmark decontamination (GPT-3 appx C / Llama-style): flag
+    corpus documents whose minhash signature LSH-collides with any held-out
+    eval document and agrees on ≥ ``min_sig_match`` of ``n_hashes``
+    positions — the near-duplicate complement of the exact-n-gram
+    `decontaminate` operator, which a paraphrased or lightly-edited eval
+    leak slips past.
+
+    Scale shape: the eval suite is tiny relative to the corpus, so its
+    banded signature set and its full signatures both BROADCAST; the corpus
+    side computes signatures ONCE (one partial-aggregated row per doc — text
+    never moves) and carries the 64-byte signature through the band probe
+    (keep_sig), so the verify step needs no join back to — and hence no
+    recompute of — the expensive corpus minhash subtree; the only exchange
+    past the signature aggregate is the candidate-set distinct, whose rows
+    are the (rare) probe hits. No corpus self-join anywhere. Output: one row
+    per contaminated corpus doc — how many distinct eval docs it matched and
+    the strongest signature agreement.
+    """
+    sig_c = minhash_signatures(corpus_df, n_hashes, k, id_col=id_col)
+    sig_e = minhash_signatures(eval_df, n_hashes, k, id_col=id_col)
+    bands_c = banded_sigs(sig_c, bands, rows, id_col, keep_sig=True)
+    bands_e = banded_sigs(sig_e, bands, rows, id_col).select(
+        F.col(id_col).alias("eval_id"), "band", "bh"
+    )
+    cand = (
+        bands_c.join(F.broadcast(bands_e), ["band", "bh"])
+        .select(id_col, "sig", "eval_id")
+        .distinct()
+    )
+    se = sig_e.select(F.col(id_col).alias("eval_id"), F.col("sig").alias("sig_e"))
+    ver = (
+        cand.join(F.broadcast(se), "eval_id")
+        .withColumn(
+            "sig_matches",
+            F.size(
+                F.filter(
+                    F.zip_with("sig", "sig_e", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ),
+        )
+        .filter(F.col("sig_matches") >= min_sig_match)
+    )
+    return ver.groupBy(id_col).agg(
+        F.countDistinct("eval_id").cast("bigint").alias("n_eval_matches"),
+        F.max("sig_matches").cast("bigint").alias("max_sig_matches"),
     )
 
 

@@ -15,7 +15,7 @@ full whole-stage codegen; they run at 100 TB as a mapper fused into the scan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # language marker stopwords — tiny fixed sets, mirrored verbatim in the SQL
 # oracle. Order of the argmax CASE chain is part of the contract.
@@ -458,6 +458,118 @@ def mixture_resample(
         tok.join(F.broadcast(rates), group_col)
         .filter(u < F.col("keep_rate"))
         .select(id_col, group_col, "n_tokens", "keep_rate")
+    )
+
+
+def quality_threshold_sweep(df: DataFrame) -> DataFrame:
+    """Filter operating-point sweep — the table a curation team reads to
+    PICK the quality threshold (the FineWeb/RefinedWeb ablation style:
+    "at cut t we keep X% of docs and Y% of tokens"): for each decile
+    threshold t/10, how many docs and tokens survive ``quality ≥ t/10``,
+    plus their share of the pool. Row t aggregates docs whose
+    floor(quality·10) ≥ t; quality is the with_quality score, already
+    rounded to 4 dp on both engines, so the decile floor is computed on
+    bit-identical doubles and decides identically in Spark and DuckDB.
+
+    Scale shape: ONE combinable groupBy over ≤ 10 decile buckets; the
+    cumulative-from-above and share windows then run over those ≤ 10
+    HISTOGRAM rows (the group_size_histogram precedent — a single-partition
+    window is fine when its input is bounded by the bucket count, not the
+    corpus). Text never shuffles; the exchange carries ≤ 10 rows at any
+    corpus size."""
+    q = with_quality(df).select("quality", "n_tokens")
+    bucket = F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9))
+    hist = q.groupBy(bucket.alias("threshold_x10")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_docs"),
+        F.sum("n_tokens").cast("bigint").alias("_tokens"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("threshold_x10").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.orderBy(F.col("threshold_x10")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.withColumn("n_docs_kept", F.sum("_docs").over(wdesc).cast("bigint"))
+        .withColumn("n_tokens_kept", F.sum("_tokens").over(wdesc).cast("bigint"))
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs_kept") / F.sum("_docs").over(wall), 4),
+        )
+        .withColumn(
+            "token_share",
+            F.round(F.col("n_tokens_kept") / F.sum("_tokens").over(wall), 4),
+        )
+        .select(
+            "threshold_x10", "n_docs_kept", "n_tokens_kept",
+            "doc_share", "token_share",
+        )
+        .orderBy("threshold_x10")
+    )
+
+
+def epoch_schedule(
+    df: DataFrame, targets: dict[str, int], budget_mult_pct: int = 300,
+    max_epochs_milli: int = 4000, group_col: str = "source",
+) -> DataFrame:
+    """Data-constrained epoch scheduling (Muennighoff et al. 2023,
+    arXiv:2305.16264): given a token budget and prescribed source weights,
+    how many EPOCHS of each source does the run consume — capped at 4, the
+    paper's diminishing-returns point for repeated data — and how many
+    budgeted tokens go unfilled once a source saturates? The planning twin
+    of `mixture_resample`: that operator SHRINKS a pool to match weights;
+    this one answers whether a budget LARGER than the pool is feasible at
+    those weights, per source.
+
+    All math is exact BIGINT (no float enters the plan):
+      budget       = total_tokens * budget_mult_pct DIV 100
+      need_s       = budget * w_s DIV Σw
+      epochs_milli = min(need_s · 1000 DIV avail_s, 4000)
+      served_s     = min(need_s, avail_s · 4); unfilled = need - served
+
+    Scale shape: ONE combinable per-source token aggregate (|sources| rows
+    on the exchange at any corpus size), a 1-row total broadcast back, and
+    a narrow projection — the text column never shuffles. Sources absent
+    from ``targets`` drop (weight 0), matching mixture_resample."""
+    z = int(sum(targets.values()))
+    cap_epochs = max_epochs_milli // 1000
+    tok = with_token_count(df).select(group_col, "n_tokens")
+    avail = tok.groupBy(group_col).agg(
+        F.sum("n_tokens").cast("bigint").alias("avail_tokens")
+    )
+    total = avail.agg(F.sum("avail_tokens").cast("bigint").alias("_tot"))
+    w = F.lit(0)
+    for src, tw in targets.items():
+        w = F.when(F.col(group_col) == src, F.lit(int(tw))).otherwise(w)
+    return (
+        avail.withColumn("_w", w)
+        .filter(F.col("_w") > 0)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "need_tokens",
+            F.expr(f"_tot * {int(budget_mult_pct)} DIV 100 * _w DIV {z}").cast("bigint"),
+        )
+        .withColumn(
+            "epochs_milli",
+            F.least(
+                F.expr("need_tokens * 1000 DIV avail_tokens"),
+                F.lit(int(max_epochs_milli)),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "served_tokens",
+            F.least(F.col("need_tokens"), F.col("avail_tokens") * cap_epochs)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "unfilled_tokens",
+            (F.col("need_tokens") - F.col("served_tokens")).cast("bigint"),
+        )
+        .select(
+            group_col, "avail_tokens", "need_tokens", "epochs_milli",
+            "served_tokens", "unfilled_tokens",
+        )
     )
 
 

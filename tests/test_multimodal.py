@@ -520,3 +520,30 @@ def test_image_decontaminate_hamming_ball(spark):
     assert got == {
         "exact": True, "one": True, "two": True, "three": False, "far": False,
     }
+
+
+def test_frame_sample_plan_midpoints_and_exclusion(spark):
+    """Frame indices are the exact midpoint-rule integers, stay strictly
+    inside [0, total_frames), are non-decreasing in sample_idx, and videos
+    shorter than n_samples frames are excluded from the schedule."""
+    from pegasus_spark.multimodal import frame_sample_plan
+
+    rows = [
+        ("v_long", 10000, 3000),   # 10 s @ 30 fps → 300 frames
+        ("v_ntsc", 4000, 2397),    # 4 s @ 23.97 fps → 95 frames
+        ("v_short", 100, 3000),    # 3 frames < n_samples=8 → excluded
+    ]
+    df = spark.createDataFrame(rows, "video_id string, duration_ms long, fps_x100 long")
+    got = frame_sample_plan(df, n_samples=8).collect()
+    by_vid = {}
+    for r in got:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert "v_short" not in by_vid
+    for vid, dur, fps in rows[:2]:
+        total = dur * fps // 100000
+        plan = sorted(by_vid[vid], key=lambda r: r["sample_idx"])
+        assert [r["total_frames"] for r in plan] == [total] * 8
+        idxs = [r["frame_idx"] for r in plan]
+        assert idxs == [(2 * k + 1) * total // 16 for k in range(8)]
+        assert all(0 <= i < total for i in idxs)
+        assert idxs == sorted(idxs)

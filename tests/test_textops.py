@@ -1302,3 +1302,98 @@ class TestParagraphDedupRandomized:
                     for r in paragraph_dedup(docs, min_chars=min_chars).collect()
                 }
                 assert got == expect, f"case={case} min_chars={min_chars}"
+
+
+class TestMinhashDecontaminate:
+    def test_planted_eval_leak_flagged_unrelated_not(self, spark):
+        """A corpus doc that is a light edit of an eval doc must flag; a
+        corpus doc sharing no shingles must not; the eval docs themselves
+        never appear in the output."""
+        from pegasus_spark.textops.dedup import minhash_decontaminate
+
+        eval_text = (
+            "which of the following best describes the boiling point of "
+            "water at standard atmospheric pressure in celsius units"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, eval_text.replace("celsius", "centigrade")),  # leak
+                (11, "entirely unrelated prose about spark shuffle planning"
+                     " and adaptive query execution runtime behavior"),
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(900, eval_text)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in minhash_decontaminate(corpus, evals).collect()}
+        assert 10 in got and 11 not in got and 900 not in got
+        assert got[10]["n_eval_matches"] == 1
+        assert got[10]["max_sig_matches"] >= 4
+
+    def test_exact_eval_copy_matches_all_positions(self, spark):
+        from pegasus_spark.textops.dedup import minhash_decontaminate
+
+        text = "the exact same evaluation question text appears verbatim here"
+        corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        evals = spark.createDataFrame([(2, text)], "doc_id long, text string")
+        rows = minhash_decontaminate(corpus, evals).collect()
+        assert len(rows) == 1 and rows[0]["max_sig_matches"] == 8
+
+
+class TestEpochSchedule:
+    def test_cap_and_exact_integer_math(self, spark):
+        """Hand-checkable pool: src_a 100 tokens, src_b 900 tokens. Budget
+        200% = 2000 tokens at weights 1:1 → each source owes 1000. src_a
+        saturates at 4 epochs (serves 400, 600 unfilled); src_b runs
+        1000*1000//900 = 1111 milli-epochs with zero unfilled."""
+        from pegasus_spark.textops.text import epoch_schedule
+
+        rows = [(i, "w " * 9 + "w", "src_a") for i in range(10)]      # 10×10
+        rows += [(100 + i, "w " * 9 + "w", "src_b") for i in range(90)]  # 90×10
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            r["source"]: r
+            for r in epoch_schedule(
+                df, targets={"src_a": 1, "src_b": 1}, budget_mult_pct=200
+            ).collect()
+        }
+        a, b = got["src_a"], got["src_b"]
+        assert (a["avail_tokens"], a["need_tokens"]) == (100, 1000)
+        assert a["epochs_milli"] == 4000
+        assert (a["served_tokens"], a["unfilled_tokens"]) == (400, 600)
+        assert (b["avail_tokens"], b["need_tokens"]) == (900, 1000)
+        assert b["epochs_milli"] == 1111
+        assert (b["served_tokens"], b["unfilled_tokens"]) == (1000, 0)
+
+    def test_untargeted_sources_drop(self, spark):
+        from pegasus_spark.textops.text import epoch_schedule
+
+        df = spark.createDataFrame(
+            [(1, "a b c", "keep"), (2, "d e f", "drop")],
+            "doc_id long, text string, source string",
+        )
+        got = epoch_schedule(df, targets={"keep": 1}).collect()
+        assert [r["source"] for r in got] == ["keep"]
+
+
+class TestQualityThresholdSweep:
+    def test_monotone_and_total_row(self, spark, sf_dir):
+        """Kept counts must be non-increasing in the threshold, the lowest
+        materialized threshold must cover the whole pool (share 1.0), and
+        every kept count must equal a direct filter at that cut."""
+        from pegasus_spark.textops.text import quality_threshold_sweep, with_quality
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sweep = quality_threshold_sweep(docs).collect()
+        assert len(sweep) >= 2
+        kept = [r["n_docs_kept"] for r in sweep]
+        assert kept == sorted(kept, reverse=True)
+        assert sweep[0]["doc_share"] == 1.0 and sweep[0]["token_share"] == 1.0
+        q = with_quality(docs).select("quality").toPandas()["quality"]
+        import math
+
+        for r in sweep[1:3]:
+            t = r["threshold_x10"]
+            direct = int((q.map(lambda x: min(math.floor(x * 10), 9)) >= t).sum())
+            assert r["n_docs_kept"] == direct
