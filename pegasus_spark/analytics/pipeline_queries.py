@@ -2306,6 +2306,49 @@ def q_frame_sample_plan(spark, sf_dir):
     )
 
 
+def q_audio_chunk_plan(spark, sf_dir):
+    """Whisper-style strided audio chunk schedule (multimodal.
+    audio_chunk_plan) over md5-synthesized clip metadata: duration 0.5 to
+    120.5 s (sub-second clips exercise the min-tail exclusion), 16 kHz;
+    30 s windows every 24 s (20% overlap). All integer math; bytes never
+    enter the plan — the gated schedule half of the stubbed
+    audio_features decode."""
+    from pegasus_spark.multimodal import audio_chunk_plan
+
+    hw = F.md5(F.col("doc_id").cast("string"))
+    clips = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.conv(F.substring(hw, 1, 5), 16, 10).cast("bigint") % 120001 + 500)
+        .cast("bigint").alias("duration_ms"),
+        F.lit(16000).cast("bigint").alias("sample_rate"),
+    )
+    return audio_chunk_plan(clips, id_col="doc_id").orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_AUDIO_CHUNK_PLAN = """
+WITH clips AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 5))::BIGINT % 120001 + 500) AS duration_ms
+  FROM documents
+),
+n AS (
+  SELECT doc_id, duration_ms,
+         (duration_ms - 1000) // 24000 + 1 AS n_chunks
+  FROM clips WHERE duration_ms >= 1000
+),
+c AS (
+  SELECT doc_id, duration_ms, CAST(i AS INT) AS chunk_idx,
+         CAST(i * 24000 AS BIGINT) AS start_ms
+  FROM (SELECT doc_id, duration_ms, unnest(generate_series(0, n_chunks - 1)) AS i FROM n)
+)
+SELECT doc_id, chunk_idx, start_ms,
+       CAST(least(start_ms + 30000, duration_ms) AS BIGINT) AS end_ms,
+       CAST((least(start_ms + 30000, duration_ms) - start_ms) * 16000 // 1000 AS BIGINT) AS n_samples
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
 ORACLE_FRAME_SAMPLE_PLAN = """
 WITH vids AS (
   SELECT doc_id,
@@ -3111,6 +3154,7 @@ PIPELINE_QUERIES = {
     "ratio_bucket_stats": q_ratio_bucket_stats,
     "augmentation_plan": q_augmentation_plan,
     "frame_sample_plan": q_frame_sample_plan,
+    "audio_chunk_plan": q_audio_chunk_plan,
     "image_shard_plan": q_image_shard_plan,
     "phash_near_dup": q_phash_near_dup,
     "phash_clusters": q_phash_clusters,
@@ -3180,6 +3224,7 @@ PIPELINE_ORACLES = {
     "ratio_bucket_stats": ORACLE_RATIO_BUCKET_STATS,
     "augmentation_plan": ORACLE_AUGMENTATION_PLAN,
     "frame_sample_plan": ORACLE_FRAME_SAMPLE_PLAN,
+    "audio_chunk_plan": ORACLE_AUDIO_CHUNK_PLAN,
     "image_shard_plan": ORACLE_IMAGE_SHARD_PLAN,
     "phash_near_dup": ORACLE_PHASH_NEAR_DUP,
     "phash_clusters": ORACLE_PHASH_CLUSTERS,

@@ -727,6 +727,51 @@ def frame_sample_plan(
     )
 
 
+def audio_chunk_plan(
+    df: DataFrame, chunk_ms: int = 30000, stride_ms: int = 24000,
+    min_tail_ms: int = 1000, id_col: str = "audio_id",
+) -> DataFrame:
+    """Fixed-window audio chunking SCHEDULE — the segmentation step of a
+    speech-training pipeline (the Whisper 30 s window / wav2vec-style
+    strided segmenting): from per-clip metadata alone (duration_ms,
+    sample_rate), emit the [start, end) chunk spans a decoder should cut,
+    with overlap = chunk_ms − stride_ms so no boundary audio is lost.
+
+    Chunk i covers [i·stride, min(i·stride + chunk, duration)); chunks are
+    emitted while the remaining tail is ≥ ``min_tail_ms`` (a shorter tail
+    is already covered by the previous chunk's overlap), so
+    n = (duration − min_tail) DIV stride + 1 — exact integer math, as is
+    the per-chunk sample count (len·rate DIV 1000). Clips shorter than
+    ``min_tail_ms`` are excluded — the decode-whole-clip path owns those,
+    the same exclusion contract as frame_sample_plan.
+
+    Scale shape: a bounded explode (n ≤ duration/stride) then pure integer
+    projections — ZERO exchanges; audio bytes never enter the plan, which
+    column-prunes to the two metadata columns."""
+    import pyspark.sql.functions as F
+
+    n = F.expr(f"(duration_ms - {min_tail_ms}) DIV {stride_ms} + 1").cast("bigint")
+    return (
+        df.filter(F.col("duration_ms") >= min_tail_ms)
+        .select(
+            id_col, "duration_ms", "sample_rate",
+            F.explode(F.sequence(F.lit(0), (n - 1).cast("int"))).alias("chunk_idx"),
+        )
+        .withColumn("start_ms", (F.col("chunk_idx").cast("bigint") * stride_ms))
+        .withColumn(
+            "end_ms",
+            F.least(F.col("start_ms") + chunk_ms, F.col("duration_ms")).cast("bigint"),
+        )
+        .withColumn(
+            "n_samples",
+            F.expr("(end_ms - start_ms) * sample_rate DIV 1000").cast("bigint"),
+        )
+        .select(
+            id_col, "chunk_idx", "start_ms", "end_ms", "n_samples",
+        )
+    )
+
+
 def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio stub: interprets `bytes` as PCM16 mono (the deterministic fake
     for containers without torchaudio/soundfile; a real build branches on

@@ -547,3 +547,34 @@ def test_frame_sample_plan_midpoints_and_exclusion(spark):
         assert idxs == [(2 * k + 1) * total // 16 for k in range(8)]
         assert all(0 <= i < total for i in idxs)
         assert idxs == sorted(idxs)
+
+
+def test_audio_chunk_plan_spans_and_exclusion(spark):
+    """Chunks stride by 24 s with a 6 s overlap, the final chunk clips to
+    the clip end, tails under 1 s never start a chunk, and sub-second clips
+    are excluded entirely."""
+    from pegasus_spark.multimodal import audio_chunk_plan
+
+    rows = [
+        ("a_75s", 75000, 16000),   # chunks at 0/24/48/72 s → 4 (tail 3 s)
+        ("a_30s", 30000, 16000),   # exactly one window + 5 s tail chunk
+        ("a_sub", 800, 16000),     # < min_tail → excluded
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, duration_ms long, sample_rate long")
+    got = {}
+    for r in audio_chunk_plan(df).collect():
+        got.setdefault(r["audio_id"], []).append(r)
+    assert "a_sub" not in got
+    spans = [
+        (r["start_ms"], r["end_ms"], r["n_samples"])
+        for r in sorted(got["a_75s"], key=lambda r: r["chunk_idx"])
+    ]
+    assert spans == [
+        (0, 30000, 480000), (24000, 54000, 480000),
+        (48000, 75000, 432000), (72000, 75000, 48000),
+    ]
+    spans30 = [
+        (r["start_ms"], r["end_ms"])
+        for r in sorted(got["a_30s"], key=lambda r: r["chunk_idx"])
+    ]
+    assert spans30 == [(0, 30000), (24000, 30000)]
