@@ -2962,6 +2962,45 @@ def q_hard_negatives(spark, sf_dir):
     return S.hard_negatives(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3], k=5)
 
 
+def q_knn_probe(spark, sf_dir):
+    """Leave-one-out 1-NN label agreement (similarity.knn_label_probe) on
+    the deterministic md5 % 8 anchor sample — the embedding-space sanity
+    probe run before trusting the space for semantic dedup or similarity
+    filtering. Broadcast anchors, one narrow corpus scoring pass,
+    WindowGroupLimit argmax, |labels|-row output."""
+    return S.knn_label_probe(_emb(spark, sf_dir), sample_mod=8)
+
+
+ORACLE_KNN_PROBE = """
+WITH e AS (
+  SELECT vec_id, label::INT AS label, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv
+  FROM e WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT % 8 = 0
+),
+s AS (
+  SELECT q.anchor_id, q.anchor_label, e.vec_id, e.label,
+    round(list_dot_product(v, qv)
+          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4)
+      AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.anchor_id
+),
+r AS (
+  SELECT anchor_label, label, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC
+  ) AS rk FROM s
+)
+SELECT anchor_label AS label, CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN label = anchor_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       round(SUM(CASE WHEN label = anchor_label THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS agree_rate
+FROM r WHERE rk = 1
+GROUP BY anchor_label
+ORDER BY label
+"""
+
+
 ORACLE_HARD_NEGATIVES = """
 WITH e AS (
   SELECT vec_id, label::INT AS label, embedding::DOUBLE[] AS v FROM embeddings
@@ -3169,6 +3208,7 @@ PIPELINE_QUERIES = {
     "label_outliers": q_label_outliers,
     "token_fertility": q_token_fertility,
     "hard_negatives": q_hard_negatives,
+    "knn_probe": q_knn_probe,
     "rule_ablation": q_rule_ablation,
     "c4_rules": q_c4_rules,
 }
@@ -3239,6 +3279,7 @@ PIPELINE_ORACLES = {
     "label_outliers": ORACLE_LABEL_OUTLIERS,
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "knn_probe": ORACLE_KNN_PROBE,
     "rule_ablation": ORACLE_RULE_ABLATION,
     "c4_rules": ORACLE_C4_RULES,
 }

@@ -765,6 +765,65 @@ def label_outliers(
     )
 
 
+def knn_label_probe(
+    df: DataFrame,
+    sample_mod: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out 1-NN label agreement on a deterministic anchor sample —
+    the embedding-space sanity probe a curation pipeline runs BEFORE
+    trusting the space for semantic dedup / similarity filtering (the KNN
+    eval of the DataComp/SemDeDup toolbox): for each sampled anchor, does
+    its nearest OTHER vector carry the same label? Returns the per-label
+    agreement table (n_anchors, n_agree, agree_rate).
+
+    Anchors = md5(id) % sample_mod == 0 — the repo's deterministic-sample
+    discipline (no RNG; rerun/partitioning/engine invariant), and what
+    keeps the probe O(|sample| · corpus) instead of corpus². The plan is
+    cosine_topk_multi's: the anchor batch BROADCASTS, the corpus streams
+    once through a narrow scoring pass, the per-anchor argmax plans as
+    WindowGroupLimit (one row per anchor survives map-side before the
+    anchor exchange), and the final aggregate is |labels| rows. Cosine
+    rounds to 4 dp before ranking, ties break on id asc (the
+    hard_negatives discipline)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % sample_mod
+    )
+    q = df.filter(bucket == 0).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    base = df.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("anchor_id"))
+    cos = _dot(F.col(vec_col), F.col("_qvec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(_dot(F.col("_qvec"), F.col("_qvec")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc(F.round(cos, 4)), F.asc(id_col)
+    )
+    nn = (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "anchor_label",
+            (F.col(label_col) == F.col("anchor_label")).alias("_agree"),
+        )
+    )
+    return (
+        nn.groupBy(F.col("anchor_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.sum(F.col("_agree").cast("int")).cast("bigint").alias("n_agree"),
+        )
+        .withColumn("agree_rate", F.round(F.col("n_agree") / F.col("n_anchors"), 4))
+        .orderBy("label")
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     query_ids: list[int],

@@ -1397,3 +1397,27 @@ class TestQualityThresholdSweep:
             t = r["threshold_x10"]
             direct = int((q.map(lambda x: min(math.floor(x * 10), 9)) >= t).sum())
             assert r["n_docs_kept"] == direct
+
+
+class TestKnnLabelProbe:
+    def test_planted_clusters_and_singleton_disagrees(self, spark):
+        """Two tight same-label pairs agree at 1-NN; a singleton label's
+        nearest neighbor necessarily carries another label, so it
+        disagrees (sample_mod=1 makes every vector an anchor)."""
+        from pegasus_spark.textops.similarity import knn_label_probe
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0, 0.0], 0),
+            (3, [0.0, 1.0, 0.0, 0.0], 1),
+            (4, [0.1, 0.9, 0.0, 0.0], 1),
+            (5, [0.0, 0.0, 1.0, 0.0], 2),   # singleton label
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {r["label"]: r for r in knn_label_probe(df, sample_mod=1).collect()}
+        assert (got[0]["n_anchors"], got[0]["n_agree"]) == (2, 2)
+        assert (got[1]["n_anchors"], got[1]["n_agree"]) == (2, 2)
+        assert (got[2]["n_anchors"], got[2]["n_agree"]) == (1, 0)
+        assert got[0]["agree_rate"] == 1.0 and got[2]["agree_rate"] == 0.0
