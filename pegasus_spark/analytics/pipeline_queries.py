@@ -1025,6 +1025,104 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_contamination_report(spark, sf_dir):
+    """Per-source contamination datacard: how many of each source's docs the
+    EXACT 4-gram eval-overlap scrub flags, how many the FUZZY minhash probe
+    flags, and the rates — the triage table that decides whether a source
+    needs doc-level scrubbing or wholesale exclusion before training (the
+    rollup the per-doc `decontaminate` / `fuzzy_decontaminate` outputs feed
+    in a real release audit).
+
+    Scale shape: both flag sets are contamination-sized (probe hits only),
+    so they BROADCAST into left joins against the (doc_id, source) pairs;
+    the only unbounded exchange is the per-source partial aggregate
+    (|sources| rows). The expensive subtrees are exactly the two gated
+    operators' — this query adds two tiny joins and one bounded agg on
+    top."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 101 != 0).select("doc_id", "source")
+    exact = q_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("_ex")
+    )
+    fuzzy = q_fuzzy_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("_fz")
+    )
+    return (
+        corpus.join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(fuzzy), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_ex"), F.lit(0))).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_fz"), F.lit(0))).cast("bigint").alias("n_fuzzy"),
+        )
+        .withColumn("exact_rate", F.round(F.col("n_exact") / F.col("n_docs"), 4))
+        .withColumn("fuzzy_rate", F.round(F.col("n_fuzzy") / F.col("n_docs"), 4))
+        .orderBy("source")
+    )
+
+
+ORACLE_CONTAMINATION_REPORT = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 3, 1))) AS i FROM toks)
+),
+eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+exact_hit AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE doc_id % 101 <> 0 AND gram IN (SELECT gram FROM eval_g)
+),
+t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+  FROM bands c JOIN bands e ON c.band = e.band AND c.bh = e.bh
+  WHERE c.doc_id % 101 <> 0 AND e.doc_id % 101 = 0
+),
+fuzzy_hit AS (
+  SELECT DISTINCT cand.doc_id
+  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_id JOIN sig sb ON sb.doc_id = cand.eval_id
+  WHERE (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) >= 4
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+       round(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS exact_rate,
+       round(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS fuzzy_rate
+FROM documents d
+LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+LEFT JOIN fuzzy_hit f ON f.doc_id = d.doc_id
+WHERE d.doc_id % 101 <> 0
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Intra-document repetition ratio (the Gopher/C4-style quality rule:
     heavily self-repeating docs are boilerplate): fraction of a doc's token
@@ -3165,6 +3263,7 @@ PIPELINE_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "decontaminate": q_decontaminate,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "contamination_report": q_contamination_report,
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3236,6 +3335,7 @@ PIPELINE_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "decontaminate": ORACLE_DECONTAMINATE,
     "fuzzy_decontaminate": ORACLE_FUZZY_DECONTAMINATE,
+    "contamination_report": ORACLE_CONTAMINATION_REPORT,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "source_mix": ORACLE_SOURCE_MIX,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
