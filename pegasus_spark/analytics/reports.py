@@ -602,3 +602,23 @@ def caption_rule_ablation(items: DataFrame) -> DataFrame:
         flagged,
         ["c_terminal", "c_min_words", "c_no_braces", "c_no_lorem", "c_no_badword"],
     )
+
+
+def caption_quality_sweep(items: DataFrame) -> DataFrame:
+    """Quality-filter operating-point table over a committed items table's
+    captions — the crawl-side twin of the gated ``threshold_sweep``: for
+    each decile quality cut, how many captions (and caption tokens) survive
+    and their share of the pool. The read a crawl operator takes to PICK
+    the caption-quality floor before exporting a training corpus, the same
+    way caption_rule_ablation picks between C4 rules.
+
+    Scale shape inherited from quality_threshold_sweep: one ≤10-bucket
+    combinable aggregate; the cumulative/share windows see only histogram
+    rows. Empty captions are excluded up front (their quality score is
+    undefined — 0/0 ratios)."""
+    from pegasus_spark.textops.text import quality_threshold_sweep
+
+    caps = items.select(F.col("caption").alias("text")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return quality_threshold_sweep(caps)

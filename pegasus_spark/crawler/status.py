@@ -194,6 +194,26 @@ def crawl_rule_ablation(
     return [r.asDict() for r in caption_rule_ablation(items).collect()]
 
 
+def crawl_quality_sweep(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> list[dict[str, Any]]:
+    """Caption quality operating-point table over the COMMITTED items table
+    (reports.caption_quality_sweep, the crawl twin of the gated
+    threshold_sweep): captions/tokens surviving each decile quality cut —
+    the read that picks the caption-quality floor before an export. Reads
+    only manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import caption_quality_sweep
+
+    return [r.asDict() for r in caption_quality_sweep(items).collect()]
+
+
 def crawl_recrawl_schedule(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
     now_ts: int | None = None, horizon_s: int = 7 * 86400, top: int = 10,
@@ -336,18 +356,20 @@ def main(argv: list[str] | None = None) -> int:
     pii = "--pii" in argv
     datacard = "--datacard" in argv
     ablation = "--ablation" in argv
+    sweep = "--sweep" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
-            "--politeness", "--pii", "--datacard", "--ablation",
+            "--politeness", "--pii", "--datacard", "--ablation", "--sweep",
         )
     ]
     if len(argv) != 1:
         print(
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
-            " [--politeness] [--pii] [--datacard] [--ablation] <workdir>",
+            " [--politeness] [--pii] [--datacard] [--ablation] [--sweep]"
+            " <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -405,6 +427,12 @@ def main(argv: list[str] | None = None) -> int:
             out["rule_ablation"] = crawl_rule_ablation(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--ablation: {exc}", file=sys.stderr)
+            return 2
+    if sweep:
+        try:
+            out["quality_sweep"] = crawl_quality_sweep(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--sweep: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

@@ -609,3 +609,30 @@ def test_ablation_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["rule_ablation"] == rep
+
+
+def test_sweep_cli_surface(crawl, capsys):
+    """`status --sweep` publishes the caption quality operating-point table
+    over the COMMITTED items captions (reports.caption_quality_sweep, the
+    crawl twin of the gated threshold_sweep): kept counts are monotone
+    non-increasing in the threshold, the lowest row covers every non-empty
+    caption with share 1.0, and the CLI payload equals the report call."""
+    import json
+
+    from pegasus_spark.crawler.status import crawl_quality_sweep, main
+
+    spec, sched, result, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    n_caps = items.filter("length(trim(caption)) > 0").count()
+
+    rep = crawl_quality_sweep(sched.spark, sched.store.workdir, sched.store)
+    assert len(rep) >= 1
+    kept = [r["n_docs_kept"] for r in rep]
+    assert kept == sorted(kept, reverse=True)
+    assert rep[0]["n_docs_kept"] == n_caps
+    assert rep[0]["doc_share"] == 1.0 and rep[0]["token_share"] == 1.0
+
+    rc = main(["--sweep", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["quality_sweep"] == rep
