@@ -2431,7 +2431,8 @@ WITH clips AS (
 ),
 n AS (
   SELECT doc_id, duration_ms,
-         (duration_ms - 1000) // 24000 + 1 AS n_chunks
+         CASE WHEN duration_ms >= 31000
+              THEN (duration_ms - 31000) // 24000 + 2 ELSE 1 END AS n_chunks
   FROM clips WHERE duration_ms >= 1000
 ),
 c AS (

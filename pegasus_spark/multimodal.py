@@ -737,20 +737,32 @@ def audio_chunk_plan(
     sample_rate), emit the [start, end) chunk spans a decoder should cut,
     with overlap = chunk_ms − stride_ms so no boundary audio is lost.
 
-    Chunk i covers [i·stride, min(i·stride + chunk, duration)); chunks are
-    emitted while the remaining tail is ≥ ``min_tail_ms`` (a shorter tail
-    is already covered by the previous chunk's overlap), so
-    n = (duration − min_tail) DIV stride + 1 — exact integer math, as is
-    the per-chunk sample count (len·rate DIV 1000). Clips shorter than
-    ``min_tail_ms`` are excluded — the decode-whole-clip path owns those,
-    the same exclusion contract as frame_sample_plan.
+    Chunk i covers [i·stride, min(i·stride + chunk, duration)); a chunk is
+    emitted only if it adds ≥ ``min_tail_ms`` of NEW audio beyond the
+    previous chunk's end — which in particular drops any chunk fully
+    contained in its predecessor's span (a tail shorter than the overlap
+    is already decoded). Chunk i ≥ 1 adds duration − (i−1)·stride − chunk
+    new ms once clipped, so
+    n = (duration − chunk − min_tail) DIV stride + 2 when duration ≥
+    chunk + min_tail, else 1 — exact integer math, as is the per-chunk
+    sample count (len·rate DIV 1000). Clips shorter than ``min_tail_ms``
+    are excluded entirely — the decode-whole-clip path owns those, the
+    same exclusion contract as frame_sample_plan. Requires
+    stride ≥ min_tail (every non-final chunk adds a full stride of new
+    audio).
 
     Scale shape: a bounded explode (n ≤ duration/stride) then pure integer
     projections — ZERO exchanges; audio bytes never enter the plan, which
     column-prunes to the two metadata columns."""
     import pyspark.sql.functions as F
 
-    n = F.expr(f"(duration_ms - {min_tail_ms}) DIV {stride_ms} + 1").cast("bigint")
+    if stride_ms < min_tail_ms:
+        raise ValueError("stride_ms must be >= min_tail_ms")
+    n = F.expr(
+        f"CASE WHEN duration_ms >= {chunk_ms + min_tail_ms}"
+        f" THEN (duration_ms - {chunk_ms + min_tail_ms}) DIV {stride_ms} + 2"
+        f" ELSE 1 END"
+    ).cast("bigint")
     return (
         df.filter(F.col("duration_ms") >= min_tail_ms)
         .select(

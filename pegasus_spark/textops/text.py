@@ -525,15 +525,17 @@ def epoch_schedule(
     All math is exact BIGINT (no float enters the plan):
       budget       = total_tokens * budget_mult_pct DIV 100
       need_s       = budget * w_s DIV Σw
-      epochs_milli = min(need_s · 1000 DIV avail_s, 4000)
-      served_s     = min(need_s, avail_s · 4); unfilled = need - served
+      epochs_milli = min(need_s · 1000 DIV avail_s, max_epochs_milli)
+      served_s     = min(need_s, avail_s · max_epochs_milli DIV 1000)
+      unfilled     = need - served
+    (so served honors the SAME milli-precision cap epochs_milli reports —
+    a 4500-milli cap serves 4.5 epochs of tokens, not a truncated 4)
 
     Scale shape: ONE combinable per-source token aggregate (|sources| rows
     on the exchange at any corpus size), a 1-row total broadcast back, and
     a narrow projection — the text column never shuffles. Sources absent
     from ``targets`` drop (weight 0), matching mixture_resample."""
     z = int(sum(targets.values()))
-    cap_epochs = max_epochs_milli // 1000
     tok = with_token_count(df).select(group_col, "n_tokens")
     avail = tok.groupBy(group_col).agg(
         F.sum("n_tokens").cast("bigint").alias("avail_tokens")
@@ -559,8 +561,10 @@ def epoch_schedule(
         )
         .withColumn(
             "served_tokens",
-            F.least(F.col("need_tokens"), F.col("avail_tokens") * cap_epochs)
-            .cast("bigint"),
+            F.least(
+                F.col("need_tokens"),
+                F.expr(f"avail_tokens * {int(max_epochs_milli)} DIV 1000"),
+            ).cast("bigint"),
         )
         .withColumn(
             "unfilled_tokens",

@@ -551,13 +551,15 @@ def test_frame_sample_plan_midpoints_and_exclusion(spark):
 
 def test_audio_chunk_plan_spans_and_exclusion(spark):
     """Chunks stride by 24 s with a 6 s overlap, the final chunk clips to
-    the clip end, tails under 1 s never start a chunk, and sub-second clips
-    are excluded entirely."""
+    the clip end, a chunk that would add under 1 s of NEW audio (including
+    any chunk fully contained in its predecessor) never starts, and
+    sub-second clips are excluded entirely."""
     from pegasus_spark.multimodal import audio_chunk_plan
 
     rows = [
-        ("a_75s", 75000, 16000),   # chunks at 0/24/48/72 s → 4 (tail 3 s)
-        ("a_30s", 30000, 16000),   # exactly one window + 5 s tail chunk
+        ("a_75s", 75000, 16000),   # 0/24/48 s; a 72 s chunk would add 0 new ms
+        ("a_30s", 30000, 16000),   # one window — [24, 30) ⊂ [0, 30) drops
+        ("a_31s", 31000, 16000),   # tail adds exactly 1 s of new audio → kept
         ("a_sub", 800, 16000),     # < min_tail → excluded
     ]
     df = spark.createDataFrame(rows, "audio_id string, duration_ms long, sample_rate long")
@@ -570,11 +572,15 @@ def test_audio_chunk_plan_spans_and_exclusion(spark):
         for r in sorted(got["a_75s"], key=lambda r: r["chunk_idx"])
     ]
     assert spans == [
-        (0, 30000, 480000), (24000, 54000, 480000),
-        (48000, 75000, 432000), (72000, 75000, 48000),
+        (0, 30000, 480000), (24000, 54000, 480000), (48000, 75000, 432000),
     ]
     spans30 = [
         (r["start_ms"], r["end_ms"])
         for r in sorted(got["a_30s"], key=lambda r: r["chunk_idx"])
     ]
-    assert spans30 == [(0, 30000), (24000, 30000)]
+    assert spans30 == [(0, 30000)]
+    spans31 = [
+        (r["start_ms"], r["end_ms"])
+        for r in sorted(got["a_31s"], key=lambda r: r["chunk_idx"])
+    ]
+    assert spans31 == [(0, 30000), (24000, 31000)]
