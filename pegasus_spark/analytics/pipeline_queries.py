@@ -1470,6 +1470,46 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_pack_manifest(spark, sf_dir):
+    """Shard manifest over the pack_shards assignment (T.pack_manifest):
+    per (source, shard) — docs, exact token total, id span, and the
+    order-free md5-of-sorted-md5(id)s content digest two exports can
+    compare without payloads. One shard-key groupBy over the planner's
+    narrow rows."""
+    return T.pack_manifest(T.pack_shards(_docs(spark, sf_dir), budget=512))
+
+
+ORACLE_PACK_MANIFEST = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prior
+  FROM t
+),
+a AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor(prior / 512.0) AS BIGINT) AS shard_id
+  FROM c
+)
+SELECT source, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+       md5(string_agg(md5(doc_id::VARCHAR), '|'
+           ORDER BY md5(doc_id::VARCHAR))) AS digest
+FROM a
+GROUP BY source, shard_id
+ORDER BY source, shard_id
+"""
+
+
 def q_pack_shards_salted(spark, sf_dir):
     """The Zipf-safe PRODUCTION form of pack_shards (round 5): every source
     subdivides into 8 md5(doc_id) salt groups and each (source, grp) unit
@@ -3273,6 +3313,7 @@ PIPELINE_QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "pack_shards": q_pack_shards,
     "pack_shards_salted": q_pack_shards_salted,
+    "pack_manifest": q_pack_manifest,
     "mixture_resample": q_mixture_resample,
     "epoch_schedule": q_epoch_schedule,
     "threshold_sweep": q_threshold_sweep,
@@ -3345,6 +3386,7 @@ PIPELINE_ORACLES = {
     "dup_rate_by_source": ORACLE_DUP_RATE_BY_SOURCE,
     "pack_shards": ORACLE_PACK_SHARDS,
     "pack_shards_salted": ORACLE_PACK_SHARDS_SALTED,
+    "pack_manifest": ORACLE_PACK_MANIFEST,
     "mixture_resample": ORACLE_MIXTURE_RESAMPLE,
     "epoch_schedule": ORACLE_EPOCH_SCHEDULE,
     "threshold_sweep": ORACLE_THRESHOLD_SWEEP,

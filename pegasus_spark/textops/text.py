@@ -271,6 +271,36 @@ def pack_shards(
     )
 
 
+def pack_manifest(
+    assignment: DataFrame, group_col: str = "source", id_col: str = "doc_id",
+) -> DataFrame:
+    """Shard MANIFEST — the release artifact a corpus export publishes next
+    to its packed shards (the text twin of multimodal.shard_manifest, plus
+    the reproducibility digest the image writer carries in its summary):
+    per (group, shard) — doc count, exact token total, the id span, and an
+    ORDER-FREE content digest (md5 over the sorted per-doc md5(id) hexes)
+    so two exports — or two clusters — can assert they packed IDENTICAL
+    shards without comparing payloads.
+
+    Scale shape: ONE groupBy on the shard key over the already-narrow
+    assignment rows; the sorted-list digest state is bounded per group by
+    the packing budget (a shard holds ~budget tokens by construction), so
+    per-task memory is capped by the planner, not the corpus."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return (
+        assignment.groupBy(group_col, "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min(id_col).alias("first_id"),
+            F.max(id_col).alias("last_id"),
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list(h))))
+            .alias("digest"),
+        )
+        .orderBy(group_col, "shard_id")
+    )
+
+
 def line_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

@@ -1421,3 +1421,33 @@ class TestKnnLabelProbe:
         assert (got[1]["n_anchors"], got[1]["n_agree"]) == (2, 2)
         assert (got[2]["n_anchors"], got[2]["n_agree"]) == (1, 0)
         assert got[0]["agree_rate"] == 1.0 and got[2]["agree_rate"] == 0.0
+
+
+class TestPackManifest:
+    def test_digest_is_order_free_and_partition_invariant(self, spark):
+        """The manifest digest depends only on shard MEMBERSHIP: identical
+        across input partitionings, and a hand-built replay of
+        md5(sorted md5(id)s joined by '|') reproduces it."""
+        import hashlib
+
+        from pegasus_spark.textops.text import pack_manifest, pack_shards
+
+        rows = [(i, "tok " * ((i % 7) + 2), f"src{i % 2}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        m1 = {(r["source"], r["shard_id"]): r
+              for r in pack_manifest(pack_shards(df, budget=16)).collect()}
+        m2 = {(r["source"], r["shard_id"]): r
+              for r in pack_manifest(pack_shards(df.repartition(7), budget=16)).collect()}
+        assert m1.keys() == m2.keys() and len(m1) > 2
+        for k in m1:
+            assert m1[k]["digest"] == m2[k]["digest"]
+            assert m1[k]["n_docs"] == m2[k]["n_docs"]
+
+        assign = {}
+        for r in pack_shards(df, budget=16).collect():
+            assign.setdefault((r["source"], r["shard_id"]), []).append(r["doc_id"])
+        for k, ids in assign.items():
+            hexes = sorted(hashlib.md5(str(i).encode()).hexdigest() for i in ids)
+            want = hashlib.md5("|".join(hexes).encode()).hexdigest()
+            assert m1[k]["digest"] == want
+            assert m1[k]["first_id"] == min(ids) and m1[k]["last_id"] == max(ids)
