@@ -1025,6 +1025,143 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_index_dedup(spark, sf_dir):
+    """Incremental ingestion dedup (D.minhash_index_dedup): the doc_id % 3
+    == 0 slice stands in for the committed corpus index, the rest for
+    today's batch — new docs whose minhash LSH-collides with the index and
+    agrees on ≥ 4 of 8 positions flag as already-ingested near-dups. The
+    band match is a SHUFFLE join (the index is corpus-scale; broadcast is
+    the eval-suite case, fuzzy_decontaminate), both sides minhashed once
+    via keep_sig."""
+    docs = _docs(spark, sf_dir)
+    return D.minhash_index_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    ).orderBy("doc_id")
+
+
+ORACLE_INDEX_DEDUP = r"""
+WITH t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_id, ix.doc_id AS index_id
+  FROM bands b JOIN bands ix ON b.band = ix.band AND b.bh = ix.bh
+  WHERE b.doc_id % 3 <> 0 AND ix.doc_id % 3 = 0
+),
+ver AS (
+  SELECT cand.doc_id, cand.index_id,
+    (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) AS sig_matches
+  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_id JOIN sig sb ON sb.doc_id = cand.index_id
+)
+SELECT doc_id, CAST(count(DISTINCT index_id) AS BIGINT) AS n_index_matches,
+       CAST(max(sig_matches) AS BIGINT) AS max_sig_matches
+FROM ver WHERE sig_matches >= 4
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication overlap matrix — the "how much of source A
+    re-appears in source B" table a release datacard publishes (the
+    CommonCrawl-vs-C4-style overlap audits): verified minhash near-dup
+    pairs (the gated minhash_near_dup output) rolled up per unordered
+    source pair, with within-source pairs on the diagonal.
+
+    Scale shape: the pair search is minhash_near_dup's (band-key equality
+    join, no all-pairs); the rollup joins the pair ids to their sources —
+    two id-keyed joins of pair-sized rows — and aggregates to at most
+    |sources|² rows, bounded at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(docs)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("source", "src_b"), "id_b")
+    )
+    return (
+        lab.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = r"""
+WITH t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+  WHERE (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) >= 4
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM ver
+JOIN documents da ON da.doc_id = ver.id_a
+JOIN documents db ON db.doc_id = ver.id_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 def q_contamination_report(spark, sf_dir):
     """Per-source contamination datacard: how many of each source's docs the
     EXACT 4-gram eval-overlap scrub flags, how many the FUZZY minhash probe
@@ -3305,6 +3442,8 @@ PIPELINE_QUERIES = {
     "decontaminate": q_decontaminate,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "contamination_report": q_contamination_report,
+    "index_dedup": q_index_dedup,
+    "source_overlap": q_source_overlap,
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3378,6 +3517,8 @@ PIPELINE_ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "fuzzy_decontaminate": ORACLE_FUZZY_DECONTAMINATE,
     "contamination_report": ORACLE_CONTAMINATION_REPORT,
+    "index_dedup": ORACLE_INDEX_DEDUP,
+    "source_overlap": ORACLE_SOURCE_OVERLAP,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "source_mix": ORACLE_SOURCE_MIX,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,

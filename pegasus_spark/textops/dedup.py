@@ -222,6 +222,51 @@ def minhash_decontaminate(
     )
 
 
+def minhash_index_dedup(
+    batch_df: DataFrame, index_df: DataFrame,
+    n_hashes: int = 8, k: int = 5, bands: int = 4, rows: int = 2,
+    min_sig_match: int = 4, id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL ingestion dedup: flag new-batch documents that near-
+    duplicate anything already in a committed corpus INDEX — the
+    daily-crawl pattern (dedup today's batch against the 100 TB corpus
+    without re-clustering it). The structural sibling of
+    `minhash_decontaminate` at the opposite cardinality: there the probe
+    side (an eval suite) is tiny and BROADCASTS; here the index side is
+    corpus-scale, so the band match is a SHUFFLE equality join on
+    (band, band_hash) — the key is content-hash-distributed, AQE
+    skew-splits hot boilerplate bands, and in production the index
+    signatures are a write-once store table built when each batch commits
+    (this function recomputes them from text only because the gate has no
+    store).
+
+    Both sides carry their signature through the band explode (keep_sig),
+    so each corpus is minhashed exactly ONCE and the verify step needs no
+    join back into either signature subtree. Output: one row per flagged
+    batch doc — distinct index docs matched and the strongest agreement."""
+    sig_b = minhash_signatures(batch_df, n_hashes, k, id_col=id_col)
+    sig_i = minhash_signatures(index_df, n_hashes, k, id_col=id_col)
+    bands_b = banded_sigs(sig_b, bands, rows, id_col, keep_sig=True)
+    bands_i = banded_sigs(sig_i, bands, rows, id_col, keep_sig=True).select(
+        F.col(id_col).alias("index_id"), F.col("sig").alias("sig_i"), "band", "bh"
+    )
+    cand = (
+        bands_b.join(bands_i, ["band", "bh"])
+        .select(id_col, "sig", "index_id", "sig_i")
+        .distinct()
+    )
+    ver = cand.withColumn(
+        "sig_matches",
+        F.size(
+            F.filter(F.zip_with("sig", "sig_i", lambda x, y: x == y), lambda m: m)
+        ),
+    ).filter(F.col("sig_matches") >= min_sig_match)
+    return ver.groupBy(id_col).agg(
+        F.countDistinct("index_id").cast("bigint").alias("n_index_matches"),
+        F.max("sig_matches").cast("bigint").alias("max_sig_matches"),
+    )
+
+
 def near_dup_clusters(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20,
 ) -> DataFrame:

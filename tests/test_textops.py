@@ -1451,3 +1451,30 @@ class TestPackManifest:
             want = hashlib.md5("|".join(hexes).encode()).hexdigest()
             assert m1[k]["digest"] == want
             assert m1[k]["first_id"] == min(ids) and m1[k]["last_id"] == max(ids)
+
+
+class TestMinhashIndexDedup:
+    def test_batch_near_dup_of_index_flags(self, spark):
+        """A batch doc that lightly edits an index doc flags; a fresh batch
+        doc doesn't; index docs never appear in the output."""
+        from pegasus_spark.textops.dedup import minhash_index_dedup
+
+        base = (
+            "spark shuffles partition data across executors during wide "
+            "transformations like joins and aggregations at scale"
+        )
+        index = spark.createDataFrame(
+            [(100, base), (101, "other committed corpus text entirely")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (1, base.replace("executors", "workers")),     # near-dup
+                (2, "genuinely novel content about bloom filter sharding"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in minhash_index_dedup(batch, index).collect()}
+        assert 1 in got and 2 not in got and 100 not in got
+        assert got[1]["n_index_matches"] == 1
+        assert got[1]["max_sig_matches"] >= 4
