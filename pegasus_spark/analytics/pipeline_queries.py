@@ -1162,6 +1162,120 @@ ORDER BY source_a, source_b
 """
 
 
+def q_length_histogram(spark, sf_dir):
+    """Per-source document-length distribution on an EXACT log2 ladder —
+    the datasheet figure next to corpus_datacard's table (Gebru et al.
+    datasheets; every corpus release plots it): docs and token mass per
+    (source, ⌊log2(n_tokens)⌋ bucket). The bucket is computed exactly as
+    length(bin(n_tokens)) − 1 — a string-length identity both engines
+    share — so NO float log enters the plan and the power-of-two boundary
+    rows cannot drift between engines.
+
+    Scale shape: one narrow token-count projection + ONE combinable
+    groupBy on (source, bucket) — |sources|·~20 groups at any corpus
+    size; text never shuffles."""
+    tok = T.with_token_count(_docs(spark, sf_dir)).filter(F.col("n_tokens") >= 1)
+    bucket = (F.length(F.expr("bin(n_tokens)")) - 1).cast("int")
+    return (
+        tok.groupBy("source", bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "log2_bucket")
+    )
+
+
+ORACLE_LENGTH_HISTOGRAM = r"""
+WITH tok AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT source, CAST(length(bin(n_tokens)) - 1 AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM tok WHERE n_tokens >= 1
+GROUP BY 1, 2
+ORDER BY source, log2_bucket
+"""
+
+
+def q_dup_audit_sample(spark, sf_dir):
+    """Deterministic human-QA queue for the near-dup pass: the 20
+    strongest verified minhash pairs (sig_matches desc, then (id_a, id_b)
+    asc — a fully tie-broken LIMIT per the repo rule), each carrying both
+    docs' content md5s so an auditor can pull the texts by hash without
+    the query ever moving them. Every large dedup deployment samples pairs
+    for manual threshold QA before a destructive pass; this is that
+    sample, reproducible across reruns and engines.
+
+    Scale shape: minhash_near_dup's pair plan, two id-keyed joins of
+    pair-sized rows for the md5s, then TakeOrderedAndProject — the global
+    top-20 never materializes more than 20 rows per partition."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(docs)
+    h = docs.select("doc_id", F.md5("text").alias("_h"))
+    return (
+        pairs.join(h.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("_h", "md5_a"), "id_a")
+        .join(h.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("_h", "md5_b"), "id_b")
+        .select("id_a", "id_b", "sig_matches", "md5_a", "md5_b")
+        .orderBy(F.desc("sig_matches"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+ORACLE_DUP_AUDIT_SAMPLE = r"""
+WITH t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT p.id_a, p.id_b,
+    (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) AS sig_matches
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+  WHERE (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) >= 4
+)
+SELECT v.id_a, v.id_b, v.sig_matches,
+       md5(da.text) AS md5_a, md5(db.text) AS md5_b
+FROM ver v
+JOIN documents da ON da.doc_id = v.id_a
+JOIN documents db ON db.doc_id = v.id_b
+ORDER BY v.sig_matches DESC, v.id_a, v.id_b
+LIMIT 20
+"""
+
+
 def q_contamination_report(spark, sf_dir):
     """Per-source contamination datacard: how many of each source's docs the
     EXACT 4-gram eval-overlap scrub flags, how many the FUZZY minhash probe
@@ -3444,6 +3558,8 @@ PIPELINE_QUERIES = {
     "contamination_report": q_contamination_report,
     "index_dedup": q_index_dedup,
     "source_overlap": q_source_overlap,
+    "length_histogram": q_length_histogram,
+    "dup_audit_sample": q_dup_audit_sample,
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3519,6 +3635,8 @@ PIPELINE_ORACLES = {
     "contamination_report": ORACLE_CONTAMINATION_REPORT,
     "index_dedup": ORACLE_INDEX_DEDUP,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
+    "length_histogram": ORACLE_LENGTH_HISTOGRAM,
+    "dup_audit_sample": ORACLE_DUP_AUDIT_SAMPLE,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "source_mix": ORACLE_SOURCE_MIX,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
