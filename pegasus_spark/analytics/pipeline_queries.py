@@ -3354,11 +3354,14 @@ def q_hard_negatives(spark, sf_dir):
 
 def q_knn_probe(spark, sf_dir):
     """Leave-one-out 1-NN label agreement (similarity.knn_label_probe) on
-    the deterministic md5 % 8 anchor sample — the embedding-space sanity
-    probe run before trusting the space for semantic dedup or similarity
-    filtering. Broadcast anchors, one narrow corpus scoring pass,
-    WindowGroupLimit argmax, |labels|-row output."""
-    return S.knn_label_probe(_emb(spark, sf_dir), sample_mod=8)
+    the deterministic md5 anchor sample — the embedding-space sanity probe
+    run before trusting the space for semantic dedup or similarity
+    filtering. sample_mod scales with the corpus (max(8, n // 256), the
+    semantic_dedup k-scaling pattern); the sf0.01 gate sits at the floor
+    of 8, matching the oracle's % 8. Broadcast anchors, one narrow corpus
+    scoring pass with the double view + norm hoisted out of the pair
+    block, WindowGroupLimit argmax, |labels|-row output."""
+    return S.knn_label_probe(_emb(spark, sf_dir))
 
 
 ORACLE_KNN_PROBE = """
