@@ -2758,6 +2758,56 @@ ORDER BY doc_id, sample_idx
 """
 
 
+def q_resolution_histogram(spark, sf_dir):
+    """Per-format image-resolution distribution on an EXACT log2 pixel
+    ladder — the image-modality datasheet figure beside length_histogram
+    (every image-corpus release plots its resolution mix): images and
+    total megapixel mass per (format, ⌊log2(w·h)⌋ bucket). Dims and format
+    come from the md5 synthesis the ratio planners share; the bucket is
+    length(bin(w·h)) − 1, the same no-float-log identity as
+    length_histogram. One bounded-key combinable groupBy; bytes never
+    enter the plan."""
+    hw = F.md5(F.col("doc_id").cast("string"))
+    imgs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .alias("w"),
+        (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+        .alias("h"),
+        F.when(
+            F.conv(F.substring(hw, 9, 2), 16, 10).cast("bigint") % 4 < 3, "jpeg"
+        ).otherwise("png").alias("fmt"),
+    )
+    px = F.col("w") * F.col("h")
+    bucket = (F.length(F.expr("bin(w * h)")) - 1).cast("int")
+    return (
+        imgs.groupBy("fmt", bucket.alias("log2_px_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum(px).cast("bigint").alias("total_pixels"),
+        )
+        .orderBy("fmt", "log2_px_bucket")
+    )
+
+
+ORACLE_RESOLUTION_HISTOGRAM = """
+WITH imgs AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1793 + 256) AS w,
+    (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 1793 + 256) AS h,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 9, 2))::BIGINT % 4 < 3
+         THEN 'jpeg' ELSE 'png' END AS fmt
+  FROM documents
+)
+SELECT fmt, CAST(length(bin(w * h)) - 1 AS INT) AS log2_px_bucket,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(w * h) AS BIGINT) AS total_pixels
+FROM imgs
+GROUP BY 1, 2
+ORDER BY fmt, log2_px_bucket
+"""
+
+
 ORACLE_AUGMENTATION_PLAN = """
 WITH imgs AS (
   SELECT doc_id,
@@ -3562,6 +3612,7 @@ PIPELINE_QUERIES = {
     "index_dedup": q_index_dedup,
     "source_overlap": q_source_overlap,
     "length_histogram": q_length_histogram,
+    "resolution_histogram": q_resolution_histogram,
     "dup_audit_sample": q_dup_audit_sample,
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
@@ -3639,6 +3690,7 @@ PIPELINE_ORACLES = {
     "index_dedup": ORACLE_INDEX_DEDUP,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
+    "resolution_histogram": ORACLE_RESOLUTION_HISTOGRAM,
     "dup_audit_sample": ORACLE_DUP_AUDIT_SAMPLE,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "source_mix": ORACLE_SOURCE_MIX,

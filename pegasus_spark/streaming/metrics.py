@@ -127,6 +127,91 @@ def cumulative_host_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+SESSION_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_fetches", LongType()),
+        StructField("total_bytes", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("nbytes", LongType()),
+    ]
+)
+
+
+def streaming_sessions(
+    stream: DataFrame, gap_s: int = 30, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Gap-based STREAMING sessionization — the streaming twin of the batch
+    `sessionize` query (the classic custom stateful operator): per host,
+    consecutive fetches separated by ≤ ``gap_s`` belong to one session; a
+    larger gap closes it in-stream (``closed_by = 'gap'``), and a session
+    with no successor is flushed by an EVENT-TIME TIMEOUT once the
+    watermark passes its gap horizon (``closed_by = 'timeout'``) — so every
+    session is eventually emitted exactly once, append-mode.
+
+    State = ONE tiny row per host (start, last, count, bytes); the
+    watermark bounds both late data and state lifetime. At crawl scale the
+    state store holds host-cardinality rows — the same bound as the
+    politeness budget — and the shuffle key is the host hash, identical to
+    the batch fetch partitioning, so a cluster deployment co-locates the
+    sessionizer with the fetch stream it audits."""
+    gap_ms = int(gap_s) * 1000
+
+    def update(key, pdfs, state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            s = state.get
+            out.append((key[0], s[0], s[1], s[2], s[3], "timeout"))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values("fetch_ts")
+            ts_ms = (rows["fetch_ts"].astype("int64") // 1_000_000).tolist()
+            sizes = rows["nbytes"].tolist()
+            cur = list(state.get) if state.exists else None
+            for t, b in zip(ts_ms, sizes):
+                if cur is None:
+                    cur = [t, t, 0, 0]
+                elif t - cur[1] > gap_ms:
+                    out.append((key[0], cur[0], cur[1], cur[2], cur[3], "gap"))
+                    cur = [t, t, 0, 0]
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += int(b)
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "host", "session_start_ms", "session_end_ms",
+                    "n_fetches", "total_bytes", "closed_by",
+                ],
+            )
+
+    return (
+        stream.withWatermark("fetch_ts", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_url_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of the frontier's URL-seen set: first-seen-wins dedup
     of fetch rows by url ACROSS micro-batches, state bounded by the event-time

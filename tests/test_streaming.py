@@ -126,3 +126,52 @@ def test_cumulative_host_stats_across_batches(spark, src_dir, tmp_path):
     assert latest["h0"]["total_failures"] == 3
     assert latest["h0"]["total_bytes"] == 700
     assert latest["h1"]["total_fetches"] == 2
+
+
+def test_streaming_sessions_gap_and_timeout(spark, src_dir, tmp_path):
+    """Gap-based streaming sessionization: an in-batch gap closes a session
+    immediately (closed_by='gap'); a session whose host goes quiet is
+    flushed by the event-time timeout once the watermark passes its gap
+    horizon (closed_by='timeout'); counts/bytes/spans are exact."""
+    from pegasus_spark.streaming.metrics import streaming_sessions
+
+    # batch 1: hA burst of 3 (0..2 s), then a second burst at 100 s (gap
+    # 30 s exceeded in-batch); hB burst of 2 (0..1 s)
+    _batch(
+        spark,
+        _rows("hA", 3, 0) + _rows("hA", 2, 100) + _rows("hB", 2, 0),
+    ).coalesce(1).write.parquet(src_dir)
+    stream = read_fetch_stream(spark, src_dir)
+    q = run_to_memory_sink(
+        streaming_sessions(stream, gap_s=30, watermark="10 seconds"),
+        "sessions", "append", str(tmp_path / "ck_sess"),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: only hB speaks (at 300 s) — the watermark jumps past
+        # hA's open-session horizon, so hA flushes via timeout
+        _batch(spark, _rows("hB", 1, 300)).coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+        q.processAllAvailable()
+        # batch 3: one more event so hB's 300 s session can time out too
+        _batch(spark, _rows("hB", 1, 600)).coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+        q.processAllAvailable()
+        rows = spark.sql("select * from sessions").collect()
+    finally:
+        q.stop()
+    t0_ms = int(T0.timestamp()) * 1000
+    got = {
+        (r["host"], r["session_start_ms"]): (
+            r["session_end_ms"], r["n_fetches"], r["total_bytes"], r["closed_by"]
+        )
+        for r in rows
+    }
+    # hA burst 1: closed in-batch by the 100 s gap
+    assert got[("hA", t0_ms)] == (t0_ms + 2000, 3, 300, "gap")
+    # hA burst 2: closed by event-time timeout after hA went quiet
+    assert got[("hA", t0_ms + 100_000)] == (t0_ms + 101_000, 2, 200, "timeout")
+    # hB burst 1: closed by timeout once batch 2's watermark passed it
+    assert got[("hB", t0_ms)] == (t0_ms + 1000, 2, 200, "timeout")
