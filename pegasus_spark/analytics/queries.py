@@ -957,6 +957,153 @@ ORDER BY value, id
 
 
 # ---------------------------------------------------------------------------
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream (view → click →
+    purchase, each step STRICTLY after the previous one for the same user)
+    — the standard product-analytics rollup a warehouse ships beside
+    sessionize. Step k's user set = users with a step-k event after their
+    earliest step-(k−1) completion; the table reports per-step reach and
+    conversion vs step 1.
+
+    Shape: three min-aggregates and two equi-joins, ALL keyed on user_id —
+    one partitioning serves the whole funnel, and each step's frame is at
+    most one row per user, so every exchange after the first is
+    user-bounded. The final 3-row union + first_value window is constant-
+    size. Timestamps compare as exact microsecond integers (the sessionize
+    discipline — no float seconds near round-half boundaries)."""
+    micros = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(micros).alias("t")
+    )
+    a = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("ta")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .filter(F.col("t") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tb"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .filter(F.col("t") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"))
+    )
+    steps = (
+        a.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.lit(1).alias("step"), F.lit("view").alias("event_type"), "n_users")
+        .unionByName(
+            b.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(2).alias("step"), F.lit("click").alias("event_type"), "n_users"
+            )
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(3).alias("step"), F.lit("purchase").alias("event_type"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("step")
+    return (
+        steps.withColumn(
+            "conversion", F.round(F.col("n_users") / F.first("n_users").over(w), 4)
+        )
+        .orderBy("step")
+    )
+
+
+ORACLE_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+a AS (SELECT user_id, MIN(t) AS ta FROM ev WHERE event_type = 'view' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, MIN(e.t) AS tb FROM ev e JOIN a ON a.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.t > a.ta GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.t) AS tc FROM ev e JOIN b ON b.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.t > b.tb GROUP BY e.user_id
+),
+s AS (
+  SELECT 1 AS step, 'view' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM a
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM b
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM c
+)
+SELECT step, event_type, n_users,
+       round(n_users * 1.0 / first_value(n_users) OVER (ORDER BY step), 4) AS conversion
+FROM s ORDER BY step
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream — the other canonical
+    product-analytics table: users cohorted by the DAY of their first
+    signup event; retention at offset k = share of the cohort active
+    (any event) k days later, offsets 0-7.
+
+    Shape: cohort assignment and the distinct (user, day) activity set are
+    both user-keyed aggregates; the join shares that key; the final rollup
+    groups on (cohort_day, offset) — ≤ days × 8 rows. Day arithmetic is
+    exact DATE math on both engines (no timestamps cross the compare)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+    )
+    act = ev.select("user_id", "d").distinct()
+    joined = (
+        act.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day").cast("int"))
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("cohort_n")
+    )
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .join(sizes, "cohort_day")
+        .withColumn("retention", F.round(F.col("n_active") / F.col("cohort_n"), 4))
+        .select("cohort_day", "day_offset", "n_active", "cohort_n", "retention")
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+ORACLE_RETENTION = """
+WITH ev AS (SELECT user_id, event_type, ts::DATE AS d FROM events),
+cohort AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, d FROM ev),
+j AS (
+  SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.d) AS INT) AS day_offset,
+         a.user_id
+  FROM act a JOIN cohort c ON a.user_id = c.user_id
+  WHERE date_diff('day', c.cohort_day, a.d) BETWEEN 0 AND 7
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_n
+  FROM cohort GROUP BY cohort_day
+)
+SELECT j.cohort_day, j.day_offset,
+       CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       s.cohort_n,
+       round(count(DISTINCT j.user_id) * 1.0 / s.cohort_n, 4) AS retention
+FROM j JOIN sizes s ON s.cohort_day = j.cohort_day
+GROUP BY j.cohort_day, j.day_offset, s.cohort_n
+ORDER BY j.cohort_day, j.day_offset
+"""
+
+
 # registry
 # ---------------------------------------------------------------------------
 
@@ -984,6 +1131,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_nearby_clicks": q_range_join_nearby_clicks,
     "multires_rollup": q_multires_rollup,
     "sessionize": q_sessionize,
+    "funnel": q_funnel,
+    "retention": q_retention,
     "recrawl_priority": q_recrawl_priority,
     "shipping_priority": q_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1010,6 +1159,8 @@ ORACLE_SQL: dict[str, str] = {
     "range_join_nearby_clicks": ORACLE_RANGE_JOIN_NEARBY_CLICKS,
     "multires_rollup": ORACLE_MULTIRES_ROLLUP,
     "sessionize": ORACLE_SESSIONIZE,
+    "funnel": ORACLE_FUNNEL,
+    "retention": ORACLE_RETENTION,
     "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
