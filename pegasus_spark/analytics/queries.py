@@ -1104,6 +1104,61 @@ ORDER BY j.cohort_day, j.day_offset
 """
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user event
+    sequences — the Markov view of user behavior (what follows a view? how
+    often does an error interrupt a purchase path?): counts and row-
+    normalized probabilities for each (prev_type → next_type) pair of
+    CONSECUTIVE events of the same user.
+
+    Shape: ONE lag window on user_id (ordered by the sessionize
+    discipline's exact (t, event_id) key), then a combinable groupBy on
+    the ≤ |types|² pair key and a bounded join for the row totals — the
+    corpus crosses exactly one user-keyed exchange; everything after is
+    |types|²-bounded."""
+    micros = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr(micros).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("row_n"))
+    return (
+        pairs.join(totals, "prev_type")
+        .withColumn("prob", F.round(F.col("n") / F.col("row_n"), 4))
+        .select("prev_type", "next_type", "n", "prob")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE_TRANSITION_MATRIX = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS prev_type
+  FROM ev
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+totals AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, p.n,
+       round(p.n * 1.0 / t.row_n, 4) AS prob
+FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
+ORDER BY p.prev_type, p.next_type
+"""
+
+
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1133,6 +1188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "retention": q_retention,
+    "transition_matrix": q_transition_matrix,
     "recrawl_priority": q_recrawl_priority,
     "shipping_priority": q_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1161,6 +1217,7 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "funnel": ORACLE_FUNNEL,
     "retention": ORACLE_RETENTION,
+    "transition_matrix": ORACLE_TRANSITION_MATRIX,
     "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
