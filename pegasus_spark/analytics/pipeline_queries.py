@@ -3585,6 +3585,317 @@ FROM r ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# graph rank / release engineering (round-5 final batch)
+# ---------------------------------------------------------------------------
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the host link graph — the crawl-ordering classic (Page
+    et al. 1999; Cho/Garcia-Molina use it to prioritize frontiers, and a
+    training-data pipeline uses it as a document-level quality prior à la
+    Common Crawl's harmonic-centrality ranks). Hosts and links are
+    synthesized deterministically from the corpus (host = doc_id % 97, one
+    out-link per doc to an md5-derived host), then 3 unrolled power
+    iterations with damping 0.85.
+
+    EXACT integer arithmetic end-to-end: ranks live on a micro-unit BIGINT
+    grid (r0 = 1e6 per node), each iteration is
+    ``150000 + (850 * Σ_src rank DIV out_deg) DIV 1000`` — BIGINT sums are
+    order-independent, so the result is bit-identical across partitionings
+    and engines (no float accumulation drift).
+
+    Scale shape: the corpus crosses exactly ONE exchange (the distinct over
+    (src, dst) host pairs — |V|² bounded output); out-degrees, node set and
+    every iteration run on that bounded graph, with the rank side broadcast
+    into each join. At 100 TB the iterations cost the same as at 1 GB —
+    only the edge-dedup scan scales with the data."""
+    n_hosts = 97
+    docs = _docs(spark, sf_dir).select("doc_id")
+    dst = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % n_hosts
+    )
+    edges = (
+        docs.select((F.col("doc_id") % n_hosts).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    rank = nodes.select("host", F.lit(1000000).cast("bigint").alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(rank), edges.src == rank.host)
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank DIV deg")).alias("c"))
+        )
+        rank = (
+            nodes.join(F.broadcast(contrib), nodes.host == contrib.dst, "left")
+            .select(
+                "host",
+                (F.lit(150000) + F.expr("850 * coalesce(c, 0L) DIV 1000"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+        )
+    return (
+        rank.join(F.broadcast(deg), rank.host == deg.src, "left")
+        .select(
+            "host",
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.col("rank").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "host")
+    )
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+c{cur} AS (SELECT e.dst AS host, SUM(r.rank // d.deg) AS c FROM e
+       JOIN r{prev} r ON r.host = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+r{cur} AS (SELECT n.host, 150000 + (850 * COALESCE(c{cur}.c, 0)) // 1000 AS rank
+       FROM nodes n LEFT JOIN c{cur} ON c{cur}.host = n.host)"""
+
+
+ORACLE_PAGERANK = (
+    """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 97 AS dst
+    FROM documents
+  ) WHERE src <> dst
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM nodes),"""
+    + ",".join(_pagerank_iter_sql(i, i + 1) for i in range(3))
+    + """
+SELECT r3.host, COALESCE(deg.deg, 0) AS out_deg, CAST(r3.rank AS BIGINT) AS rank_micro
+FROM r3 LEFT JOIN deg ON deg.src = r3.host
+ORDER BY rank_micro DESC, host
+"""
+)
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact per-source length quantiles (p25/p50/p75/p95 of n_chars) —
+    the datasheet row a release audit wants EXACT, not sketched. Quantile
+    definition is percentile_disc: the value at row ceil(p·n) in (n_chars,
+    doc_id) order, computed with pure integer rank math ((p·n + 99) DIV
+    100) so both engines agree bit-for-bit — no interpolation, no floats.
+
+    Scale shape: one exchange on source (the per-group sort the exact
+    definition requires), then a combinable per-source fold; output is
+    |sources| rows. At 100 TB the exact variant is the audit tool — the
+    in-pipeline path would switch to percentile_approx (KLL sketch,
+    documented error bound) and avoid the per-group sort entirely."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    d = (
+        _docs(spark, sf_dir)
+        .select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+    )
+    def pick(p: int, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("n_chars"))
+        ).alias(name)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            pick(25, "p25"), pick(50, "p50"), pick(75, "p75"), pick(95, "p95"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LENGTH_PERCENTILES = """
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = (25 * n + 99) // 100 THEN n_chars END) AS p25,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN n_chars END) AS p50,
+       max(CASE WHEN rn = (75 * n + 99) // 100 THEN n_chars END) AS p75,
+       max(CASE WHEN rn = (95 * n + 99) // 100 THEN n_chars END) AS p95
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based language sampling (the multilingual alpha-sampling
+    of mBERT/XLM-R, alpha = 0.5): upsample tail languages, downsample the
+    head — weight_l ∝ p_l^0.5, renormalized. The data-DERIVED complement of
+    mixture_resample's prescribed targets.
+
+    Float discipline: p = n_l/N and sqrt(p) are correctly-rounded IEEE ops
+    (identical on both engines), then the weight is quantized to a BIGINT
+    grid (floor(√p · 1e9)) BEFORE the normalizing sum — integer sums are
+    order-independent, so the normalization constant can't drift with
+    partitioning. Ratios are rounded before output per the parity rules.
+
+    Scale shape: one combinable groupBy on the ≤|langs| key, two 1-row
+    broadcasts (N, Σw) — the corpus crosses one partial-agg exchange."""
+    c = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("nn"))
+    w = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n") / F.col("nn"))
+        .withColumn("wq", F.floor(F.sqrt(F.col("p")) * F.lit(1e9)).cast("bigint"))
+    )
+    ws = w.agg(F.sum("wq").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(ws))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.round("p", 6).alias("p_natural"),
+            F.round(F.col("wq") / F.col("wsum"), 6).alias("weight"),
+            F.round(
+                F.round(F.col("wq") / F.col("wsum"), 6) / F.round(F.col("p"), 6), 4
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n) AS nn FROM c),
+w AS (SELECT lang, n, CAST(floor(sqrt(n * 1.0 / tot.nn) * 1e9) AS BIGINT) AS wq,
+             n * 1.0 / tot.nn AS p
+      FROM c, tot),
+ws AS (SELECT SUM(wq) AS wsum FROM w)
+SELECT w.lang, w.n AS n_docs, round(w.p, 6) AS p_natural,
+       round(w.wq * 1.0 / ws.wsum, 6) AS weight,
+       round(round(w.wq * 1.0 / ws.wsum, 6) / round(w.p, 6), 4) AS boost
+FROM w, ws ORDER BY w.lang
+"""
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic train/valid/test split with a leakage audit — the
+    release-engineering gate before any corpus ships: split by an md5(id)
+    hash (80/10/10, reproducible regardless of row order or partition
+    count), then count documents whose opening FINGERPRINT (md5 of the
+    first 40 chars — the boilerplate-prefix channel, since the synthetic
+    corpus has no full-text dups) also appears in a DIFFERENT split:
+    train→eval leakage that would inflate benchmark numbers.
+
+    Scale shape: the split is a narrow map; the audit crosses one exchange
+    on the prefix hash (same key as exact dedup, so the same AQE skew
+    handling applies to boilerplate mega-keys), then a bounded
+    (source × split) rollup."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+    )
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "n_chars",
+        F.md5(F.substring("text", 1, 40)).alias("h"),
+        F.when(bucket < 10, "test").when(bucket < 20, "valid").otherwise("train")
+        .alias("split"),
+    )
+    hs = d.groupBy("h").agg(F.countDistinct("split").alias("ns"))
+    return (
+        d.join(hs, "h")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_TRAIN_TEST_SPLIT = """
+WITH d AS (
+  SELECT source, n_chars, md5(substr(text, 1, 40)) AS h,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 10
+                THEN 'test'
+              WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 20
+                THEN 'valid'
+              ELSE 'train' END AS split
+  FROM documents
+),
+hs AS (SELECT h, count(DISTINCT split) AS ns FROM d GROUP BY h)
+SELECT d.source, d.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM(CASE WHEN hs.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+FROM d JOIN hs ON hs.h = d.h
+GROUP BY d.source, d.split ORDER BY d.source, d.split
+"""
+
+
+def q_bpe_pair_stats(spark, sf_dir):
+    """First iteration of BPE merge learning (Sennrich et al. 2016): the
+    corpus-wide adjacent character-pair frequency scan that picks merge
+    candidates — top-10 [a-z] pairs per language. A tokenizer-training
+    pipeline runs exactly this count over the full corpus before each
+    merge round.
+
+    Scale shape: the explode is a NARROW map (one row per character
+    position) feeding a partial agg that collapses into the ≤ 26²·|langs|
+    key space map-side — the exchange moves at most 676 rows per language
+    per task regardless of corpus size. The top-10 window runs on that
+    bounded table. Deterministic tie-break: count desc, pair asc."""
+    t = (
+        _docs(spark, sf_dir)
+        .filter(F.length("text") >= 2)
+        .select("lang", F.lower(F.col("text")).alias("s"))
+    )
+    pairs = t.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")
+        ).alias("pair"),
+    ).filter(F.col("pair").rlike("^[a-z]{2}$"))
+    c = pairs.groupBy("lang", "pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "pair")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", F.col("rnk").cast("int").alias("rnk"), "pair", "cnt")
+        .orderBy("lang", "rnk")
+    )
+
+
+ORACLE_BPE_PAIR_STATS = """
+WITH t AS (SELECT lang, lower(text) AS s FROM documents WHERE length(text) >= 2),
+p AS (SELECT lang, substr(s, CAST(i AS INT), 2) AS pair
+      FROM t, UNNEST(generate_series(1, length(s) - 1)) AS u(i)),
+c AS (SELECT lang, pair, CAST(count(*) AS BIGINT) AS cnt FROM p
+      WHERE regexp_matches(pair, '^[a-z]{2}$') GROUP BY lang, pair),
+r AS (SELECT lang, pair, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS rnk
+      FROM c)
+SELECT lang, CAST(rnk AS INT) AS rnk, pair, cnt FROM r WHERE rnk <= 10
+ORDER BY lang, rnk
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -3661,6 +3972,11 @@ PIPELINE_QUERIES = {
     "knn_probe": q_knn_probe,
     "rule_ablation": q_rule_ablation,
     "c4_rules": q_c4_rules,
+    "pagerank": q_pagerank,
+    "length_percentiles": q_length_percentiles,
+    "temperature_mix": q_temperature_mix,
+    "train_test_split": q_train_test_split,
+    "bpe_pair_stats": q_bpe_pair_stats,
 }
 
 PIPELINE_ORACLES = {
@@ -3739,4 +4055,9 @@ PIPELINE_ORACLES = {
     "knn_probe": ORACLE_KNN_PROBE,
     "rule_ablation": ORACLE_RULE_ABLATION,
     "c4_rules": ORACLE_C4_RULES,
+    "pagerank": ORACLE_PAGERANK,
+    "length_percentiles": ORACLE_LENGTH_PERCENTILES,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
+    "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
+    "bpe_pair_stats": ORACLE_BPE_PAIR_STATS,
 }
