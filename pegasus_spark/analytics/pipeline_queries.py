@@ -1520,7 +1520,10 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, n_cells=16, nprobe=4)
 
 
-ORACLE_IVF_TOPK = """
+def _ivf_topk_sql(nprobe: int) -> str:
+    """The IVF oracle body, parameterized on nprobe so ann_recall can reuse
+    the SAME algorithm at a tighter operating point."""
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
 scored AS (
@@ -1532,7 +1535,7 @@ scored AS (
   FROM e, c
 ),
 assign AS (SELECT vec_id, arg_max(cid, val) AS cell FROM scored GROUP BY vec_id),
-probe AS (SELECT cid AS cell FROM scored WHERE vec_id = 0 ORDER BY val DESC LIMIT 4),
+probe AS (SELECT cid AS cell FROM scored WHERE vec_id = 0 ORDER BY val DESC LIMIT {nprobe}),
 cand AS (SELECT vec_id FROM assign WHERE cell IN (SELECT cell FROM probe)),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT e.vec_id,
@@ -1542,6 +1545,9 @@ FROM e JOIN cand USING (vec_id), q
 WHERE e.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
+
+
+ORACLE_IVF_TOPK = _ivf_topk_sql(4)
 
 
 def q_gopher_rules(spark, sf_dir):
@@ -3896,6 +3902,259 @@ ORDER BY lang, rnk
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@k curve of the IVF index against the brute-force ground truth
+    — 'measure, don't guess' applied to the engine's own ANN path (the
+    Faiss-style recall sweep every index deployment publishes before
+    trusting approximate search for semantic dedup). For k = 1..10:
+    |top-k(brute) ∩ top-k(ivf)| / k, both sides ranked by the shared
+    (cos desc, vec_id) tie-break. Measured at nprobe = 1 — the TIGHTEST
+    operating point, where the approximation actually loses candidates
+    (nprobe = 4's curve is flat 1.0 at this corpus size and would gate
+    nothing).
+
+    Scale shape: both inputs are k-row results of already-bounded queries;
+    every window/join here touches ≤ k rows. The corpus-scale work lives
+    in the two underlying operators, each independently oracle-gated —
+    this operator is their composition, so the gate checks the compose
+    plumbing, not re-derives the search."""
+    brute = S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+    ivf = S.ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, n_cells=16, nprobe=1)
+    w = Window.orderBy(F.desc("cos"), "vec_id")
+    rb = brute.select("vec_id", F.row_number().over(w).alias("rb"))
+    ri = ivf.select("vec_id", F.row_number().over(w).alias("ri"))
+    m = rb.join(ri, "vec_id").select(F.greatest("rb", "ri").alias("rmax"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    return (
+        ks.join(F.broadcast(m), m.rmax <= ks.k, "left")
+        .groupBy("k")
+        .agg(F.count("rmax").cast("bigint").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.col("k"), 4))
+        .orderBy("k")
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH brute AS ({ORACLE_COSINE_TOPK}),
+ivf AS ({_ivf_topk_sql(1)}),
+rb AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r FROM brute),
+ri AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r FROM ivf),
+m AS (SELECT greatest(rb.r, ri.r) AS rmax FROM rb JOIN ri USING (vec_id)),
+ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(count(m.rmax) AS BIGINT) AS n_hits,
+       round(count(m.rmax) * 1.0 / ks.k, 4) AS recall
+FROM ks LEFT JOIN m ON m.rmax <= ks.k
+GROUP BY ks.k ORDER BY k
+"""
+
+
+def q_column_profile(spark, sf_dir):
+    """Deequ-style column profiling over the corpus table (Schelter et al.,
+    VLDB 2018): per column — non-null count, exact distinct count,
+    completeness and uniqueness ratios. The data-quality snapshot a
+    pipeline records before and after every transformation.
+
+    Scale shape: ONE aggregate computes every per-column metric in a
+    single corpus pass (count + countDistinct per column share the scan);
+    the stack unpivot runs on the 1-row result. Exact distinct counts are
+    the audit variant — the in-pipeline profile at 100 TB swaps in
+    approx_count_distinct (HLL) and keeps the same output contract."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = _docs(spark, sf_dir).agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return (
+        one.select(
+            "n",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (column_name, n_nonnull, n_distinct)"
+            ),
+        )
+        .select(
+            "column_name",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("n_nonnull").cast("bigint").alias("n_nonnull"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(F.col("n_nonnull") / F.col("n"), 6).alias("completeness"),
+            F.round(F.col("n_distinct") / F.col("n"), 6).alias("uniqueness"),
+        )
+        .orderBy("column_name")
+    )
+
+
+ORACLE_COLUMN_PROFILE = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(doc_id) AS nn_doc_id, count(DISTINCT doc_id) AS nd_doc_id,
+         count(text) AS nn_text, count(DISTINCT text) AS nd_text,
+         count(lang) AS nn_lang, count(DISTINCT lang) AS nd_lang,
+         count(source) AS nn_source, count(DISTINCT source) AS nd_source,
+         count(n_chars) AS nn_n_chars, count(DISTINCT n_chars) AS nd_n_chars
+  FROM documents
+),
+u AS (
+  SELECT 'doc_id' AS column_name, nn_doc_id AS nn, nd_doc_id AS nd, n FROM a
+  UNION ALL SELECT 'text', nn_text, nd_text, n FROM a
+  UNION ALL SELECT 'lang', nn_lang, nd_lang, n FROM a
+  UNION ALL SELECT 'source', nn_source, nd_source, n FROM a
+  UNION ALL SELECT 'n_chars', nn_n_chars, nd_n_chars, n FROM a
+)
+SELECT column_name, CAST(n AS BIGINT) AS n_rows, CAST(nn AS BIGINT) AS n_nonnull,
+       CAST(nd AS BIGINT) AS n_distinct,
+       round(nn * 1.0 / n, 6) AS completeness,
+       round(nd * 1.0 / n, 6) AS uniqueness
+FROM u ORDER BY column_name
+"""
+
+
+def q_quality_checks(spark, sf_dir):
+    """Deequ-style constraint verification (the VerificationSuite analog):
+    a fixed check table the release pipeline asserts before shipping —
+    doc_id uniqueness, text/lang completeness, a length floor, the
+    language allowlist, and the n_chars = length(text) cross-field
+    consistency contract. Output: (check, metric, threshold, passed).
+
+    Scale shape: ONE 1-row corpus aggregate feeds a 6-row stack unpivot —
+    the same single-pass shape as rule_ablation; nothing but the scan
+    grows with the data."""
+    d = _docs(spark, sf_dir)
+    langs = ["de", "en", "es", "fr", "zh"]
+    one = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd_id"),
+        F.count("text").alias("n_text"),
+        F.count("lang").alias("n_lang"),
+        F.min("n_chars").alias("min_chars"),
+        F.sum(F.when(F.col("lang").isin(langs), 1).otherwise(0)).alias("n_lang_ok"),
+        F.sum(
+            F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+        ).alias("n_consist"),
+    )
+    stack = """stack(6,
+        'chars_consistency', round(n_consist / cast(n as double), 6),
+        'completeness_lang', round(n_lang / cast(n as double), 6),
+        'completeness_text', round(n_text / cast(n as double), 6),
+        'lang_allowlist', round(n_lang_ok / cast(n as double), 6),
+        'min_length', round(cast(least(min_chars, 1) as double), 6),
+        'uniqueness_doc_id', round(nd_id / cast(n as double), 6)
+    ) AS (check_name, metric)"""
+    return (
+        one.select(F.expr(stack))
+        .withColumn("threshold", F.lit(1.0))
+        .withColumn("passed", F.col("metric") >= F.col("threshold"))
+        .orderBy("check_name")
+    )
+
+
+ORACLE_QUALITY_CHECKS = """
+WITH a AS (
+  SELECT count(*) AS n, count(DISTINCT doc_id) AS nd_id,
+         count(text) AS n_text, count(lang) AS n_lang,
+         min(n_chars) AS min_chars,
+         SUM(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END)
+           AS n_lang_ok,
+         SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_consist
+  FROM documents
+),
+u AS (
+  SELECT 'chars_consistency' AS check_name, round(n_consist * 1.0 / n, 6) AS metric FROM a
+  UNION ALL SELECT 'completeness_lang', round(n_lang * 1.0 / n, 6) FROM a
+  UNION ALL SELECT 'completeness_text', round(n_text * 1.0 / n, 6) FROM a
+  UNION ALL SELECT 'lang_allowlist', round(n_lang_ok * 1.0 / n, 6) FROM a
+  UNION ALL SELECT 'min_length', round(CAST(least(min_chars, 1) AS DOUBLE), 6) FROM a
+  UNION ALL SELECT 'uniqueness_doc_id', round(nd_id * 1.0 / n, 6) FROM a
+)
+SELECT check_name, metric, 1.0 AS threshold, metric >= 1.0 AS passed
+FROM u ORDER BY check_name
+"""
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Release-to-release corpus diff — the datasheet table answering
+    'what changed between v1 and v2 of the dataset': per source, documents
+    unchanged / modified (same id, different content hash) / removed /
+    added. v2 is derived deterministically from v1 (drop doc_id % 31,
+    revise text of doc_id % 17, add a % 13 clone set at id + 1e6) so both
+    engines diff the identical pair — the batch analog of the crawler's
+    CDC change tables, lifted to whole-corpus release auditing.
+
+    Scale shape: the diff is ONE id-keyed full outer join moving (id,
+    source, md5) triples — payloads never shuffle (hashes compare for
+    them); the rollup is |sources|-bounded. At 100 TB both sides are
+    id-bucketed parquet, so the join co-locates without an exchange."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    v2_kept = docs.filter(F.col("doc_id") % 31 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    v2_added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+    )
+    v1 = docs.select("doc_id", F.col("source").alias("src1"), F.md5("text").alias("h1"))
+    v2 = (
+        v2_kept.unionByName(v2_added)
+        .select("doc_id", F.col("source").alias("src2"), F.md5("text").alias("h2"))
+    )
+    j = v1.join(v2, "doc_id", "full_outer").select(
+        F.coalesce("src1", "src2").alias("source"),
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") == F.col("h2"), "unchanged")
+        .otherwise("modified")
+        .alias("st"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("st") == "unchanged", 1).otherwise(0))
+            .cast("bigint").alias("n_unchanged"),
+            F.sum(F.when(F.col("st") == "modified", 1).otherwise(0))
+            .cast("bigint").alias("n_modified"),
+            F.sum(F.when(F.col("st") == "removed", 1).otherwise(0))
+            .cast("bigint").alias("n_removed"),
+            F.sum(F.when(F.col("st") == "added", 1).otherwise(0))
+            .cast("bigint").alias("n_added"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_DIFF = """
+WITH v1 AS (SELECT doc_id, source AS src1, md5(text) AS h1 FROM documents),
+v2 AS (
+  SELECT doc_id, source AS src2,
+         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
+  FROM documents WHERE doc_id % 31 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, md5(text || ' [new]')
+  FROM documents WHERE doc_id % 13 = 0
+),
+j AS (
+  SELECT COALESCE(src1, src2) AS source,
+         CASE WHEN h1 IS NULL THEN 'added'
+              WHEN h2 IS NULL THEN 'removed'
+              WHEN h1 = h2 THEN 'unchanged'
+              ELSE 'modified' END AS st
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT source,
+       CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(SUM(CASE WHEN st = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+       CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+FROM j GROUP BY source ORDER BY source
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -3977,6 +4236,10 @@ PIPELINE_QUERIES = {
     "temperature_mix": q_temperature_mix,
     "train_test_split": q_train_test_split,
     "bpe_pair_stats": q_bpe_pair_stats,
+    "ann_recall": q_ann_recall,
+    "column_profile": q_column_profile,
+    "quality_checks": q_quality_checks,
+    "corpus_diff": q_corpus_diff,
 }
 
 PIPELINE_ORACLES = {
@@ -4060,4 +4323,8 @@ PIPELINE_ORACLES = {
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "bpe_pair_stats": ORACLE_BPE_PAIR_STATS,
+    "ann_recall": ORACLE_ANN_RECALL,
+    "column_profile": ORACLE_COLUMN_PROFILE,
+    "quality_checks": ORACLE_QUALITY_CHECKS,
+    "corpus_diff": ORACLE_CORPUS_DIFF,
 }

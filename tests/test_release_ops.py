@@ -15,9 +15,13 @@ import duckdb
 import pytest
 
 from pegasus_spark.analytics.pipeline_queries import (
+    q_ann_recall,
     q_bpe_pair_stats,
+    q_column_profile,
+    q_corpus_diff,
     q_length_percentiles,
     q_pagerank,
+    q_quality_checks,
     q_temperature_mix,
     q_train_test_split,
 )
@@ -132,6 +136,88 @@ class TestTrainTestSplit:
         # an all-zero leak column would gate nothing
         assert leaked_total > 0
         assert sum(r["n_docs"] for r in got) == len(docs_rows)
+
+
+class TestAnnRecall:
+    def test_curve_shape_and_gate_fires(self, spark):
+        rows = sorted(q_ann_recall(spark, SF_TEST_DIR).collect(), key=lambda r: r["k"])
+        assert [r["k"] for r in rows] == list(range(1, 11))
+        for r in rows:
+            assert 0 <= r["n_hits"] <= r["k"]
+            assert r["recall"] == round(r["n_hits"] / r["k"], 4)
+        hits = [r["n_hits"] for r in rows]
+        assert hits == sorted(hits)  # prefix intersections only grow
+        # at nprobe=1 the approximation must actually lose something at
+        # this SF, or the curve gates nothing
+        assert any(r["recall"] < 1.0 for r in rows)
+
+
+class TestColumnProfile:
+    def test_matches_python_replay(self, spark, docs_rows):
+        cols = {
+            "doc_id": [r[0] for r in docs_rows],
+            "text": [r[1] for r in docs_rows],
+            "lang": [r[2] for r in docs_rows],
+            "source": [r[3] for r in docs_rows],
+            "n_chars": [r[4] for r in docs_rows],
+        }
+        n = len(docs_rows)
+        got = {r["column_name"]: r for r in q_column_profile(spark, SF_TEST_DIR).collect()}
+        assert set(got) == set(cols)
+        for name, vals in cols.items():
+            r = got[name]
+            nn = sum(v is not None for v in vals)
+            nd = len({v for v in vals if v is not None})
+            assert (r["n_rows"], r["n_nonnull"], r["n_distinct"]) == (n, nn, nd)
+            assert r["completeness"] == round(nn / n, 6)
+            assert r["uniqueness"] == round(nd / n, 6)
+
+
+class TestQualityChecks:
+    def test_clean_corpus_passes_everything(self, spark, docs_rows):
+        got = {r["check_name"]: r for r in q_quality_checks(spark, SF_TEST_DIR).collect()}
+        assert set(got) == {
+            "chars_consistency", "completeness_lang", "completeness_text",
+            "lang_allowlist", "min_length", "uniqueness_doc_id",
+        }
+        # the synthetic corpus is clean by construction: every constraint
+        # holds exactly, so every metric is 1.0 and every check passes
+        for r in got.values():
+            assert r["metric"] == 1.0 and r["threshold"] == 1.0 and r["passed"]
+
+
+class TestCorpusDiff:
+    def test_matches_python_replay(self, spark, docs_rows):
+        want: dict[tuple[str, str], int] = defaultdict(int)
+        v1 = {r[0]: (r[3], r[1]) for r in docs_rows}
+        v2 = {}
+        for doc_id, (source, text) in v1.items():
+            if doc_id % 31 == 0:
+                continue
+            v2[doc_id] = (source, text + " [rev2]" if doc_id % 17 == 0 else text)
+        for doc_id, (source, text) in v1.items():
+            if doc_id % 13 == 0:
+                v2[doc_id + 1000000] = (source, text + " [new]")
+        for doc_id in set(v1) | set(v2):
+            if doc_id not in v1:
+                want[(v2[doc_id][0], "added")] += 1
+            elif doc_id not in v2:
+                want[(v1[doc_id][0], "removed")] += 1
+            elif v1[doc_id][1] == v2[doc_id][1]:
+                want[(v1[doc_id][0], "unchanged")] += 1
+            else:
+                want[(v1[doc_id][0], "modified")] += 1
+        got = q_corpus_diff(spark, SF_TEST_DIR).collect()
+        for r in got:
+            s = r["source"]
+            assert r["n_unchanged"] == want.get((s, "unchanged"), 0)
+            assert r["n_modified"] == want.get((s, "modified"), 0)
+            assert r["n_removed"] == want.get((s, "removed"), 0)
+            assert r["n_added"] == want.get((s, "added"), 0)
+        # every diff class actually occurs at this SF
+        totals = [sum(r[c] for r in got) for c in
+                  ("n_unchanged", "n_modified", "n_removed", "n_added")]
+        assert all(t > 0 for t in totals)
 
 
 class TestBpePairStats:
