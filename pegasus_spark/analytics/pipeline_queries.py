@@ -29,6 +29,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -4155,6 +4159,152 @@ FROM j GROUP BY source ORDER BY source
 """
 
 
+def q_daily_anomaly(spark, sf_dir):
+    """Day-over-day volume anomaly detection on the event stream — the
+    monitoring rollup a pipeline runs to catch ingest regressions (a
+    crawler stall, a source going dark, a bot flood): per event type, days
+    whose count deviates from the type's mean by more than 2σ.
+
+    The 2σ test is EXACT INTEGER arithmetic: |c − S/n| > 2σ with
+    σ² = (nQ − S²)/n² rearranges to (c·n − S)² > 4(nQ − S²) — counts,
+    sums and squared sums are all BIGINTs, so the verdict is bit-identical
+    across engines and partitionings (no float variance drift). At
+    petabyte-scale counts the squares would outgrow BIGINT — the guard
+    would move to DECIMAL(38) or an approximate float z with a documented
+    tolerance; at any realistic per-day event count it's exact.
+
+    Scale shape: one combinable (type, day) groupBy, one |types|-row
+    stats rollup broadcast back — bounded exchanges only."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_events").alias("sc"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(F.col("sc") / F.col("n"), 4).alias("mean_events"),
+            (
+                (F.col("n_events") * F.col("n") - F.col("sc"))
+                * (F.col("n_events") * F.col("n") - F.col("sc"))
+                > 4 * (F.col("n") * F.col("q") - F.col("sc") * F.col("sc"))
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_DAILY_ANOMALY = """
+WITH d AS (SELECT event_type, ts::DATE AS day, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY event_type, ts::DATE),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, SUM(n_events) AS sc,
+             SUM(n_events * n_events) AS q
+      FROM d GROUP BY event_type)
+SELECT d.event_type, d.day, d.n_events,
+       round(s.sc * 1.0 / s.n, 4) AS mean_events,
+       (d.n_events * s.n - s.sc) * (d.n_events * s.n - s.sc)
+         > 4 * (s.n * s.q - s.sc * s.sc) AS is_anomaly
+FROM d JOIN s USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
+def q_text_normalize(spark, sf_dir):
+    """Whitespace normalization — the first preprocessing ACTION of every
+    text pipeline (C4/Gopher normalize before filtering): collapse
+    space/tab runs to single spaces and trim. The gate PLANTS deterministic
+    mess (doubled spaces on doc_id % 7, a tab-wrapped variant on % 11 —
+    the synthetic corpus is already clean, so unplanted input would make
+    the normalizer a no-op and gate nothing). Output: per doc, whether
+    normalization changed it, how many chars it saved, and the md5 of the
+    normalized text (the content identity downstream dedup keys on).
+
+    Scale shape: a pure NARROW map — regex replace + trim + md5, zero
+    exchanges; the pattern ([ \\t]+) behaves identically under Java regex
+    and RE2 (the pii_scrub discipline)."""
+    planted = F.when(
+        F.col("doc_id") % 7 == 0, F.replace(F.col("text"), F.lit(" "), F.lit("  "))
+    ).otherwise(F.col("text"))
+    planted = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(F.lit("\t"), planted, F.lit(" "))
+    ).otherwise(planted)
+    d = _docs(spark, sf_dir).select("doc_id", planted.alias("raw"))
+    norm = F.trim(F.regexp_replace("raw", "[ \\t]+", " "))
+    return (
+        d.select(
+            "doc_id",
+            (F.col("raw") != norm).alias("changed"),
+            (F.length("raw") - F.length(norm)).cast("bigint").alias("chars_saved"),
+            F.md5(norm).alias("norm_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_NORMALIZE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN chr(9) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', '  ') ELSE text END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ' ELSE '' END AS raw
+  FROM documents
+),
+n AS (SELECT doc_id, raw, trim(regexp_replace(raw, '[ \t]+', ' ', 'g')) AS norm
+      FROM planted)
+SELECT doc_id, raw <> norm AS changed,
+       CAST(length(raw) - length(norm) AS BIGINT) AS chars_saved,
+       md5(norm) AS norm_md5
+FROM n ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact-k stratified sampling: 5 documents per source, chosen by
+    md5(doc_id || ':sample') order — the eval-set construction primitive
+    (a fixed-size, reproducible, order/partitioning/engine-invariant
+    uniform draw per stratum; the exact-k complement of source_mix's
+    rate-based md5-threshold sampling).
+
+    Scale shape: the rn ≤ k filter over the per-source hash window
+    compiles to WindowGroupLimit — Spark pushes the limit into the sort,
+    so each task keeps a k-row heap per source instead of sorting its
+    partition; one exchange on source, k·|sources| rows out."""
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            "doc_id",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))).alias("h"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", F.col("rnk").cast("int").alias("rnk"), "doc_id")
+        .orderBy("source", "rnk")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH d AS (
+  SELECT source, doc_id, md5(doc_id::VARCHAR || ':sample') AS h FROM documents
+),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+      FROM d)
+SELECT source, CAST(rnk AS INT) AS rnk, doc_id FROM r WHERE rnk <= 5
+ORDER BY source, rnk
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -4240,6 +4390,9 @@ PIPELINE_QUERIES = {
     "column_profile": q_column_profile,
     "quality_checks": q_quality_checks,
     "corpus_diff": q_corpus_diff,
+    "daily_anomaly": q_daily_anomaly,
+    "text_normalize": q_text_normalize,
+    "stratified_sample": q_stratified_sample,
 }
 
 PIPELINE_ORACLES = {
@@ -4327,4 +4480,7 @@ PIPELINE_ORACLES = {
     "column_profile": ORACLE_COLUMN_PROFILE,
     "quality_checks": ORACLE_QUALITY_CHECKS,
     "corpus_diff": ORACLE_CORPUS_DIFF,
+    "daily_anomaly": ORACLE_DAILY_ANOMALY,
+    "text_normalize": ORACLE_TEXT_NORMALIZE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }

@@ -19,10 +19,13 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_bpe_pair_stats,
     q_column_profile,
     q_corpus_diff,
+    q_daily_anomaly,
     q_length_percentiles,
     q_pagerank,
     q_quality_checks,
+    q_stratified_sample,
     q_temperature_mix,
+    q_text_normalize,
     q_train_test_split,
 )
 from tests.conftest import SF_TEST_DIR
@@ -218,6 +221,146 @@ class TestCorpusDiff:
         totals = [sum(r[c] for r in got) for c in
                   ("n_unchanged", "n_modified", "n_removed", "n_added")]
         assert all(t > 0 for t in totals)
+
+
+class TestDailyAnomaly:
+    def test_matches_integer_replay_and_fires(self, spark):
+        con = duckdb.connect()
+        ev = con.sql(
+            f"SELECT event_type, ts::DATE AS day FROM '{SF_TEST_DIR}/events.parquet'"
+        ).fetchall()
+        con.close()
+        counts: dict[str, Counter] = defaultdict(Counter)
+        for et, day in ev:
+            counts[et][day] += 1
+        got = q_daily_anomaly(spark, SF_TEST_DIR).collect()
+        n_anom = 0
+        for r in got:
+            days = counts[r["event_type"]]
+            c, n = days[r["day"]], len(days)
+            sc, q = sum(days.values()), sum(v * v for v in days.values())
+            assert r["n_events"] == c
+            assert r["mean_events"] == round(sc / n, 4)
+            want = (c * n - sc) ** 2 > 4 * (n * q - sc * sc)
+            assert r["is_anomaly"] == want
+            n_anom += r["is_anomaly"]
+        assert len(got) == sum(len(d) for d in counts.values())
+        assert n_anom > 0  # the 2-sigma gate must actually fire at this SF
+
+
+class TestTextNormalize:
+    def test_matches_python_replay(self, spark, docs_rows):
+        import re
+
+        got = {r["doc_id"]: r for r in q_text_normalize(spark, SF_TEST_DIR).collect()}
+        assert set(got) == {r[0] for r in docs_rows}
+        n_changed = 0
+        for doc_id, text, *_ in docs_rows:
+            raw = text.replace(" ", "  ") if doc_id % 7 == 0 else text
+            if doc_id % 11 == 0:
+                raw = "\t" + raw + " "
+            norm = re.sub(r"[ \t]+", " ", raw).strip(" ")
+            r = got[doc_id]
+            assert r["changed"] == (raw != norm)
+            assert r["chars_saved"] == len(raw) - len(norm)
+            assert r["norm_md5"] == hashlib.md5(norm.encode()).hexdigest()
+            n_changed += r["changed"]
+        # planted mess fires; clean docs pass through untouched
+        assert 0 < n_changed < len(docs_rows)
+
+
+class TestStratifiedSample:
+    def test_matches_md5_order_replay(self, spark, docs_rows):
+        by_src: dict[str, list] = defaultdict(list)
+        for doc_id, _t, _l, source, _n in docs_rows:
+            h = hashlib.md5(f"{doc_id}:sample".encode()).hexdigest()
+            by_src[source].append((h, doc_id))
+        got: dict[str, list] = defaultdict(list)
+        for r in sorted(
+            q_stratified_sample(spark, SF_TEST_DIR).collect(),
+            key=lambda r: (r["source"], r["rnk"]),
+        ):
+            got[r["source"]].append(r["doc_id"])
+        assert set(got) == set(by_src)
+        for source, pairs in by_src.items():
+            want = [d for _h, d in sorted(pairs)[:5]]
+            assert got[source] == want
+
+
+class TestScalePathApproximations:
+    """The exact audit operators document approximate siblings as the
+    in-pipeline 100 TB path (percentile_approx for length_percentiles,
+    approx_count_distinct for column_profile). Pin that those paths
+    actually track the exact values on this corpus — the claim should be
+    measured, not asserted in a docstring."""
+
+    def test_percentile_approx_tracks_exact(self, spark):
+        import pyspark.sql.functions as F
+
+        exact = {r["source"]: r for r in q_length_percentiles(spark, SF_TEST_DIR).collect()}
+        approx = {
+            r["source"]: r
+            for r in spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+            .groupBy("source")
+            .agg(
+                F.expr("percentile_approx(n_chars, 0.5, 10000)").alias("p50a"),
+                F.expr("percentile_approx(n_chars, 0.95, 10000)").alias("p95a"),
+            )
+            .collect()
+        }
+        assert set(exact) == set(approx)
+        for source, e in exact.items():
+            a = approx[source]
+            # at accuracy=10000 on group sizes ~25 the sketch is near-exact;
+            # allow one rank of slack around the disc definition
+            assert abs(a["p50a"] - e["p50"]) <= max(5, 0.05 * e["p50"])
+            assert abs(a["p95a"] - e["p95"]) <= max(5, 0.05 * e["p95"])
+
+    def test_hll_tracks_exact_distinct(self, spark):
+        import pyspark.sql.functions as F
+
+        exact = {r["column_name"]: r["n_distinct"]
+                 for r in q_column_profile(spark, SF_TEST_DIR).collect()}
+        row = (
+            spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+            .agg(
+                F.approx_count_distinct("doc_id", 0.02).alias("a_id"),
+                F.approx_count_distinct("text", 0.02).alias("a_text"),
+                F.approx_count_distinct("source", 0.02).alias("a_source"),
+            )
+            .collect()[0]
+        )
+        for col, a in (("doc_id", row["a_id"]), ("text", row["a_text"]),
+                       ("source", row["a_source"])):
+            assert abs(a - exact[col]) <= max(2, 0.05 * exact[col])
+
+
+class TestPlanShapes:
+    """Executable versions of the PLANS.md claims for this batch."""
+
+    def test_stratified_sample_uses_window_group_limit(self, spark):
+        plan = (
+            q_stratified_sample(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_text_normalize_is_narrow(self, spark):
+        plan = (
+            q_text_normalize(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # the orderBy is presentation; the normalization itself adds no
+        # exchange — project directly over the scan
+        assert "Join" not in plan and "Aggregate" not in plan, plan
+
+    def test_pagerank_iterations_broadcast(self, spark):
+        plan = (
+            q_pagerank(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
 
 
 class TestBpePairStats:
