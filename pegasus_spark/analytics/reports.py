@@ -622,3 +622,41 @@ def caption_quality_sweep(items: DataFrame) -> DataFrame:
         F.length(F.trim(F.col("text"))) > 0
     )
     return quality_threshold_sweep(caps)
+
+
+def fetch_volume_anomaly(fetch_log: DataFrame) -> DataFrame:
+    """Fetch-volume anomaly flags over the committed fetch_log — the crawl
+    twin of the gated ``daily_anomaly``, keyed on (status, round): rounds
+    where one status class's volume deviates from that class's per-round
+    mean by more than 2σ. This is the crawl-health alert surface — a 5xx
+    spike (a source melting down), a 451 spike (a robots change), or a
+    200-volume crater (a stalled frontier) all show up as flagged rows.
+
+    Same exact-integer discipline as daily_anomaly: the 2σ test
+    rearranges to (c·n − S)² > 4(nQ − S²) over BIGINT counts, so the
+    verdict is partition-order invariant and engine-exact. Scale shape:
+    one combinable (status, round) groupBy, a |statuses|-row stats rollup
+    broadcast back — the log's url/body columns prune at the scan."""
+    d = fetch_log.groupBy("status", "round").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches")
+    )
+    s = d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_fetches").alias("sc"),
+        F.sum(F.col("n_fetches") * F.col("n_fetches")).alias("q"),
+    )
+    return (
+        d.join(F.broadcast(s), "status")
+        .select(
+            "status",
+            "round",
+            "n_fetches",
+            F.round(F.col("sc") / F.col("n"), 4).alias("mean_fetches"),
+            (
+                (F.col("n_fetches") * F.col("n") - F.col("sc"))
+                * (F.col("n_fetches") * F.col("n") - F.col("sc"))
+                > 4 * (F.col("n") * F.col("q") - F.col("sc") * F.col("sc"))
+            ).alias("is_anomaly"),
+        )
+        .orderBy("status", "round")
+    )

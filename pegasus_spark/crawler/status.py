@@ -214,6 +214,27 @@ def crawl_quality_sweep(
     return [r.asDict() for r in caption_quality_sweep(items).collect()]
 
 
+def crawl_volume_anomaly(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> list[dict[str, Any]]:
+    """Fetch-volume anomaly table over the COMMITTED fetch_log
+    (reports.fetch_volume_anomaly, the crawl twin of the gated
+    daily_anomaly): per (status, round) volumes flagged where they deviate
+    from that status class's per-round mean by more than 2σ — exact
+    integer arithmetic, so the flags are rerun-invariant. Reads only
+    manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    fetch_log = store.read_appended("fetch_log", ckpt.appended_rounds)
+    if fetch_log is None:
+        raise FileNotFoundError(f"no committed fetch_log rounds under {workdir}")
+    from pegasus_spark.analytics.reports import fetch_volume_anomaly
+
+    return [r.asDict() for r in fetch_volume_anomaly(fetch_log).collect()]
+
+
 def crawl_recrawl_schedule(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
     now_ts: int | None = None, horizon_s: int = 7 * 86400, top: int = 10,
@@ -357,11 +378,13 @@ def main(argv: list[str] | None = None) -> int:
     datacard = "--datacard" in argv
     ablation = "--ablation" in argv
     sweep = "--sweep" in argv
+    volume = "--volume" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
             "--politeness", "--pii", "--datacard", "--ablation", "--sweep",
+            "--volume",
         )
     ]
     if len(argv) != 1:
@@ -369,7 +392,7 @@ def main(argv: list[str] | None = None) -> int:
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
             " [--politeness] [--pii] [--datacard] [--ablation] [--sweep]"
-            " <workdir>",
+            " [--volume] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -433,6 +456,12 @@ def main(argv: list[str] | None = None) -> int:
             out["quality_sweep"] = crawl_quality_sweep(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--sweep: {exc}", file=sys.stderr)
+            return 2
+    if volume:
+        try:
+            out["volume_anomaly"] = crawl_volume_anomaly(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--volume: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

@@ -636,3 +636,35 @@ def test_sweep_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["quality_sweep"] == rep
+
+
+def test_volume_cli_surface(crawl, capsys):
+    """`status --volume` publishes the fetch-volume anomaly table over the
+    COMMITTED fetch_log (reports.fetch_volume_anomaly, the crawl twin of
+    the gated daily_anomaly): every (status, round) row matches the exact
+    integer 2-sigma replay, and the CLI payload equals the report call."""
+    import json
+    from collections import Counter, defaultdict
+
+    from pegasus_spark.crawler.status import crawl_volume_anomaly, main
+
+    spec, sched, result, ckpt = crawl
+    fl = sched.store.read_appended("fetch_log", ckpt.appended_rounds)
+    counts = defaultdict(Counter)
+    for r in fl.select("status", "round").collect():
+        counts[r["status"]][r["round"]] += 1
+
+    rep = crawl_volume_anomaly(sched.spark, sched.store.workdir, sched.store)
+    assert len(rep) == sum(len(c) for c in counts.values())
+    for row in rep:
+        rounds = counts[row["status"]]
+        c, n = rounds[row["round"]], len(rounds)
+        sc, q = sum(rounds.values()), sum(v * v for v in rounds.values())
+        assert row["n_fetches"] == c
+        assert row["mean_fetches"] == round(sc / n, 4)
+        assert row["is_anomaly"] == ((c * n - sc) ** 2 > 4 * (n * q - sc * sc))
+
+    rc = main(["--volume", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["volume_anomaly"] == rep
