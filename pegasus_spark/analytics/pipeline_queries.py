@@ -3869,8 +3869,12 @@ def q_bpe_pair_stats(spark, sf_dir):
     key space map-side — the exchange moves at most 676 rows per language
     per task regardless of corpus size. The top-10 window runs on that
     bounded table. Deterministic tie-break: count desc, pair asc."""
+    # single-file table ⇒ single scan partition; spread the explode work
+    # (the knn_probe/fingerprint precedent — at 100 TB the scan has
+    # thousands of splits and this respread disappears)
     t = (
         _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .filter(F.length("text") >= 2)
         .select("lang", F.lower(F.col("text")).alias("s"))
     )
@@ -4305,6 +4309,57 @@ ORDER BY source, rnk
 """
 
 
+def q_props_stats(spark, sf_dir):
+    """Semi-structured extraction over the event stream's JSON `props`
+    column — the schema-on-read rollup every event warehouse runs
+    (get_json_object path extraction → typed aggregate), and the one
+    column of the test corpus nothing else touches. Per event type: count,
+    exact integer sum/min/max of the extracted `k`, its mean, and the
+    share of high-k (≥ 90) events.
+
+    Scale shape: the JSON parse is a NARROW map (Jackson inside codegen —
+    no UDF); the aggregate is one combinable groupBy on the ≤|types| key.
+    At 100 TB the parse cost is the scan itself; a hot path would
+    materialize the extracted column once (or land props as a typed
+    struct) rather than re-parse per query."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k") / F.count(F.lit(1)), 4).alias("mean_k"),
+            F.round(
+                F.sum(F.when(F.col("k") >= 90, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("high_k_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PROPS_STATS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       round(SUM(k) * 1.0 / count(*), 4) AS mean_k,
+       round(SUM(CASE WHEN k >= 90 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS high_k_share
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -4393,6 +4448,7 @@ PIPELINE_QUERIES = {
     "daily_anomaly": q_daily_anomaly,
     "text_normalize": q_text_normalize,
     "stratified_sample": q_stratified_sample,
+    "props_stats": q_props_stats,
 }
 
 PIPELINE_ORACLES = {
@@ -4483,4 +4539,5 @@ PIPELINE_ORACLES = {
     "daily_anomaly": ORACLE_DAILY_ANOMALY,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "props_stats": ORACLE_PROPS_STATS,
 }

@@ -22,6 +22,7 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_daily_anomaly,
     q_length_percentiles,
     q_pagerank,
+    q_props_stats,
     q_quality_checks,
     q_stratified_sample,
     q_temperature_mix,
@@ -333,6 +334,30 @@ class TestScalePathApproximations:
         for col, a in (("doc_id", row["a_id"]), ("text", row["a_text"]),
                        ("source", row["a_source"])):
             assert abs(a - exact[col]) <= max(2, 0.05 * exact[col])
+
+
+class TestPropsStats:
+    def test_matches_json_replay(self, spark):
+        import json
+
+        con = duckdb.connect()
+        ev = con.sql(
+            f"SELECT event_type, props FROM '{SF_TEST_DIR}/events.parquet'"
+        ).fetchall()
+        con.close()
+        ks: dict[str, list[int]] = defaultdict(list)
+        for et, props in ev:
+            ks[et].append(int(json.loads(props)["k"]))
+        got = {r["event_type"]: r for r in q_props_stats(spark, SF_TEST_DIR).collect()}
+        assert set(got) == set(ks)
+        for et, vals in ks.items():
+            r = got[et]
+            n = len(vals)
+            assert (r["n_events"], r["sum_k"], r["min_k"], r["max_k"]) == (
+                n, sum(vals), min(vals), max(vals)
+            )
+            assert r["mean_k"] == round(sum(vals) / n, 4)
+            assert r["high_k_share"] == round(sum(v >= 90 for v in vals) / n, 4)
 
 
 class TestPlanShapes:
