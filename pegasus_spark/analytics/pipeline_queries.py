@@ -4360,6 +4360,146 @@ FROM e GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-host triangle participation over the synthesized host link
+    graph — the distributed graph-analytics classic (Suri & Vassilvitskii,
+    WWW 2011: triangle counts drive clustering-coefficient / spam-farm
+    detection on web graphs). Same deterministic edge synthesis as
+    `pagerank`; triangles are enumerated once each via the a<b<c
+    orientation (two equality self-joins on the oriented edge list), then
+    each triangle credits its three corners.
+
+    Scale shape: the corpus crosses ONE exchange (the shared (src,dst)
+    distinct); orientation, both self-joins and the corner explode run on
+    the |E|-bounded (≤ |V|²) edge table with broadcast joins. On a real
+    web graph the joins shuffle on vertex id and the oriented a<b<c form
+    is exactly the shuffle-minimizing strategy (each triangle computed
+    once, not six times)."""
+    n_hosts = 97
+    docs = _docs(spark, sf_dir).select("doc_id")
+    dst = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % n_hosts
+    )
+    und = (
+        docs.select((F.col("doc_id") % n_hosts).alias("s"), dst.alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(F.broadcast(e2), "y").join(F.broadcast(e3), ["x", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy("host")
+    )
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH d AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 97 AS dst
+    FROM documents
+  ) WHERE src <> dst
+),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM d),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS host FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY host ORDER BY host
+"""
+
+
+def q_conversion_latency(spark, sf_dir):
+    """Time-to-conversion distribution — the product-analytics rollup that
+    rides on `funnel`'s strictly-ordered chain: for every user who
+    completed view → click → purchase in order, the microseconds from
+    first view to first (chain-valid) purchase, summarized as exact
+    percentile_disc p25/p50/p75/p95 (length_percentiles' integer rank
+    math) plus the exact-integer mean.
+
+    Scale shape: the funnel chain is three user-keyed min-aggregates on
+    one partitioning; the percentile window then orders only CONVERTED
+    users — a small fraction of the corpus (here 10⁻¹ of users; on a real
+    funnel 10⁻²-10⁻³), so the single-group sort is over the funnel's
+    bottleneck set, not the event stream."""
+    micros = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr(micros).alias("t")
+    )
+    a = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("ta")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .filter(F.col("t") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tb"), F.first("ta").alias("ta"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .filter(F.col("t") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"), F.first("ta").alias("ta"))
+    )
+    lat = c.select("user_id", (F.col("tc") - F.col("ta")).alias("lat"))
+    w = Window.orderBy("lat", "user_id")
+    d = (
+        lat.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    def pick(p: int, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("lat"))
+        ).alias(name)
+    return d.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        pick(25, "p25_us"), pick(50, "p50_us"), pick(75, "p75_us"),
+        pick(95, "p95_us"),
+        F.round(F.sum("lat") / F.count(F.lit(1)), 4).alias("mean_us"),
+    )
+
+
+ORACLE_CONVERSION_LATENCY = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+a AS (SELECT user_id, MIN(t) AS ta FROM ev WHERE event_type = 'view' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, MIN(e.t) AS tb, MIN(a.ta) AS ta
+  FROM ev e JOIN a ON a.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.t > a.ta GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.t) AS tc, MIN(b.ta) AS ta
+  FROM ev e JOIN b ON b.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.t > b.tb GROUP BY e.user_id
+),
+lat AS (SELECT user_id, tc - ta AS lat FROM c),
+r AS (SELECT lat, row_number() OVER (ORDER BY lat, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM lat)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       max(CASE WHEN rn = (25 * n + 99) // 100 THEN lat END) AS p25_us,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat END) AS p50_us,
+       max(CASE WHEN rn = (75 * n + 99) // 100 THEN lat END) AS p75_us,
+       max(CASE WHEN rn = (95 * n + 99) // 100 THEN lat END) AS p95_us,
+       round(SUM(lat) * 1.0 / count(*), 4) AS mean_us
+FROM r
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -4449,6 +4589,8 @@ PIPELINE_QUERIES = {
     "text_normalize": q_text_normalize,
     "stratified_sample": q_stratified_sample,
     "props_stats": q_props_stats,
+    "triangle_count": q_triangle_count,
+    "conversion_latency": q_conversion_latency,
 }
 
 PIPELINE_ORACLES = {
@@ -4540,4 +4682,6 @@ PIPELINE_ORACLES = {
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "props_stats": ORACLE_PROPS_STATS,
+    "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "conversion_latency": ORACLE_CONVERSION_LATENCY,
 }

@@ -18,6 +18,7 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_ann_recall,
     q_bpe_pair_stats,
     q_column_profile,
+    q_conversion_latency,
     q_corpus_diff,
     q_daily_anomaly,
     q_length_percentiles,
@@ -28,6 +29,7 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_temperature_mix,
     q_text_normalize,
     q_train_test_split,
+    q_triangle_count,
 )
 from tests.conftest import SF_TEST_DIR
 
@@ -358,6 +360,66 @@ class TestPropsStats:
             )
             assert r["mean_k"] == round(sum(vals) / n, 4)
             assert r["high_k_share"] == round(sum(v >= 90 for v in vals) / n, 4)
+
+
+class TestTriangleCount:
+    def test_matches_brute_force_replay(self, spark, docs_rows):
+        from itertools import combinations
+
+        und = set()
+        for doc_id, *_ in docs_rows:
+            s, t = doc_id % 97, _md5_bucket(doc_id, 97)
+            if s != t:
+                und.add((min(s, t), max(s, t)))
+        adj: dict[int, set[int]] = defaultdict(set)
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        per_host = Counter()
+        for a, b, c in combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                per_host[a] += 1
+                per_host[b] += 1
+                per_host[c] += 1
+        got = {r["host"]: r["n_triangles"]
+               for r in q_triangle_count(spark, SF_TEST_DIR).collect()}
+        assert got == dict(per_host)
+        assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+
+
+class TestConversionLatency:
+    def test_matches_python_replay(self, spark):
+        con = duckdb.connect()
+        ev = con.sql(
+            f"SELECT user_id, event_type, epoch_us(ts) AS t "
+            f"FROM '{SF_TEST_DIR}/events.parquet'"
+        ).fetchall()
+        con.close()
+        by_user: dict[int, list] = defaultdict(list)
+        for u, et, t in ev:
+            by_user[u].append((et, t))
+        lats = []
+        for u, evs in by_user.items():
+            views = [t for et, t in evs if et == "view"]
+            if not views:
+                continue
+            ta = min(views)
+            clicks = [t for et, t in evs if et == "click" and t > ta]
+            if not clicks:
+                continue
+            tb = min(clicks)
+            purchases = [t for et, t in evs if et == "purchase" and t > tb]
+            if not purchases:
+                continue
+            lats.append((min(purchases) - ta, u))
+        lats.sort()
+        n = len(lats)
+        r = q_conversion_latency(spark, SF_TEST_DIR).collect()[0]
+        assert r["n_converted"] == n and n > 0
+        for p, col in ((25, "p25_us"), (50, "p50_us"), (75, "p75_us"), (95, "p95_us")):
+            assert r[col] == lats[(p * n + 99) // 100 - 1][0]
+        assert r["mean_us"] == round(sum(l for l, _ in lats) / n, 4)
+        assert r["p25_us"] <= r["p50_us"] <= r["p75_us"] <= r["p95_us"]
 
 
 class TestPlanShapes:
