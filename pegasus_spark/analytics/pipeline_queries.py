@@ -4500,6 +4500,94 @@ FROM r
 """
 
 
+def q_source_lang_cube(spark, sf_dir):
+    """CUBE grouping sets over (source, lang) — the all-marginals
+    datasheet table (per-cell, per-source, per-lang, and grand totals) in
+    ONE pass: the warehouse classic multires_rollup's ROLLUP ladder
+    doesn't cover (CUBE emits the lang marginals a rollup drops).
+    GROUPING() flags disambiguate real NULL keys from subtotal rows; the
+    label columns coalesce to '(all)'.
+
+    Scale shape: Spark compiles CUBE to one Expand (4 replicas per input
+    row) feeding a single partial-aggregable exchange on the ≤
+    (|sources|+1)·(|langs|+1) key space — one shuffle buys every
+    marginal; computing the four groupings separately would scan the
+    corpus four times."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "g_source",
+            "g_lang",
+            "n_docs",
+            "n_chars_total",
+        )
+        .orderBy("g_source", "g_lang", "source", "lang")
+    )
+
+
+ORACLE_SOURCE_LANG_CUBE = """
+SELECT COALESCE(source, '(all)') AS source, COALESCE(lang, '(all)') AS lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM documents GROUP BY CUBE (source, lang)
+ORDER BY g_source, g_lang, source, lang
+"""
+
+
+def q_lang_pivot(spark, sf_dir):
+    """Language-mix pivot: one row per source, one column per language —
+    the wide-format datasheet every release README embeds. Spark's
+    pivot() with an EXPLICIT value list (the implicit form adds a
+    distinct-values collect job and makes the schema data-dependent —
+    never acceptable in a pipeline contract); the oracle is the
+    equivalent conditional-sum spread.
+
+    Scale shape: pivot-with-values compiles to the same single
+    combinable groupBy as the conditional sums — one exchange on source,
+    |sources| rows out, no second pass for the column set."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "source",
+            *[
+                F.coalesce(F.col(l), F.lit(0)).cast("bigint").alias(l)
+                for l in ["de", "en", "es", "fr", "zh"]
+            ],
+        )
+        .withColumn(
+            "total",
+            sum(F.col(l) for l in ["de", "en", "es", "fr", "zh"]).cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LANG_PIVOT = """
+SELECT source,
+  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
+  CAST(count(*) AS BIGINT) AS total
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -4591,6 +4679,8 @@ PIPELINE_QUERIES = {
     "props_stats": q_props_stats,
     "triangle_count": q_triangle_count,
     "conversion_latency": q_conversion_latency,
+    "source_lang_cube": q_source_lang_cube,
+    "lang_pivot": q_lang_pivot,
 }
 
 PIPELINE_ORACLES = {
@@ -4684,4 +4774,6 @@ PIPELINE_ORACLES = {
     "props_stats": ORACLE_PROPS_STATS,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "conversion_latency": ORACLE_CONVERSION_LATENCY,
+    "source_lang_cube": ORACLE_SOURCE_LANG_CUBE,
+    "lang_pivot": ORACLE_LANG_PIVOT,
 }

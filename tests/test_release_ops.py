@@ -21,10 +21,12 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_conversion_latency,
     q_corpus_diff,
     q_daily_anomaly,
+    q_lang_pivot,
     q_length_percentiles,
     q_pagerank,
     q_props_stats,
     q_quality_checks,
+    q_source_lang_cube,
     q_stratified_sample,
     q_temperature_mix,
     q_text_normalize,
@@ -420,6 +422,37 @@ class TestConversionLatency:
             assert r[col] == lats[(p * n + 99) // 100 - 1][0]
         assert r["mean_us"] == round(sum(l for l, _ in lats) / n, 4)
         assert r["p25_us"] <= r["p50_us"] <= r["p75_us"] <= r["p95_us"]
+
+
+class TestCubeAndPivot:
+    def test_cube_marginals_are_consistent(self, spark, docs_rows):
+        rows = q_source_lang_cube(spark, SF_TEST_DIR).collect()
+        cells = {(r["source"], r["lang"]): r for r in rows}
+        n = len(docs_rows)
+        grand = cells[("(all)", "(all)")]
+        assert grand["n_docs"] == n and grand["g_source"] == grand["g_lang"] == 1
+        # every marginal equals the sum of its covered cells
+        by_source = Counter((r[3]) for r in docs_rows)
+        by_lang = Counter((r[2]) for r in docs_rows)
+        by_cell = Counter((r[3], r[2]) for r in docs_rows)
+        for (s, l), r in cells.items():
+            if r["g_source"] == 0 and r["g_lang"] == 0:
+                assert r["n_docs"] == by_cell[(s, l)]
+            elif r["g_source"] == 0 and r["g_lang"] == 1:
+                assert r["n_docs"] == by_source[s]
+            elif r["g_source"] == 1 and r["g_lang"] == 0:
+                assert r["n_docs"] == by_lang[l]
+        assert len(cells) == len(by_cell) + len(by_source) + len(by_lang) + 1
+
+    def test_pivot_matches_counter_replay(self, spark, docs_rows):
+        by_cell = Counter((r[3], r[2]) for r in docs_rows)
+        by_source = Counter(r[3] for r in docs_rows)
+        got = {r["source"]: r for r in q_lang_pivot(spark, SF_TEST_DIR).collect()}
+        assert set(got) == set(by_source)
+        for s, r in got.items():
+            for l in ("de", "en", "es", "fr", "zh"):
+                assert r[l] == by_cell.get((s, l), 0)
+            assert r["total"] == by_source[s]
 
 
 class TestPlanShapes:
