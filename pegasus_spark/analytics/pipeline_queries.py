@@ -4588,6 +4588,88 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_key_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnosis — 'know your hot keys before you
+    shuffle on them': the top-10 heaviest paragraph keys with their share
+    and cumulative share of total key mass. This is the report that
+    justifies every AQE-skew-split / salted-window decision in this repo
+    (paragraph_dedup's groupBy-not-window choice, the salted planners):
+    run it first, and the banner-boilerplate mega-key shows up as ~1/4 of
+    the corpus mass concentrated in ONE key. Uses paragraph_dedup's
+    planted layout (banner corpus-wide, promo per doc_id%5 class, unique
+    text + tail) so the skew is real and known.
+
+    Scale shape: the paragraph explode is narrow; the count groupBy
+    partial-aggs (the mega-key collapses map-side — the same property
+    that makes the dedup safe); the top-10 is TakeOrdered over aggregated
+    rows and the share/cum windows see 10 rows."""
+    docs = _docs(spark, sf_dir)
+    nl = F.lit("\n")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("banner: one corpus-wide boilerplate paragraph"), nl,
+            F.col("text"), nl,
+            F.lit("promo-"), (F.col("doc_id") % 5).cast("string"), nl,
+            F.lit("tail-"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    counts = (
+        planted.select(
+            F.explode(F.split("text", "\n")).alias("para")
+        )
+        .select(F.md5("para").alias("key_md5"))
+        .groupBy("key_md5")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("nn"))
+    w = Window.orderBy(F.desc("n_occurrences"), "key_md5")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "key_md5",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("nn"), 6).alias("share"),
+            F.round(
+                F.sum("n_occurrences").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.col("nn"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("rnk")
+    )
+
+
+ORACLE_KEY_SKEW_REPORT = """
+WITH planted AS (
+  SELECT 'banner: one corpus-wide boilerplate paragraph'
+         || chr(10) || text
+         || chr(10) || 'promo-' || (doc_id % 5)::VARCHAR
+         || chr(10) || 'tail-' || doc_id::VARCHAR AS text
+  FROM documents
+),
+p AS (SELECT md5(unnest(string_split(text, chr(10)))) AS key_md5 FROM planted),
+c AS (SELECT key_md5, CAST(count(*) AS BIGINT) AS n_occurrences FROM p GROUP BY key_md5),
+t AS (SELECT SUM(n_occurrences) AS nn FROM c),
+r AS (
+  SELECT key_md5, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, key_md5) AS rnk,
+         SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, key_md5
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT CAST(r.rnk AS INT) AS rnk, r.key_md5, r.n_occurrences,
+       round(r.n_occurrences * 1.0 / t.nn, 6) AS share,
+       round(r.cum * 1.0 / t.nn, 6) AS cum_share
+FROM r, t WHERE r.rnk <= 10 ORDER BY rnk
+"""
+
+
 PIPELINE_QUERIES = {
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -4681,6 +4763,7 @@ PIPELINE_QUERIES = {
     "conversion_latency": q_conversion_latency,
     "source_lang_cube": q_source_lang_cube,
     "lang_pivot": q_lang_pivot,
+    "key_skew_report": q_key_skew_report,
 }
 
 PIPELINE_ORACLES = {
@@ -4776,4 +4859,5 @@ PIPELINE_ORACLES = {
     "conversion_latency": ORACLE_CONVERSION_LATENCY,
     "source_lang_cube": ORACLE_SOURCE_LANG_CUBE,
     "lang_pivot": ORACLE_LANG_PIVOT,
+    "key_skew_report": ORACLE_KEY_SKEW_REPORT,
 }

@@ -21,6 +21,7 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_conversion_latency,
     q_corpus_diff,
     q_daily_anomaly,
+    q_key_skew_report,
     q_lang_pivot,
     q_length_percentiles,
     q_pagerank,
@@ -453,6 +454,33 @@ class TestCubeAndPivot:
             for l in ("de", "en", "es", "fr", "zh"):
                 assert r[l] == by_cell.get((s, l), 0)
             assert r["total"] == by_source[s]
+
+
+class TestKeySkewReport:
+    def test_matches_counter_replay_and_mega_key_leads(self, spark, docs_rows):
+        c = Counter()
+        for doc_id, text, *_ in docs_rows:
+            paras = [
+                "banner: one corpus-wide boilerplate paragraph",
+                text,
+                f"promo-{doc_id % 5}",
+                f"tail-{doc_id}",
+            ]
+            for p in paras:
+                c[hashlib.md5(p.encode()).hexdigest()] += 1
+        nn = sum(c.values())
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = sorted(q_key_skew_report(spark, SF_TEST_DIR).collect(),
+                     key=lambda r: r["rnk"])
+        assert [(r["key_md5"], r["n_occurrences"]) for r in got] == want
+        cum = 0
+        for r in got:
+            cum += r["n_occurrences"]
+            assert r["share"] == round(r["n_occurrences"] / nn, 6)
+            assert r["cum_share"] == round(cum / nn, 6)
+        # rank 1 is the planted corpus-wide banner: exactly 1/4 of key mass
+        assert got[0]["n_occurrences"] == len(docs_rows)
+        assert got[0]["share"] == 0.25
 
 
 class TestPlanShapes:
