@@ -4177,39 +4177,31 @@ def q_daily_anomaly(spark, sf_dir):
     would move to DECIMAL(38) or an approximate float z with a documented
     tolerance; at any realistic per-day event count it's exact.
 
-    Scale shape: one combinable (type, day) groupBy, one |types|-row
-    stats rollup broadcast back — bounded exchanges only."""
+    The (type × day) grid is DENSIFIED before the stats pass (shared
+    :func:`pegasus_spark.analytics.reports.volume_anomaly_flags` core,
+    also serving the crawl-side fetch_volume_anomaly): a type that
+    produced NOTHING on a day gets a zero row — a complete outage must
+    flag, and a missing row can neither hide it nor bias n/mean/σ.
+
+    Scale shape: one combinable (type, day) groupBy, a bounded
+    types × days grid join, one |types|-row stats rollup broadcast
+    back — bounded exchanges only."""
+    from pegasus_spark.analytics.reports import volume_anomaly_flags
+
     ev = _events(spark, sf_dir).select(
         "event_type", F.to_date("ts").alias("day")
     )
-    d = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events")
-    )
-    s = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("n_events").alias("sc"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
-    )
-    return (
-        d.join(F.broadcast(s), "event_type")
-        .select(
-            "event_type",
-            "day",
-            "n_events",
-            F.round(F.col("sc") / F.col("n"), 4).alias("mean_events"),
-            (
-                (F.col("n_events") * F.col("n") - F.col("sc"))
-                * (F.col("n_events") * F.col("n") - F.col("sc"))
-                > 4 * (F.col("n") * F.col("q") - F.col("sc") * F.col("sc"))
-            ).alias("is_anomaly"),
-        )
-        .orderBy("event_type", "day")
-    )
+    return volume_anomaly_flags(ev, "event_type", "day")
 
 
 ORACLE_DAILY_ANOMALY = """
-WITH d AS (SELECT event_type, ts::DATE AS day, CAST(count(*) AS BIGINT) AS n_events
+WITH c AS (SELECT event_type, ts::DATE AS day, CAST(count(*) AS BIGINT) AS n_events
            FROM events GROUP BY event_type, ts::DATE),
+d AS (SELECT t.event_type, p.day,
+             CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT DISTINCT day FROM c) p
+      LEFT JOIN c USING (event_type, day)),
 s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, SUM(n_events) AS sc,
              SUM(n_events * n_events) AS q
       FROM d GROUP BY event_type)

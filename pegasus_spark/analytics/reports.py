@@ -624,39 +624,72 @@ def caption_quality_sweep(items: DataFrame) -> DataFrame:
     return quality_threshold_sweep(caps)
 
 
+def volume_anomaly_flags(
+    df: DataFrame, key_col: str, period_col: str,
+    count_alias: str = "n_events", mean_alias: str = "mean_events",
+) -> DataFrame:
+    """Shared volume-anomaly core (the flag_ablation precedent — one
+    implementation serves the gated ``daily_anomaly`` and the crawl-side
+    ``fetch_volume_anomaly``): per (key, period) volumes flagged where
+    they deviate from the key's per-period mean by more than 2σ.
+
+    The grid is DENSIFIED first: every observed key × every observed
+    period gets a row, zero-filled — a complete outage (a key producing
+    NOTHING in a period) must flag, and a missing row can neither hide it
+    nor bias n/mean/σ for the periods that did report.
+
+    Exact-integer discipline: the 2σ test rearranges to
+    (c·n − S)² > 4(nQ − S²) over BIGINT counts, so the verdict is
+    partition-order invariant and engine-exact (at petabyte-day counts
+    the squares would move to DECIMAL(38)). Scale shape: one combinable
+    (key, period) groupBy; the key × period grid is bounded (both sides
+    are distinct sets of the aggregated output); the |keys|-row stats
+    rollup broadcasts back."""
+    d = df.groupBy(key_col, period_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    dense = (
+        d.select(key_col).distinct()
+        .crossJoin(d.select(period_col).distinct())
+        .join(d, [key_col, period_col], "left")
+        .select(
+            key_col, period_col,
+            F.coalesce("_c", F.lit(0)).cast("bigint").alias(count_alias),
+        )
+    )
+    s = dense.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(count_alias).alias("sc"),
+        F.sum(F.col(count_alias) * F.col(count_alias)).alias("q"),
+    )
+    c = F.col(count_alias)
+    return (
+        dense.join(F.broadcast(s), key_col)
+        .select(
+            key_col,
+            period_col,
+            count_alias,
+            F.round(F.col("sc") / F.col("n"), 4).alias(mean_alias),
+            (
+                (c * F.col("n") - F.col("sc")) * (c * F.col("n") - F.col("sc"))
+                > 4 * (F.col("n") * F.col("q") - F.col("sc") * F.col("sc"))
+            ).alias("is_anomaly"),
+        )
+        .orderBy(key_col, period_col)
+    )
+
+
 def fetch_volume_anomaly(fetch_log: DataFrame) -> DataFrame:
     """Fetch-volume anomaly flags over the committed fetch_log — the crawl
     twin of the gated ``daily_anomaly``, keyed on (status, round): rounds
     where one status class's volume deviates from that class's per-round
     mean by more than 2σ. This is the crawl-health alert surface — a 5xx
     spike (a source melting down), a 451 spike (a robots change), or a
-    200-volume crater (a stalled frontier) all show up as flagged rows.
-
-    Same exact-integer discipline as daily_anomaly: the 2σ test
-    rearranges to (c·n − S)² > 4(nQ − S²) over BIGINT counts, so the
-    verdict is partition-order invariant and engine-exact. Scale shape:
-    one combinable (status, round) groupBy, a |statuses|-row stats rollup
-    broadcast back — the log's url/body columns prune at the scan."""
-    d = fetch_log.groupBy("status", "round").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_fetches")
-    )
-    s = d.groupBy("status").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("n_fetches").alias("sc"),
-        F.sum(F.col("n_fetches") * F.col("n_fetches")).alias("q"),
-    )
-    return (
-        d.join(F.broadcast(s), "status")
-        .select(
-            "status",
-            "round",
-            "n_fetches",
-            F.round(F.col("sc") / F.col("n"), 4).alias("mean_fetches"),
-            (
-                (F.col("n_fetches") * F.col("n") - F.col("sc"))
-                * (F.col("n_fetches") * F.col("n") - F.col("sc"))
-                > 4 * (F.col("n") * F.col("q") - F.col("sc") * F.col("sc"))
-            ).alias("is_anomaly"),
-        )
-        .orderBy("status", "round")
+    200-volume crater (a stalled frontier) all show up as flagged rows;
+    the (status × round) grid is zero-filled so a class that vanishes in
+    a round still gets a row to flag. Shares :func:`volume_anomaly_flags`
+    with daily_anomaly — the log's url/body columns prune at the scan."""
+    return volume_anomaly_flags(
+        fetch_log.select("status", "round"), "status", "round",
+        count_alias="n_fetches", mean_alias="mean_fetches",
     )

@@ -653,6 +653,12 @@ def test_volume_cli_surface(crawl, capsys):
     counts = defaultdict(Counter)
     for r in fl.select("status", "round").collect():
         counts[r["status"]][r["round"]] += 1
+    # densified replay: every observed status × every observed round,
+    # zero-filled — a class that vanishes in a round still gets a row
+    all_rounds = {rnd for rounds in counts.values() for rnd in rounds}
+    for rounds in counts.values():
+        for rnd in all_rounds:
+            rounds.setdefault(rnd, 0)
 
     rep = crawl_volume_anomaly(sched.spark, sched.store.workdir, sched.store)
     assert len(rep) == sum(len(c) for c in counts.values())

@@ -239,6 +239,12 @@ class TestDailyAnomaly:
         counts: dict[str, Counter] = defaultdict(Counter)
         for et, day in ev:
             counts[et][day] += 1
+        # densified replay: every observed type gets every observed day,
+        # zero-filled — matching volume_anomaly_flags' grid semantics
+        all_days = {day for days in counts.values() for day in days}
+        for days in counts.values():
+            for day in all_days:
+                days.setdefault(day, 0)
         got = q_daily_anomaly(spark, SF_TEST_DIR).collect()
         n_anom = 0
         for r in got:
