@@ -3156,18 +3156,23 @@ def q_aesthetic_score(spark, sf_dir):
     float enters the plan, and keep = score > 0 stands in for the real τ.
     Scale: zero exchanges before the presentation sort."""
     scored = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr(
-            "aggregate(zip_with("
-            " transform(embedding,"
-            "  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
-            " transform(sequence(1, 64), i ->"
-            "  CAST(conv(substring(md5(CAST(i AS STRING)), 1, 4), 16, 10) AS BIGINT)"
-            "  % 2001 - 1000),"
-            " (q, w) -> q * w), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        ).alias("aesthetic_q"),
+        "vec_id", F.expr(_AESTHETIC_Q_EXPR).alias("aesthetic_q")
     )
     return scored.withColumn("keep", F.col("aesthetic_q") > 0).orderBy("vec_id")
+
+
+# the md5-derived linear head on the exact integer grid — shared between
+# q_aesthetic_score and q_clip_aesthetic_grid so the two surfaces can never
+# disagree on what "the aesthetic score" is
+_AESTHETIC_Q_EXPR = (
+    "aggregate(zip_with("
+    " transform(embedding,"
+    "  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+    " transform(sequence(1, 64), i ->"
+    "  CAST(conv(substring(md5(CAST(i AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+    "  % 2001 - 1000),"
+    " (q, w) -> q * w), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
 
 
 ORACLE_AESTHETIC_SCORE = """
@@ -3187,6 +3192,117 @@ SELECT vec_id,
        CAST(list_dot_product(qv::DOUBLE[], wv::DOUBLE[]) AS BIGINT) > 0 AS keep
 FROM q CROSS JOIN w
 ORDER BY vec_id
+"""
+
+
+def q_clip_aesthetic_grid(spark, sf_dir):
+    """Joint CLIP-score × aesthetic-score distribution grid — the
+    filter-interaction audit an image-curation run publishes before fixing
+    its thresholds (the DataComp §4 exercise: CLIP-alignment and aesthetic
+    filters are applied TOGETHER, and the 2-D score mass shows what each τ
+    choice keeps). Per (clip_bin, aes_bin) cell: image count, corpus
+    share, and whether that cell passes each filter at the deployed
+    thresholds (clip ≥ 0.05 — clip_filter's τ; aesthetic > 0 —
+    aesthetic_score's cut). Composes the two independently-gated scoring
+    ops on the SAME rows (the ann_recall composition precedent).
+
+    Binning is threshold-aligned and exact: clip_bin = floor(20·score) on
+    the 4-dp-rounded cosine (bins are 0.05 wide, so bin ≥ 1 ⟺ pass);
+    aes_bin is a SIGNED log2 magnitude ladder sign(q)·length(bin(|q|)) on
+    the exact BIGINT score — the length_histogram string-length identity,
+    no float log, and the ladder starts at ±1 so sign (= the keep verdict)
+    survives binning; q = 0 maps to bin 0. Scale shape: BOTH scores ride
+    the one pair-table pass (the aesthetic head computes on the img side
+    BEFORE the XOR-1 self-join, so no second corpus join re-fetches it —
+    reusing image_text_alignment's pruned output would cost a
+    corpus-size vec_id exchange), then ONE combinable groupBy on a
+    ~40 × ~60 bounded grid and a 1-row total broadcast back. The cosine
+    is image_text_alignment's expression verbatim (clip_filter's gate
+    covers it); the head is the _AESTHETIC_Q_EXPR aesthetic_score
+    shares."""
+    from pegasus_spark.textops.similarity import _dot
+
+    e = _emb(spark, sf_dir)
+    img = e.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("img_vec"),
+        F.expr(_AESTHETIC_Q_EXPR).alias("aesthetic_q"),
+    )
+    txt = e.select(
+        F.col("vec_id").bitwiseXOR(F.lit(1)).alias("vec_id"),
+        F.col("embedding").alias("txt_vec"),
+    )
+    iv, tv = F.col("img_vec"), F.col("txt_vec")
+    cos = _dot(iv, tv) / (F.sqrt(_dot(iv, iv)) * F.sqrt(_dot(tv, tv)))
+    binned = img.join(txt, "vec_id").select(
+        F.floor(F.round(cos, 4) * 20).cast("int").alias("clip_bin"),
+        F.when(F.col("aesthetic_q") == 0, F.lit(0))
+        .otherwise(
+            F.when(F.col("aesthetic_q") > 0, F.lit(1)).otherwise(F.lit(-1))
+            * F.length(F.expr("bin(abs(aesthetic_q))"))
+        )
+        .cast("int")
+        .alias("aes_bin"),
+    )
+    cells = binned.groupBy("clip_bin", "aes_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images")
+    )
+    total = cells.agg(F.sum("n_images").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "clip_bin",
+            "aes_bin",
+            (F.col("clip_bin") >= 1).alias("keep_clip"),
+            (F.col("aes_bin") > 0).alias("keep_aes"),
+            "n_images",
+            F.round(F.col("n_images") / F.col("n_total"), 4).alias("share"),
+        )
+        .orderBy("clip_bin", "aes_bin")
+    )
+
+
+ORACLE_CLIP_AESTHETIC_GRID = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cp AS (
+  SELECT a.vec_id,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS clip_score
+  FROM e a JOIN e b ON b.vec_id = xor(a.vec_id, 1)
+),
+w AS (
+  SELECT list_transform(generate_series(1, 64),
+           i -> ('0x' || substr(md5(i::VARCHAR), 1, 4))::BIGINT % 2001 - 1000)
+         AS wv
+),
+aq AS (
+  SELECT vec_id,
+         CAST(list_dot_product(
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT))::DOUBLE[],
+           wv::DOUBLE[]) AS BIGINT) AS aesthetic_q
+  FROM embeddings CROSS JOIN w
+),
+b AS (
+  SELECT CAST(floor(clip_score * 20) AS INT) AS clip_bin,
+         CAST(CASE WHEN aesthetic_q = 0 THEN 0
+              ELSE (CASE WHEN aesthetic_q > 0 THEN 1 ELSE -1 END)
+                   * length(bin(abs(aesthetic_q))) END AS INT) AS aes_bin
+  FROM cp JOIN aq USING (vec_id)
+),
+c AS (
+  SELECT clip_bin, aes_bin, CAST(count(*) AS BIGINT) AS n_images
+  FROM b GROUP BY 1, 2
+),
+t AS (SELECT SUM(n_images) AS n_total FROM c)
+SELECT clip_bin, aes_bin,
+       (clip_bin >= 1) AS keep_clip, (aes_bin > 0) AS keep_aes,
+       n_images, round(n_images * 1.0 / n_total, 4) AS share
+FROM c CROSS JOIN t
+ORDER BY clip_bin, aes_bin
 """
 
 
@@ -3424,8 +3540,11 @@ def q_knn_probe(spark, sf_dir):
     return S.knn_label_probe(_emb(spark, sf_dir))
 
 
-ORACLE_KNN_PROBE = """
-WITH e AS (
+# shared prediction CTEs for the knn probe family (knn_probe / knn_kappa /
+# knn_class_report) — the SQL twin of similarity.knn_predictions: `p` is
+# the (anchor_id, gold, pred) table over the md5 % 8 anchor sample
+_KNN_PRED_CTES = """
+e AS (
   SELECT vec_id, label::INT AS label, embedding::DOUBLE[] AS v FROM embeddings
 ),
 q AS (
@@ -3440,17 +3559,96 @@ s AS (
   FROM e CROSS JOIN q WHERE e.vec_id <> q.anchor_id
 ),
 r AS (
-  SELECT anchor_label, label, row_number() OVER (
+  SELECT anchor_id, anchor_label, label, row_number() OVER (
     PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC
   ) AS rk FROM s
+),
+p AS (
+  SELECT anchor_id, anchor_label AS gold, label AS pred FROM r WHERE rk = 1
 )
-SELECT anchor_label AS label, CAST(count(*) AS BIGINT) AS n_anchors,
-       CAST(SUM(CASE WHEN label = anchor_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-       round(SUM(CASE WHEN label = anchor_label THEN 1 ELSE 0 END) * 1.0
+"""
+
+ORACLE_KNN_PROBE = f"""
+WITH {_KNN_PRED_CTES}
+SELECT gold AS label, CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       round(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) * 1.0
              / count(*), 4) AS agree_rate
-FROM r WHERE rk = 1
-GROUP BY anchor_label
+FROM p
+GROUP BY gold
 ORDER BY label
+"""
+
+
+def q_knn_kappa(spark, sf_dir):
+    """Cohen's kappa of the 1-NN label predictions against the gold labels
+    (similarity.knn_kappa) — the chance-corrected companion to knn_probe:
+    with |labels| classes a random predictor already agrees ~1/|labels| of
+    the time, so the datasheet reports κ = (po − pe)/(1 − pe) next to the
+    raw agreement. Exact BIGINT scaffolding — κ's numerator and
+    denominator are (A·n − Σ g_c·p_c) and (n² − Σ g_c·p_c) over exact
+    marginal counts; one IEEE division at the end. The corpus-scale work
+    is the shared broadcast-anchor prediction pass; everything above it
+    touches ≤ |labels| rows, and the output is ONE row."""
+    return S.knn_kappa(_emb(spark, sf_dir))
+
+
+ORACLE_KNN_KAPPA = f"""
+WITH {_KNN_PRED_CTES},
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+         CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM p
+),
+g AS (SELECT gold AS cls, CAST(count(*) AS BIGINT) AS ng FROM p GROUP BY gold),
+r2 AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS np FROM p GROUP BY pred),
+pe AS (
+  SELECT CAST(COALESCE(SUM(ng * np), 0) AS BIGINT) AS pe_num
+  FROM g JOIN r2 USING (cls)
+)
+SELECT n_anchors, n_agree,
+       round(n_agree * 1.0 / n_anchors, 4) AS po,
+       round(pe_num * 1.0 / (n_anchors * n_anchors), 4) AS pe,
+       CASE WHEN n_anchors * n_anchors - pe_num <> 0 THEN
+         round((n_agree * n_anchors - pe_num) * 1.0
+               / (n_anchors * n_anchors - pe_num), 4) END AS kappa
+FROM tot CROSS JOIN pe
+"""
+
+
+def q_knn_class_report(spark, sf_dir):
+    """Per-class precision/recall/F1 of the 1-NN predictions
+    (similarity.knn_class_report) — the classification_report surface for
+    the embedding-space probe: knn_probe's per-gold recall plus the
+    prediction-side precision, so a class the space over-predicts is
+    visible. Exact counts, zero-filled full-outer marginals, F1 computed
+    directly as 2·tp/(n_gold + n_pred) (one division, no compounded
+    rounding); zero denominators yield NULL. Bounded like knn_kappa —
+    the corpus-scale work is the shared prediction pass."""
+    return S.knn_class_report(_emb(spark, sf_dir))
+
+
+ORACLE_KNN_CLASS_REPORT = f"""
+WITH {_KNN_PRED_CTES},
+g AS (
+  SELECT gold AS label, CAST(count(*) AS BIGINT) AS n_gold,
+         CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM p GROUP BY gold
+),
+r2 AS (SELECT pred AS label, CAST(count(*) AS BIGINT) AS n_pred FROM p GROUP BY pred),
+fo AS (
+  SELECT label,
+         CAST(COALESCE(n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(n_correct, 0) AS BIGINT) AS n_correct
+  FROM g FULL OUTER JOIN r2 USING (label)
+)
+SELECT label, n_gold, n_pred, n_correct,
+       CASE WHEN n_pred > 0 THEN round(n_correct * 1.0 / n_pred, 4) END AS "precision",
+       CASE WHEN n_gold > 0 THEN round(n_correct * 1.0 / n_gold, 4) END AS recall,
+       CASE WHEN n_gold + n_pred > 0
+            THEN round(2 * n_correct * 1.0 / (n_gold + n_pred), 4) END AS f1
+FROM fo ORDER BY label
 """
 
 
@@ -4729,6 +4927,7 @@ PIPELINE_QUERIES = {
     "embedding_dispersion": q_embedding_dispersion,
     "corpus_datacard": q_corpus_datacard,
     "aesthetic_score": q_aesthetic_score,
+    "clip_aesthetic_grid": q_clip_aesthetic_grid,
     "sequence_pack": q_sequence_pack,
     "sequence_pack_ranged": q_sequence_pack_ranged,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4736,6 +4935,8 @@ PIPELINE_QUERIES = {
     "token_fertility": q_token_fertility,
     "hard_negatives": q_hard_negatives,
     "knn_probe": q_knn_probe,
+    "knn_kappa": q_knn_kappa,
+    "knn_class_report": q_knn_class_report,
     "rule_ablation": q_rule_ablation,
     "c4_rules": q_c4_rules,
     "pagerank": q_pagerank,
@@ -4825,6 +5026,7 @@ PIPELINE_ORACLES = {
     "embedding_dispersion": ORACLE_EMBEDDING_DISPERSION,
     "corpus_datacard": ORACLE_CORPUS_DATACARD,
     "aesthetic_score": ORACLE_AESTHETIC_SCORE,
+    "clip_aesthetic_grid": ORACLE_CLIP_AESTHETIC_GRID,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "sequence_pack_ranged": ORACLE_SEQUENCE_PACK,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
@@ -4832,6 +5034,8 @@ PIPELINE_ORACLES = {
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
     "knn_probe": ORACLE_KNN_PROBE,
+    "knn_kappa": ORACLE_KNN_KAPPA,
+    "knn_class_report": ORACLE_KNN_CLASS_REPORT,
     "rule_ablation": ORACLE_RULE_ABLATION,
     "c4_rules": ORACLE_C4_RULES,
     "pagerank": ORACLE_PAGERANK,

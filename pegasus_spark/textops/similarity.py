@@ -765,6 +765,65 @@ def label_outliers(
     )
 
 
+def knn_predictions(
+    df: DataFrame,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out 1-NN label predictions on the deterministic md5 anchor
+    sample — the shared prediction stage under :func:`knn_label_probe`
+    (per-label agreement), :func:`knn_kappa` (chance-corrected agreement)
+    and :func:`knn_class_report` (per-class precision/recall/F1): for each
+    sampled anchor, the label of its nearest OTHER vector by cosine.
+    Returns (anchor_id, gold_label, pred_label).
+
+    Plan and determinism are knn_label_probe's (see its docstring for the
+    measured optimization history): anchors = md5(id) % sample_mod == 0
+    with sample_mod scaling as max(8, n // 256); the anchor batch
+    BROADCASTS, the corpus streams once through a narrow scoring pass with
+    the double view + norm hoisted out of the pair block, and the
+    per-anchor argmax plans as WindowGroupLimit — one row per anchor
+    survives map-side, so every consumer downstream works on a bounded
+    (~256-row) sample at any corpus size. Cosine rounds to 4 dp before
+    ranking, ties break on id asc."""
+    if sample_mod is None:
+        sample_mod = max(8, df.count() // 256)  # parquet count() — metadata-cheap
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % sample_mod
+    )
+    # a single-file embeddings table scans as ONE partition — pin the
+    # CPU-bound scoring stage's parallelism explicitly (the simhash/ngram
+    # rule) so the anchor × corpus fold spreads across cores
+    par = df.sparkSession.sparkContext.defaultParallelism
+    corpus = df.repartition(par, id_col).select(
+        id_col, label_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_n", F.sqrt(_dot_pre(F.col("_v"), F.col("_v"))))
+    q = corpus.filter(bucket == 0).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col("_v").alias("_qvec"),
+        F.col("_n").alias("_qn"),
+    )
+    base = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("anchor_id"))
+    cos = _dot_pre(F.col("_v"), F.col("_qvec")) / (F.col("_n") * F.col("_qn"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc(F.round(cos, 4)), F.asc(id_col)
+    )
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("anchor_label").alias("gold_label"),
+            F.col(label_col).alias("pred_label"),
+        )
+    )
+
+
 def knn_label_probe(
     df: DataFrame,
     sample_mod: int | None = None,
@@ -801,48 +860,123 @@ def knn_label_probe(
     sf0.1 (anchor scaling + hoist + the single-file-scan repartition —
     the last was the dominant term: without it the whole anchor × corpus
     fold ran in ONE task)."""
-    if sample_mod is None:
-        sample_mod = max(8, df.count() // 256)  # parquet count() — metadata-cheap
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("bigint") % sample_mod
-    )
-    # a single-file embeddings table scans as ONE partition — pin the
-    # CPU-bound scoring stage's parallelism explicitly (the simhash/ngram
-    # rule) so the anchor × corpus fold spreads across cores
-    par = df.sparkSession.sparkContext.defaultParallelism
-    corpus = df.repartition(par, id_col).select(
-        id_col, label_col,
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).withColumn("_n", F.sqrt(_dot_pre(F.col("_v"), F.col("_v"))))
-    q = corpus.filter(bucket == 0).select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("anchor_label"),
-        F.col("_v").alias("_qvec"),
-        F.col("_n").alias("_qn"),
-    )
-    base = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("anchor_id"))
-    cos = _dot_pre(F.col("_v"), F.col("_qvec")) / (F.col("_n") * F.col("_qn"))
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc(F.round(cos, 4)), F.asc(id_col)
-    )
-    nn = (
-        base.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(
-            "anchor_label",
-            (F.col(label_col) == F.col("anchor_label")).alias("_agree"),
-        )
-    )
+    nn = knn_predictions(df, sample_mod, id_col, vec_col, label_col)
     return (
-        nn.groupBy(F.col("anchor_label").alias("label"))
+        nn.groupBy(F.col("gold_label").alias("label"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
-            F.sum(F.col("_agree").cast("int")).cast("bigint").alias("n_agree"),
+            F.sum((F.col("pred_label") == F.col("gold_label")).cast("int"))
+            .cast("bigint").alias("n_agree"),
         )
         .withColumn("agree_rate", F.round(F.col("n_agree") / F.col("n_anchors"), 4))
         .orderBy("label")
     )
+
+
+def knn_kappa(
+    df: DataFrame,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cohen's kappa between the 1-NN predicted labels and the gold labels
+    on the knn_predictions anchor sample — the chance-corrected form of
+    knn_label_probe's agreement rate (Cohen 1960; the standard caveat on
+    raw agreement: with |labels| classes a random predictor already agrees
+    ~1/|labels| of the time, so po alone overstates embedding-space label
+    structure). κ = (po − pe)/(1 − pe) with pe the marginal chance
+    agreement Σ_c p_gold(c)·p_pred(c).
+
+    Exact-integer scaffolding (the daily_anomaly discipline): with n
+    anchors, A agreements and pe_num = Σ_c g_c·p_c over BIGINT marginal
+    counts, κ = (A·n − pe_num)/(n² − pe_num) — every operand is an exact
+    BIGINT, so only the final division is float (rounded once to 4 dp).
+    The degenerate single-class case (n² = pe_num) returns NULL rather
+    than raising.
+
+    Scale shape: the corpus-scale work is knn_predictions' one narrow
+    scoring pass; everything here runs on the bounded (~256-row) anchor
+    sample — two |labels|-row marginal aggs, one |labels|-row join, a
+    1-row cross join. Output is ONE row."""
+    p = knn_predictions(df, sample_mod, id_col, vec_col, label_col)
+    tot = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum((F.col("pred_label") == F.col("gold_label")).cast("int"))
+        .cast("bigint").alias("n_agree"),
+    )
+    g = p.groupBy(F.col("gold_label").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    r = p.groupBy(F.col("pred_label").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("np")
+    )
+    pe = g.join(r, "cls").agg(
+        F.coalesce(F.sum(F.col("ng") * F.col("np")), F.lit(0))
+        .cast("bigint").alias("pe_num")
+    )
+    n, a, pn = F.col("n_anchors"), F.col("n_agree"), F.col("pe_num")
+    return tot.crossJoin(pe).select(
+        "n_anchors",
+        "n_agree",
+        F.round(a / n, 4).alias("po"),
+        F.round(pn / (n * n), 4).alias("pe"),
+        F.when(
+            n * n - pn != 0, F.round((a * n - pn) / (n * n - pn), 4)
+        ).alias("kappa"),
+    )
+
+
+def knn_class_report(
+    df: DataFrame,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class precision/recall/F1 of the 1-NN label predictions on the
+    knn_predictions anchor sample — the sklearn classification_report
+    surface for the embedding-space probe (knn_label_probe gives per-GOLD
+    recall only; this adds the prediction-side view, so a class the
+    space over-predicts shows up as low precision even when its recall
+    looks healthy). Classes present in gold OR pred each get a row
+    (full outer marginal join, zero-filled).
+
+    Exact counts, one division each: precision = tp/n_pred,
+    recall = tp/n_gold, and F1 computed DIRECTLY from counts as
+    2·tp/(n_gold + n_pred) — algebraically identical to the harmonic
+    mean of p and r but one IEEE division instead of three, so there is
+    no compounded-rounding drift to reconcile cross-engine. Zero-count
+    denominators yield NULL, not errors.
+
+    Scale shape: bounded like knn_kappa — the corpus-scale work is the
+    shared prediction pass; this is three |labels|-row aggs and two
+    |labels|-row joins."""
+    p = knn_predictions(df, sample_mod, id_col, vec_col, label_col)
+    g = p.groupBy(F.col("gold_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gold"),
+        F.sum((F.col("pred_label") == F.col("gold_label")).cast("int"))
+        .cast("bigint").alias("n_correct"),
+    )
+    r = p.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    full = g.join(r, "label", "full_outer").select(
+        "label",
+        F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+        F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        F.coalesce("n_correct", F.lit(0)).cast("bigint").alias("n_correct"),
+    )
+    tp, ng, npr = F.col("n_correct"), F.col("n_gold"), F.col("n_pred")
+    return full.select(
+        "label",
+        "n_gold",
+        "n_pred",
+        "n_correct",
+        F.when(npr > 0, F.round(tp / npr, 4)).alias("precision"),
+        F.when(ng > 0, F.round(tp / ng, 4)).alias("recall"),
+        F.when(ng + npr > 0, F.round(2 * tp / (ng + npr), 4)).alias("f1"),
+    ).orderBy("label")
 
 
 def hard_negatives(

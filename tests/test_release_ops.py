@@ -15,8 +15,11 @@ import duckdb
 import pytest
 
 from pegasus_spark.analytics.pipeline_queries import (
+    q_aesthetic_score,
     q_ann_recall,
     q_bpe_pair_stats,
+    q_clip_aesthetic_grid,
+    q_clip_filter,
     q_column_profile,
     q_conversion_latency,
     q_corpus_diff,
@@ -227,6 +230,36 @@ class TestCorpusDiff:
         totals = [sum(r[c] for r in got) for c in
                   ("n_unchanged", "n_modified", "n_removed", "n_added")]
         assert all(t > 0 for t in totals)
+
+
+class TestClipAestheticGrid:
+    def test_composes_the_two_gated_filters(self, spark):
+        """The joint grid must tile exactly the per-image scores the two
+        independently-gated ops produce: cell counts equal a Python
+        re-binning of (clip_score, aesthetic_q), the keep flags are
+        threshold-aligned with the deployed filters, and the keep-both
+        mass equals a direct per-image AND of the two gated verdicts."""
+        grid = q_clip_aesthetic_grid(spark, SF_TEST_DIR).collect()
+        clip = {r["vec_id"]: r for r in q_clip_filter(spark, SF_TEST_DIR).collect()}
+        aes = {r["vec_id"]: r for r in q_aesthetic_score(spark, SF_TEST_DIR).collect()}
+        n_total = sum(r["n_images"] for r in grid)
+        assert n_total == len(clip) > 0
+
+        cells: Counter = Counter()
+        for v, rc in clip.items():
+            q = aes[v]["aesthetic_q"]
+            clip_bin = math.floor(rc["clip_score"] * 20)
+            aes_bin = 0 if q == 0 else (1 if q > 0 else -1) * len(bin(abs(q))[2:])
+            cells[(clip_bin, aes_bin)] += 1
+        assert {(r["clip_bin"], r["aes_bin"]): r["n_images"] for r in grid} == cells
+
+        keep_mass = sum(r["n_images"] for r in grid if r["keep_clip"] and r["keep_aes"])
+        want = sum(1 for v in clip if clip[v]["keep"] and aes[v]["keep"])
+        assert keep_mass == want
+        for r in grid:
+            assert r["keep_clip"] == (r["clip_bin"] >= 1)
+            assert r["keep_aes"] == (r["aes_bin"] > 0)
+            assert r["share"] == round(r["n_images"] / n_total, 4)
 
 
 class TestDailyAnomaly:

@@ -1423,6 +1423,70 @@ class TestKnnLabelProbe:
         assert got[0]["agree_rate"] == 1.0 and got[2]["agree_rate"] == 0.0
 
 
+_KNN_FIXTURE = [
+    (1, [1.0, 0.0, 0.0, 0.0], 0),
+    (2, [0.9, 0.1, 0.0, 0.0], 0),
+    (3, [0.0, 1.0, 0.0, 0.0], 1),
+    (4, [0.1, 0.9, 0.0, 0.0], 1),
+    (5, [0.0, 0.0, 1.0, 0.0], 2),  # singleton label; its NN ties → id 1
+]
+
+
+class TestKnnKappa:
+    def test_hand_computed_kappa(self, spark):
+        """On the planted fixture: gold {0:2, 1:2, 2:1}, predictions
+        {0:3, 1:2} (the singleton's all-zero cosines tie-break to id 1),
+        4/5 agreements → po = 0.8, pe = (2·3 + 2·2)/25 = 0.4,
+        κ = (4·5 − 10)/(25 − 10) = 2/3."""
+        from pegasus_spark.textops.similarity import knn_kappa
+
+        df = spark.createDataFrame(
+            _KNN_FIXTURE, "vec_id long, embedding array<float>, label int"
+        )
+        [r] = knn_kappa(df, sample_mod=1).collect()
+        assert (r["n_anchors"], r["n_agree"]) == (5, 4)
+        assert r["po"] == 0.8 and r["pe"] == 0.4
+        assert r["kappa"] == round(10 / 15, 4)
+
+    def test_single_class_degenerate_is_null(self, spark):
+        """All-one-class input: pe = 1, the denominator vanishes, and κ
+        must come back NULL rather than raising."""
+        from pegasus_spark.textops.similarity import knn_kappa
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        [r] = knn_kappa(df, sample_mod=1).collect()
+        assert (r["po"], r["pe"]) == (1.0, 1.0)
+        assert r["kappa"] is None
+
+
+class TestKnnClassReport:
+    def test_hand_computed_prf(self, spark):
+        """Per-class counts on the planted fixture — label 0 is
+        over-predicted (precision 2/3, recall 1), label 2 is never
+        predicted (precision NULL, recall 0, f1 0)."""
+        from pegasus_spark.textops.similarity import knn_class_report
+
+        df = spark.createDataFrame(
+            _KNN_FIXTURE, "vec_id long, embedding array<float>, label int"
+        )
+        got = {r["label"]: r for r in knn_class_report(df, sample_mod=1).collect()}
+        assert set(got) == {0, 1, 2}
+        r0 = got[0]
+        assert (r0["n_gold"], r0["n_pred"], r0["n_correct"]) == (2, 3, 2)
+        assert r0["precision"] == round(2 / 3, 4)
+        assert r0["recall"] == 1.0 and r0["f1"] == 0.8
+        r1 = got[1]
+        assert (r1["n_gold"], r1["n_pred"], r1["n_correct"]) == (2, 2, 2)
+        assert (r1["precision"], r1["recall"], r1["f1"]) == (1.0, 1.0, 1.0)
+        r2 = got[2]
+        assert (r2["n_gold"], r2["n_pred"], r2["n_correct"]) == (1, 0, 0)
+        assert r2["precision"] is None
+        assert r2["recall"] == 0.0 and r2["f1"] == 0.0
+
+
 class TestPackManifest:
     def test_digest_is_order_free_and_partition_invariant(self, spark):
         """The manifest digest depends only on shard MEMBERSHIP: identical
