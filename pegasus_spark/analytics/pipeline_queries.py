@@ -201,6 +201,82 @@ ORDER BY id_a, id_b
 """
 
 
+def q_minhash_accuracy(spark, sf_dir):
+    """Estimator-calibration audit of the minhash dedup pass
+    (dedup.minhash_accuracy — ann_recall's text-side twin): per surviving
+    near-dup pair, the signature-estimated Jaccard sig_matches/8 next to
+    the EXACT 5-shingle Jaccard over the same distinct-shingle sets, plus
+    the signed error — the table that justifies min_sig_match before a
+    corpus-scale delete. est and true are each ONE IEEE division of exact
+    BIGINTs; err subtracts the unrounded quotients and rounds once. The
+    exact-verify join touches only pair participants."""
+    return D.minhash_accuracy(
+        _docs(spark, sf_dir), n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_MINHASH_ACCURACY = r"""
+WITH t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+px AS (
+  SELECT c.id_a, c.id_b,
+    (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) AS sig_matches
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+),
+keep AS (SELECT * FROM px WHERE sig_matches >= 4),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+i AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM keep p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT k.id_a, k.id_b, k.sig_matches,
+       round(k.sig_matches * 1.0 / 8, 4) AS est_jaccard,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(ca.n + cb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+       round(COALESCE(i.n_inter, 0) * 1.0
+             / (ca.n + cb.n - COALESCE(i.n_inter, 0)), 4) AS true_jaccard,
+       round(k.sig_matches * 1.0 / 8
+             - COALESCE(i.n_inter, 0) * 1.0
+               / (ca.n + cb.n - COALESCE(i.n_inter, 0)), 4) AS err
+FROM keep k
+LEFT JOIN i ON i.id_a = k.id_a AND i.id_b = k.id_b
+JOIN cnt ca ON ca.doc_id = k.id_a
+JOIN cnt cb ON cb.doc_id = k.id_b
+ORDER BY k.id_a, k.id_b
+"""
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Transitive dedup: connected components over the minhash near-dup pair
     graph; cluster_id = min reachable doc_id (singletons keep their own).
@@ -4867,6 +4943,7 @@ PIPELINE_QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
+    "minhash_accuracy": q_minhash_accuracy,
     "near_dup_clusters": q_near_dup_clusters,
     "cross_modal_clusters": q_cross_modal_clusters,
     "dedup_keepers": q_dedup_keepers,
@@ -4966,6 +5043,7 @@ PIPELINE_ORACLES = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
+    "minhash_accuracy": ORACLE_MINHASH_ACCURACY,
     "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
     "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
     "dedup_keepers": ORACLE_DEDUP_KEEPERS,

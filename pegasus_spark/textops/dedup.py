@@ -168,6 +168,84 @@ def minhash_near_dups(
     )
 
 
+def minhash_accuracy(
+    df: DataFrame, n_hashes: int = 8, k: int = 5, bands: int = 4, rows: int = 2,
+    min_sig_match: int = 4, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Estimator-calibration audit of the minhash pipeline — 'measure,
+    don't guess' applied to the dedup threshold itself (the companion to
+    ann_recall on the text side): for every pair the near-dup pass
+    SURVIVES, the signature-estimated Jaccard (sig_matches / n_hashes —
+    the unbiased minhash estimate the pipeline acts on) next to the EXACT
+    k-shingle Jaccard |A∩B|/|A∪B| over the same distinct-shingle sets the
+    signature minimizes over, and the signed estimation error. This is
+    the table that justifies (or indicts) a chosen min_sig_match before a
+    corpus-scale delete: an estimator that systematically overshoots at
+    the threshold is deleting non-duplicates.
+
+    Exactness: est = sig_matches/n_hashes and true = inter/union are each
+    a single IEEE division of exact integers; the error subtracts the two
+    unrounded quotients and rounds ONCE. A banding-collision pair sharing
+    zero shingles still reports (inter = 0) rather than vanishing.
+
+    Scale shape: the dominant cost is the signature build the near-dup
+    pass already pays. The exact-verify side touches ONLY pair
+    participants — pairs (LSH-bounded) fan out by their left member's
+    shingles, and the intersection count is an equi-join keyed on
+    (id_b, shingle); full-corpus shingle sets never self-join. Shingle
+    strings are k chars, so the verify exchange is O(|pairs| · shingles
+    per doc) regardless of corpus size."""
+    pairs = minhash_near_dups(df, n_hashes, k, bands, rows, min_sig_match, id_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(
+        id_col, F.trim(F.col(text_col)).alias("_t")
+    ).repartition(par, id_col)
+    sh = src.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
+                    f" j -> substring(_t, j, {k}))"
+                )
+            )
+        ).alias("_s"),
+    )
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col(id_col).alias("id_a"), "_s"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "_s"), ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    est = F.col("sig_matches") / F.lit(n_hashes)
+    true = F.col("n_inter") / F.col("n_union")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(cnt.select(F.col(id_col).alias("id_a"), F.col("n").alias("_na")), "id_a")
+        .join(cnt.select(F.col(id_col).alias("id_b"), F.col("n").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sig_matches",
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            (F.col("_na") + F.col("_nb") - F.coalesce("n_inter", F.lit(0)))
+            .cast("bigint").alias("n_union"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sig_matches",
+            F.round(est, 4).alias("est_jaccard"),
+            "n_inter",
+            "n_union",
+            F.round(true, 4).alias("true_jaccard"),
+            F.round(est - true, 4).alias("err"),
+        )
+    )
+
+
 def minhash_decontaminate(
     corpus_df: DataFrame, eval_df: DataFrame,
     n_hashes: int = 8, k: int = 5, bands: int = 4, rows: int = 2,

@@ -55,6 +55,36 @@ class TestMinHash:
         assert (1, 6) in pairs  # appended-tail near dup shares most shingles
         assert not any(4 in p for p in pairs)  # unrelated doc never pairs
 
+    def test_accuracy_matches_exact_shingle_replay(self, doc_df):
+        """minhash_accuracy's exact side must equal a brute-force Python
+        5-shingle Jaccard over the same pairs, its estimate must be
+        sig_matches/8, and exact dups must report error 0 at both ends."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from pegasus_spark.textops.dedup import minhash_accuracy
+
+        def r4(x):  # Spark/DuckDB round() is HALF_UP; python round is banker's
+            return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+        texts = {r["doc_id"]: r["text"].strip() for r in doc_df.collect()}
+        shingles = {
+            i: {t[j : j + 5] for j in range(max(len(t) - 4, 1))}
+            for i, t in texts.items()
+        }
+        got = {(r["id_a"], r["id_b"]): r for r in minhash_accuracy(doc_df).collect()}
+        assert got, "threshold pairs must exist on the planted dups"
+        for (a, b), r in got.items():
+            inter = len(shingles[a] & shingles[b])
+            union = len(shingles[a] | shingles[b])
+            assert r["n_inter"] == inter and r["n_union"] == union
+            assert r["est_jaccard"] == r4(r["sig_matches"] / 8)
+            assert r["true_jaccard"] == r4(inter / union)
+            assert r["err"] == r4(r["sig_matches"] / 8 - inter / union)
+        # the exact-dup pair is perfectly calibrated: est = true = 1, err = 0
+        assert got[(1, 2)]["true_jaccard"] == 1.0
+        assert got[(1, 2)]["est_jaccard"] == 1.0
+        assert got[(1, 2)]["err"] == 0.0
+
 
 class TestSimHash:
     def test_deterministic(self, doc_df):
