@@ -1517,6 +1517,36 @@ class TestKnnClassReport:
         assert r2["recall"] == 0.0 and r2["f1"] == 0.0
 
 
+class TestCompressionRatio:
+    def test_matches_zlib_replay_and_flags_planted_boilerplate(self, spark):
+        """Exact zlib-size replay (same interpreter, same zlib build) over
+        the Arrow-batched UDF path; the planted repeated-phrase doc flags
+        as repetitive, ordinary prose does not, and an empty doc yields a
+        NULL ratio instead of a divide error."""
+        import zlib
+
+        from pegasus_spark.textops.text import compression_ratio
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog near the bank"),
+            (2, "spam and eggs " * 40),  # planted boilerplate — compresses hard
+            (3, "distributed engines shuffle partitions across executor cores"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+        for doc_id, text in rows:
+            raw = len(text.encode("utf-8"))
+            z = len(zlib.compress(text.encode("utf-8"), 6))
+            r = got[doc_id]
+            assert r["n_raw_bytes"] == raw and r["n_zip_bytes"] == z
+            if raw:
+                assert r["zip_ratio"] == round(z / raw, 4)
+        assert got[2]["is_repetitive"] and got[2]["zip_ratio"] < 0.3
+        assert not got[1]["is_repetitive"] and not got[3]["is_repetitive"]
+        assert got[4]["zip_ratio"] is None and got[4]["is_repetitive"] is False
+
+
 class TestPackManifest:
     def test_digest_is_order_free_and_partition_invariant(self, spark):
         """The manifest digest depends only on shard MEMBERSHIP: identical
