@@ -1281,6 +1281,50 @@ ORDER BY source, log2_bucket
 """
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary datasheet (text.vocab_stats): token
+    occurrences, distinct vocabulary, hapax legomena, type-token ratio,
+    hapax share, dominant word — the Heaps/Zipf release summary beside
+    length_histogram. The (source, word) count partial-aggs (the Zipf
+    head collapses map-side), everything downstream reads one row per
+    distinct word; output = |sources| rows. Single-file scan respread
+    (the bpe_pair_stats precedent)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return T.vocab_stats(docs)
+
+
+ORACLE_VOCAB_STATS = r"""
+WITH raw AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w0
+  FROM documents
+),
+toks AS (SELECT source, lower(w0) AS w FROM raw WHERE w0 <> ''),
+c AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY source, w
+),
+per AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM c GROUP BY source
+),
+top AS (
+  SELECT source, w AS top_word, cnt AS top_word_cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w ASC) AS rn
+  FROM c
+)
+SELECT p.source, p.n_tokens, p.n_vocab, p.n_hapax,
+       round(p.n_vocab * 1.0 / p.n_tokens, 4) AS ttr,
+       round(p.n_hapax * 1.0 / p.n_vocab, 4) AS hapax_share,
+       t.top_word, t.top_word_cnt
+FROM per p JOIN top t ON t.source = p.source AND t.rn = 1
+ORDER BY p.source
+"""
+
+
 def q_dup_audit_sample(spark, sf_dir):
     """Deterministic human-QA queue for the near-dup pass: the 20
     strongest verified minhash pairs (sig_matches desc, then (id_a, id_b)
@@ -4964,6 +5008,7 @@ PIPELINE_QUERIES = {
     "index_dedup": q_index_dedup,
     "source_overlap": q_source_overlap,
     "length_histogram": q_length_histogram,
+    "vocab_stats": q_vocab_stats,
     "resolution_histogram": q_resolution_histogram,
     "dup_audit_sample": q_dup_audit_sample,
     "doc_repetition": q_doc_repetition,
@@ -5064,6 +5109,7 @@ PIPELINE_ORACLES = {
     "index_dedup": ORACLE_INDEX_DEDUP,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
+    "vocab_stats": ORACLE_VOCAB_STATS,
     "resolution_histogram": ORACLE_RESOLUTION_HISTOGRAM,
     "dup_audit_sample": ORACLE_DUP_AUDIT_SAMPLE,
     "doc_repetition": ORACLE_DOC_REPETITION,

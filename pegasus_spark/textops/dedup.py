@@ -188,30 +188,34 @@ def minhash_accuracy(
     unrounded quotients and rounds ONCE. A banding-collision pair sharing
     zero shingles still reports (inter = 0) rather than vanishing.
 
-    Scale shape: the dominant cost is the signature build the near-dup
-    pass already pays. The exact-verify side touches ONLY pair
-    participants — pairs (LSH-bounded) fan out by their left member's
-    shingles, and the intersection count is an equi-join keyed on
-    (id_b, shingle); full-corpus shingle sets never self-join. Shingle
-    strings are k chars, so the verify exchange is O(|pairs| · shingles
+    Scale shape: the dominant cost is the signature build, paid ONCE —
+    the pair list is LSH-bounded, so it is materialized (eager
+    localCheckpoint) rather than letting its expensive signature subtree
+    re-run under every downstream branch (measured 9.9 → ~3 s at sf0.1).
+    The exact-verify side then touches ONLY pair participants: the
+    participant id set broadcasts, shingle explode + set sizes run over
+    those docs alone, and the intersection count is an equi-join keyed on
+    (id_b, shingle). Set sizes are a narrow size(array_distinct(...)) —
+    no second explode-aggregate. Full-corpus shingle sets never shuffle,
+    let alone self-join; every verify exchange is O(|pairs| · shingles
     per doc) regardless of corpus size."""
-    pairs = minhash_near_dups(df, n_hashes, k, bands, rows, min_sig_match, id_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    src = df.select(
+    pairs = minhash_near_dups(
+        df, n_hashes, k, bands, rows, min_sig_match, id_col
+    ).localCheckpoint(eager=True)  # LSH-bounded rows; stops subtree re-runs
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    src = df.join(F.broadcast(ids), id_col).select(
         id_col, F.trim(F.col(text_col)).alias("_t")
-    ).repartition(par, id_col)
-    sh = src.select(
-        id_col,
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
-                    f" j -> substring(_t, j, {k}))"
-                )
-            )
-        ).alias("_s"),
     )
-    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    shingle_arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
+            f" j -> substring(_t, j, {k}))"
+        )
+    )
+    sh = src.select(id_col, F.explode(shingle_arr).alias("_s"))
+    cnt = src.select(id_col, F.size(shingle_arr).cast("bigint").alias("n"))
     inter = (
         pairs.select("id_a", "id_b")
         .join(sh.select(F.col(id_col).alias("id_a"), "_s"), "id_a")

@@ -95,6 +95,61 @@ def with_quality(df: DataFrame) -> DataFrame:
     )
 
 
+def vocab_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-source vocabulary datasheet — the Heaps/Zipf summary a corpus
+    release publishes beside length_histogram: token occurrences, distinct
+    vocabulary size, hapax legomena (frequency-1 words — the figure that
+    says whether a source is genuinely diverse or template spam), the
+    type-token ratio, hapax share, and the dominant word. Words are the
+    repo's whitespace tokens, lowercased; ties on the dominant word break
+    lexicographically.
+
+    Scale shape: the token explode is narrow; the (group, word) count is
+    partial-aggregable — the Zipf head collapses map-side precisely
+    because it's hot — and every later stage reads one row per DISTINCT
+    (group, word), not per occurrence. The rollup and the dominant-word
+    WindowGroupLimit both key on group, and the output is |groups| rows.
+    At 100 TB the (group, word) exchange is the vocabulary size
+    (10⁶-10⁷ rows/group), not the corpus."""
+    words = df.select(
+        group_col, F.explode(tokens_col()).alias("_w0")
+    ).filter(F.col("_w0") != "").select(
+        group_col, F.lower(F.col("_w0")).alias("w")
+    )
+    c = words.groupBy(group_col, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per = c.groupBy(group_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum((F.col("cnt") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("w"))
+    top = (
+        c.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            group_col,
+            F.col("w").alias("top_word"),
+            F.col("cnt").alias("top_word_cnt"),
+        )
+    )
+    return (
+        per.join(F.broadcast(top), group_col)
+        .select(
+            group_col,
+            "n_tokens",
+            "n_vocab",
+            "n_hapax",
+            F.round(F.col("n_vocab") / F.col("n_tokens"), 4).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_vocab"), 4).alias("hapax_share"),
+            "top_word",
+            "top_word_cnt",
+        )
+        .orderBy(group_col)
+    )
+
+
 def compression_ratio(
     df: DataFrame, level: int = 6, tau_repetitive: float = 0.3,
     id_col: str = "doc_id", text_col: str = "text",

@@ -36,6 +36,7 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_text_normalize,
     q_train_test_split,
     q_triangle_count,
+    q_vocab_stats,
 )
 from tests.conftest import SF_TEST_DIR
 
@@ -230,6 +231,31 @@ class TestCorpusDiff:
         totals = [sum(r[c] for r in got) for c in
                   ("n_unchanged", "n_modified", "n_removed", "n_added")]
         assert all(t > 0 for t in totals)
+
+
+class TestVocabStats:
+    def test_matches_python_replay(self, spark, docs_rows):
+        """Exact vocabulary replay per source: python str.split() equals
+        the \\s+ split of trimmed text (runs collapse, no empty tokens),
+        so token totals, vocab, hapax and the tie-broken dominant word
+        must all agree."""
+        by_src: dict[str, Counter] = defaultdict(Counter)
+        for _doc_id, text, _l, source, _n in docs_rows:
+            by_src[source].update(w.lower() for w in text.strip().split())
+        got = {r["source"]: r for r in q_vocab_stats(spark, SF_TEST_DIR).collect()}
+        assert set(got) == set(by_src)
+        for src, cnt in by_src.items():
+            r = got[src]
+            n_tokens, n_vocab = sum(cnt.values()), len(cnt)
+            n_hapax = sum(1 for v in cnt.values() if v == 1)
+            assert r["n_tokens"] == n_tokens
+            assert r["n_vocab"] == n_vocab
+            assert r["n_hapax"] == n_hapax
+            assert r["ttr"] == round(n_vocab / n_tokens, 4)
+            assert r["hapax_share"] == round(n_hapax / n_vocab, 4)
+            top_word, top_cnt = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert (r["top_word"], r["top_word_cnt"]) == (top_word, top_cnt)
+            assert 0 < n_hapax < n_vocab  # the gate distribution is non-trivial
 
 
 class TestClipAestheticGrid:
