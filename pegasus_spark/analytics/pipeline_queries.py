@@ -277,6 +277,123 @@ ORDER BY k.id_a, k.id_b
 """
 
 
+def q_minhash_threshold_sweep(spark, sf_dir):
+    """Operating curve for the minhash verify threshold — minhash_accuracy
+    folded into the decision table (threshold_sweep's shape, applied to
+    the dedup estimator): for every candidate min_sig_match t = 1..8,
+    how many LSH candidate pairs survive, how many are TRUE near-dups by
+    the exact 5-shingle Jaccard (≥ 0.25, ngram_jaccard's τ), the
+    precision of acting at t, and the recall relative to all true dups
+    among the candidates. Recall is banding-conditional by construction —
+    pairs no band catches are invisible to any t; the b/r recall curve is
+    the analytic (1-(1-s^r)^b) companion, not measured here.
+
+    The t × pairs comparison is a ≤8-row broadcast theta-join over the
+    LSH-bounded pair table (ann_recall's ks pattern, zero-filled so a t
+    that keeps nothing still reports); every ratio is one IEEE division
+    of exact BIGINTs, NULL on empty denominators."""
+    acc = D.minhash_accuracy(
+        _docs(spark, sf_dir), n_hashes=8, k=5, bands=4, rows=2, min_sig_match=1
+    ).select("sig_matches", "true_jaccard")
+    ks = spark.range(1, 9).select(F.col("id").cast("int").alias("t"))
+    per = (
+        ks.join(F.broadcast(acc), F.col("sig_matches") >= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.count("sig_matches").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("true_jaccard") >= 0.25, 1).otherwise(0))
+            .cast("bigint").alias("n_true_dups"),
+        )
+    )
+    tot = per.agg(
+        F.max(F.when(F.col("t") == 1, F.col("n_true_dups"))).alias("n_true_total")
+    )
+    np_, nt, ntt = F.col("n_pairs"), F.col("n_true_dups"), F.col("n_true_total")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "n_pairs",
+            "n_true_dups",
+            F.when(np_ > 0, F.round(nt / np_, 4)).alias("precision"),
+            F.when(ntt > 0, F.round(nt / ntt, 4)).alias("recall"),
+        )
+        .orderBy("t")
+    )
+
+
+ORACLE_MINHASH_THRESHOLD_SWEEP = r"""
+WITH t0 AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t0
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+hx AS (
+  SELECT doc_id, h, min(substr(md5(s), 1 + 3 * h, 8)) AS v
+  FROM (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM sh)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id,
+    max(CASE WHEN h=0 THEN v END) AS m0, max(CASE WHEN h=1 THEN v END) AS m1,
+    max(CASE WHEN h=2 THEN v END) AS m2, max(CASE WHEN h=3 THEN v END) AS m3,
+    max(CASE WHEN h=4 THEN v END) AS m4, max(CASE WHEN h=5 THEN v END) AS m5,
+    max(CASE WHEN h=6 THEN v END) AS m6, max(CASE WHEN h=7 THEN v END) AS m7
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig UNION ALL
+  SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig UNION ALL
+  SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+px AS (
+  SELECT c.id_a, c.id_b,
+    (CAST(sa.m0 = sb.m0 AS INT) + CAST(sa.m1 = sb.m1 AS INT) + CAST(sa.m2 = sb.m2 AS INT)
+     + CAST(sa.m3 = sb.m3 AS INT) + CAST(sa.m4 = sb.m4 AS INT) + CAST(sa.m5 = sb.m5 AS INT)
+     + CAST(sa.m6 = sb.m6 AS INT) + CAST(sa.m7 = sb.m7 AS INT)) AS sig_matches
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+i AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM px p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT k.sig_matches,
+         round(COALESCE(i.n_inter, 0) * 1.0
+               / (ca.n + cb.n - COALESCE(i.n_inter, 0)), 4) AS true_jaccard
+  FROM px k
+  LEFT JOIN i ON i.id_a = k.id_a AND i.id_b = k.id_b
+  JOIN cnt ca ON ca.doc_id = k.id_a
+  JOIN cnt cb ON cb.doc_id = k.id_b
+),
+ks AS (SELECT unnest(generate_series(1, 8)) AS t),
+per AS (
+  SELECT ks.t, CAST(count(j.sig_matches) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(CASE WHEN j.true_jaccard >= 0.25 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_true_dups
+  FROM ks LEFT JOIN j ON j.sig_matches >= ks.t
+  GROUP BY ks.t
+),
+tot AS (SELECT n_true_dups AS n_true_total FROM per WHERE t = 1)
+SELECT CAST(per.t AS INT) AS t, per.n_pairs, per.n_true_dups,
+       CASE WHEN per.n_pairs > 0
+            THEN round(per.n_true_dups * 1.0 / per.n_pairs, 4) END AS "precision",
+       CASE WHEN tot.n_true_total > 0
+            THEN round(per.n_true_dups * 1.0 / tot.n_true_total, 4) END AS recall
+FROM per CROSS JOIN tot
+ORDER BY t
+"""
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Transitive dedup: connected components over the minhash near-dup pair
     graph; cluster_id = min reachable doc_id (singletons keep their own).
@@ -4988,6 +5105,7 @@ PIPELINE_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_accuracy": q_minhash_accuracy,
+    "minhash_threshold_sweep": q_minhash_threshold_sweep,
     "near_dup_clusters": q_near_dup_clusters,
     "cross_modal_clusters": q_cross_modal_clusters,
     "dedup_keepers": q_dedup_keepers,
@@ -5089,6 +5207,7 @@ PIPELINE_ORACLES = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
     "minhash_accuracy": ORACLE_MINHASH_ACCURACY,
+    "minhash_threshold_sweep": ORACLE_MINHASH_THRESHOLD_SWEEP,
     "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
     "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
     "dedup_keepers": ORACLE_DEDUP_KEEPERS,

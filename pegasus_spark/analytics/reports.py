@@ -624,6 +624,27 @@ def caption_quality_sweep(items: DataFrame) -> DataFrame:
     return quality_threshold_sweep(caps)
 
 
+def caption_vocab(items: DataFrame) -> DataFrame:
+    """Per-region caption vocabulary datacard over a committed items table —
+    the crawl twin of the gated ``vocab_stats``: token occurrences,
+    distinct vocabulary, hapax legomena, type-token ratio, hapax share,
+    and the dominant word. A region whose captions come from a template
+    shows a cratered hapax share and a suspicious dominant word long
+    before any dup-rate pass runs — this is the cheap first look.
+
+    Shares :func:`pegasus_spark.textops.text.vocab_stats` (the
+    flag_ablation shared-core precedent). Captions reduce to
+    (region, word) rows before anything moves; the items table's image
+    bytes prune at the scan."""
+    from pegasus_spark.textops.text import vocab_stats
+
+    caps = items.select(
+        F.element_at(F.split("image_id", "-"), 2).alias("region"),
+        F.col("caption").alias("text"),
+    )
+    return vocab_stats(caps, group_col="region")
+
+
 def volume_anomaly_flags(
     df: DataFrame, key_col: str, period_col: str,
     count_alias: str = "n_events", mean_alias: str = "mean_events",

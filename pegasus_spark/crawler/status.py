@@ -152,6 +152,26 @@ def crawl_pii_report(
     return [r.asDict() for r in caption_pii_report(items).collect()]
 
 
+def crawl_caption_vocab(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> list[dict[str, Any]]:
+    """Per-region caption vocabulary datacard over the COMMITTED items
+    table (reports.caption_vocab, the crawl twin of the gated
+    vocab_stats): token occurrences, vocabulary, hapax legomena, TTR,
+    hapax share, dominant word — the template-caption smoke alarm. Reads
+    only manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import caption_vocab
+
+    return [r.asDict() for r in caption_vocab(items).collect()]
+
+
 def crawl_datacard(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
 ) -> list[dict[str, Any]]:
@@ -379,12 +399,13 @@ def main(argv: list[str] | None = None) -> int:
     ablation = "--ablation" in argv
     sweep = "--sweep" in argv
     volume = "--volume" in argv
+    vocab = "--vocab" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
             "--politeness", "--pii", "--datacard", "--ablation", "--sweep",
-            "--volume",
+            "--volume", "--vocab",
         )
     ]
     if len(argv) != 1:
@@ -392,7 +413,7 @@ def main(argv: list[str] | None = None) -> int:
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
             " [--politeness] [--pii] [--datacard] [--ablation] [--sweep]"
-            " [--volume] <workdir>",
+            " [--volume] [--vocab] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -462,6 +483,12 @@ def main(argv: list[str] | None = None) -> int:
             out["volume_anomaly"] = crawl_volume_anomaly(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--volume: {exc}", file=sys.stderr)
+            return 2
+    if vocab:
+        try:
+            out["caption_vocab"] = crawl_caption_vocab(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--vocab: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

@@ -474,6 +474,46 @@ def test_politeness_audit_cli_surface(crawl, capsys):
     assert payload["politeness"] == rep
 
 
+def test_vocab_cli_surface(crawl, capsys):
+    """`status --vocab` publishes the per-region caption vocabulary
+    datacard (reports.caption_vocab, the crawl twin of the gated
+    vocab_stats): counts match a plain-Python lowercased-token recount
+    over the committed captions, and the CLI payload equals the report."""
+    import json
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pegasus_spark.crawler.status import crawl_caption_vocab, main
+
+    def r4(x):  # Spark round() is HALF_UP; python round is banker's
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    spec, sched, result, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    by_region: dict[str, Counter] = defaultdict(Counter)
+    for r in items.select("image_id", "caption").collect():
+        region = r["image_id"].split("-")[1]
+        by_region[region].update(w.lower() for w in r["caption"].strip().split())
+
+    rep = crawl_caption_vocab(sched.spark, sched.store.workdir, sched.store)
+    assert {r["region"] for r in rep} == set(by_region)
+    for row in rep:
+        cnt = by_region[row["region"]]
+        n_tokens, n_vocab = sum(cnt.values()), len(cnt)
+        n_hapax = sum(1 for v in cnt.values() if v == 1)
+        assert row["n_tokens"] == n_tokens
+        assert row["n_vocab"] == n_vocab
+        assert row["n_hapax"] == n_hapax
+        assert row["ttr"] == r4(n_vocab / n_tokens)
+        top_word, top_cnt = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (row["top_word"], row["top_word_cnt"]) == (top_word, top_cnt)
+
+    rc = main(["--vocab", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["caption_vocab"] == rep
+
+
 def test_pii_cli_surface(crawl, capsys):
     """The crawl CLI answers "what would a scrub redact" from the COMMITTED
     items table: crawl_pii_report's per-region counts match a plain-Python

@@ -233,12 +233,53 @@ class TestCorpusDiff:
         assert all(t > 0 for t in totals)
 
 
+class TestMinhashThresholdSweep:
+    def test_matches_accuracy_fold_and_is_monotone(self, spark):
+        """The sweep must be exactly the python fold of minhash_accuracy at
+        min_sig_match=1 (the all-candidates table): per t, kept pairs and
+        true dups (exact jaccard >= 0.25), HALF_UP-rounded ratios; kept
+        counts non-increasing in t and every t row present (zero-filled)."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from pegasus_spark.analytics.pipeline_queries import (
+            q_minhash_threshold_sweep,
+        )
+        from pegasus_spark.textops.dedup import minhash_accuracy
+
+        def r4(x):
+            return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+        docs = spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+        acc = minhash_accuracy(docs, min_sig_match=1).collect()
+        got = q_minhash_threshold_sweep(spark, SF_TEST_DIR).collect()
+        assert [r["t"] for r in got] == list(range(1, 9))
+        total_true = sum(1 for a in acc if a["true_jaccard"] >= 0.25)
+        assert total_true > 0
+        pair_counts = [r["n_pairs"] for r in got]
+        assert pair_counts == sorted(pair_counts, reverse=True)
+        for r in got:
+            kept = [a for a in acc if a["sig_matches"] >= r["t"]]
+            n_true = sum(1 for a in kept if a["true_jaccard"] >= 0.25)
+            assert r["n_pairs"] == len(kept)
+            assert r["n_true_dups"] == n_true
+            if kept:
+                assert r["precision"] == r4(n_true / len(kept))
+            else:
+                assert r["precision"] is None
+            assert r["recall"] == r4(n_true / total_true)
+
+
 class TestVocabStats:
     def test_matches_python_replay(self, spark, docs_rows):
         """Exact vocabulary replay per source: python str.split() equals
         the \\s+ split of trimmed text (runs collapse, no empty tokens),
         so token totals, vocab, hapax and the tie-broken dominant word
         must all agree."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r4(x):  # Spark round() is HALF_UP; python round is banker's
+            return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
         by_src: dict[str, Counter] = defaultdict(Counter)
         for _doc_id, text, _l, source, _n in docs_rows:
             by_src[source].update(w.lower() for w in text.strip().split())
@@ -251,11 +292,15 @@ class TestVocabStats:
             assert r["n_tokens"] == n_tokens
             assert r["n_vocab"] == n_vocab
             assert r["n_hapax"] == n_hapax
-            assert r["ttr"] == round(n_vocab / n_tokens, 4)
-            assert r["hapax_share"] == round(n_hapax / n_vocab, 4)
+            assert r["ttr"] == r4(n_vocab / n_tokens)
+            assert r["hapax_share"] == r4(n_hapax / n_vocab)
             top_word, top_cnt = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
             assert (r["top_word"], r["top_word_cnt"]) == (top_word, top_cnt)
-            assert 0 < n_hapax < n_vocab  # the gate distribution is non-trivial
+            assert n_hapax < n_vocab
+        # non-trivial at corpus level: the synthetic generator's vocabulary
+        # is nearly closed per source (hapax = 0 or 1), but the hapax
+        # channel must fire SOMEWHERE or the column gates nothing
+        assert sum(r["n_hapax"] for r in got.values()) > 0
 
 
 class TestClipAestheticGrid:
