@@ -4649,6 +4649,61 @@ ORDER BY d.event_type, d.day
 """
 
 
+def q_stickiness(spark, sf_dir):
+    """DAU / WAU₇ engagement ratio per day — the product-analytics KPI
+    (stickiness: what share of the week's active users showed up today)
+    over the event stream, reported for every observed day with exact
+    distinct-user counts. Head days carry partial trailing windows (the
+    standard convention — day 3's WAU₇ sees only days 1-3).
+
+    Scale shape: one distinct to (user, day) pairs, then the trailing
+    window is an EXPLODE, not a theta join — each user-day contributes
+    itself to the 7 days it keeps active, so the fan-out is a fixed 7×
+    on the deduped pairs and the count is a combinable groupBy; no
+    per-day range scan of the whole activity table. Observed-day inner
+    join drops phantom days past the stream's end. dau/wau is one IEEE
+    division of exact BIGINTs rounded once."""
+    ud = (
+        _events(spark, sf_dir)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+    ).distinct()
+    wau = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau7")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau7",
+            F.round(F.col("dau") / F.col("wau7"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_STICKINESS = """
+WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+contrib AS (
+  SELECT DISTINCT user_id, CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+  FROM ud
+),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7 FROM contrib GROUP BY day)
+SELECT dau.day, dau.dau, wau.wau7,
+       round(dau.dau * 1.0 / wau.wau7, 4) AS stickiness
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
+
+
 def q_text_normalize(spark, sf_dir):
     """Whitespace normalization — the first preprocessing ACTION of every
     text pipeline (C4/Gopher normalize before filtering): collapse
@@ -5189,6 +5244,7 @@ PIPELINE_QUERIES = {
     "quality_checks": q_quality_checks,
     "corpus_diff": q_corpus_diff,
     "daily_anomaly": q_daily_anomaly,
+    "stickiness": q_stickiness,
     "text_normalize": q_text_normalize,
     "stratified_sample": q_stratified_sample,
     "props_stats": q_props_stats,
@@ -5291,6 +5347,7 @@ PIPELINE_ORACLES = {
     "quality_checks": ORACLE_QUALITY_CHECKS,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "daily_anomaly": ORACLE_DAILY_ANOMALY,
+    "stickiness": ORACLE_STICKINESS,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "props_stats": ORACLE_PROPS_STATS,

@@ -233,6 +233,43 @@ class TestCorpusDiff:
         assert all(t > 0 for t in totals)
 
 
+class TestStickiness:
+    def test_matches_python_replay(self, spark):
+        """DAU and trailing-7-day AU per observed day recomputed from the
+        raw (user, day) pairs; partial head windows included, phantom
+        days past the stream's end absent, ratio in (0, 1]."""
+        import datetime
+
+        con = duckdb.connect()
+        ud = con.sql(
+            f"SELECT DISTINCT user_id, ts::DATE AS day "
+            f"FROM '{SF_TEST_DIR}/events.parquet'"
+        ).fetchall()
+        con.close()
+        from pegasus_spark.analytics.pipeline_queries import q_stickiness
+
+        by_day: dict = defaultdict(set)
+        for uid, day in ud:
+            by_day[day].add(uid)
+        days = sorted(by_day)
+        got = {r["day"]: r for r in q_stickiness(spark, SF_TEST_DIR).collect()}
+        assert sorted(got) == days  # observed days only, all of them
+        for d in days:
+            dau = len(by_day[d])
+            wau = len(
+                set().union(
+                    *(by_day.get(d - datetime.timedelta(days=k), set())
+                      for k in range(7))
+                )
+            )
+            r = got[d]
+            assert r["dau"] == dau and r["wau7"] == wau
+            assert r["stickiness"] == round(dau / wau, 4)
+            assert 0 < r["stickiness"] <= 1
+        # the ratio must actually vary or the gate checks a constant
+        assert len({r["stickiness"] for r in got.values()}) > 1
+
+
 class TestMinhashThresholdSweep:
     def test_matches_accuracy_fold_and_is_monotone(self, spark):
         """The sweep must be exactly the python fold of minhash_accuracy at
