@@ -1442,6 +1442,45 @@ ORDER BY p.source
 """
 
 
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-20 word trigrams (text.ngram_topk — the WIMBD
+    headline table, Elazar et al. 2024): count, document frequency, and
+    occurrence share per gram. Grams ride the shared word_grams
+    construction (clamp=False), lowercased; the (gram, doc) partial agg
+    collapses within-doc repeats map-side, the big exchange is
+    vocabulary-sized, and the top-20 is a TakeOrderedAndProject, not a
+    global sort. Single-file scan respread (the bpe_pair_stats
+    precedent)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return T.ngram_topk(docs, n=3, topk=20)
+
+
+ORACLE_NGRAM_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, lower(array_to_string(tk[i:i+2], ' ')) AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks WHERE len(tk) >= 3)
+),
+pd AS (
+  SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram, doc_id
+),
+c AS (
+  SELECT gram, CAST(SUM(c) AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM pd GROUP BY gram
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM c),
+top AS (SELECT * FROM c ORDER BY cnt DESC, gram ASC LIMIT 20)
+SELECT gram, cnt, doc_freq, round(cnt * 1.0 / t, 6) AS share
+FROM top, tot
+ORDER BY cnt DESC, gram ASC
+"""
+
+
 def q_dup_audit_sample(spark, sf_dir):
     """Deterministic human-QA queue for the near-dup pass: the 20
     strongest verified minhash pairs (sig_matches desc, then (id_a, id_b)
@@ -1680,7 +1719,10 @@ def q_kmeans_clusters(spark, sf_dir):
     return S.spherical_kmeans(_emb(spark, sf_dir), k=8, iters=1)
 
 
-ORACLE_KMEANS_CLUSTERS = """
+# shared CTE chain: quantize → seed → assign → centroid update → final
+# score table s1 (and its centroid set c1) — ORACLE_KMEANS_CLUSTERS takes
+# the argmax, ORACLE_CLUSTER_SILHOUETTE keeps scoring against c1
+_KMEANS_CORE_SQL = """
 WITH e AS (
   SELECT vec_id, q FROM (
     SELECT vec_id,
@@ -1711,9 +1753,62 @@ s1 AS (
                        * sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[])))
                     * 10000, 0) AS BIGINT) * 1000000 - c.cid AS val
   FROM e, c1 c
-)
+)"""
+
+ORACLE_KMEANS_CLUSTERS = (
+    _KMEANS_CORE_SQL
+    + """
 SELECT vec_id, arg_max(cid, val) AS cell FROM s1 GROUP BY vec_id ORDER BY vec_id
 """
+)
+
+
+def q_cluster_silhouette(spark, sf_dir):
+    """Simplified-silhouette audit of the k=8 spherical k-means clustering
+    (similarity.kmeans_silhouette — Rousseeuw 1987 in the centroid-distance
+    simplification): per cluster, member count, mean cosine to the own
+    centroid, mean cosine to the best other centroid, and the mean
+    silhouette (b−a)/max(a,b) on an exact round(cos·10⁶) BIGINT grid —
+    the table that says whether the cells SemDeDup and IVF rely on are
+    real topic buckets. One extra assignment-shaped n×k broadcast pass;
+    every exchange past it is k rows."""
+    return S.kmeans_silhouette(_emb(spark, sf_dir), k=8, iters=1)
+
+
+ORACLE_CLUSTER_SILHOUETTE = (
+    _KMEANS_CORE_SQL
+    + """,
+a1 AS (SELECT vec_id, arg_max(cid, val) AS cell FROM s1 GROUP BY vec_id),
+cm AS (
+  SELECT e.vec_id, c.cid,
+         CAST(round(list_dot_product(q::DOUBLE[], cvec::DOUBLE[])
+                    / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))
+                       * sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[])))
+                    * 1000000, 0) AS BIGINT) AS cm
+  FROM e, c1 c
+),
+per AS (
+  SELECT a1.vec_id, a1.cell,
+         max(CASE WHEN cm.cid = a1.cell THEN cm.cm END) AS own,
+         max(CASE WHEN cm.cid <> a1.cell THEN cm.cm END) AS oth
+  FROM a1 JOIN cm ON cm.vec_id = a1.vec_id
+  GROUP BY a1.vec_id, a1.cell
+),
+sil AS (
+  SELECT cell, own, oth,
+         CASE WHEN greatest(1000000 - own, 1000000 - oth) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((own - oth) * 1000000
+                              / greatest(1000000 - own, 1000000 - oth)) AS BIGINT)
+         END AS s
+  FROM per
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       round(SUM(own) / (count(*) * 1000000.0), 4) AS mean_cos_own,
+       round(SUM(oth) / (count(*) * 1000000.0), 4) AS mean_cos_other,
+       round(SUM(s) / (count(*) * 1000000.0), 4) AS mean_silhouette
+FROM sil GROUP BY cell ORDER BY cell
+"""
+)
 
 
 MIX_RATES = {"src0": 100, "src1": 50, "src2": 25}  # percent; others 10
@@ -4391,6 +4486,68 @@ FROM ks LEFT JOIN m ON m.rmax <= ks.k
 GROUP BY ks.k ORDER BY k
 """
 
+QUANT_LEVELS = 7  # int4 — coarse enough to actually lose candidates at sf0.01
+
+
+def q_quantization_recall(spark, sf_dir):
+    """Recall@k of scalar-quantized retrieval against the float32 brute
+    force — ann_recall's index-compression twin (the Faiss SQ sweep every
+    deployment runs before shipping a compressed vector index): for
+    k = 1..10, |top-k(float) ∩ top-k(quantized)| / k, both sides ranked by
+    the shared (cos desc, vec_id) tie-break. Measured at int4
+    (levels = 7) — the operating point where quantization actually loses
+    candidates; int8's curve is flat 1.0 at this corpus size and would
+    gate nothing. Both inputs are k-row bounded query results; the
+    corpus-scale work lives in the two underlying scans."""
+    brute = S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+    quant = S.quantized_topk(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, levels=QUANT_LEVELS
+    )
+    w = Window.orderBy(F.desc("cos"), "vec_id")
+    rb = brute.select("vec_id", F.row_number().over(w).alias("rb"))
+    rq = quant.select("vec_id", F.row_number().over(w).alias("rq"))
+    m = rb.join(rq, "vec_id").select(F.greatest("rb", "rq").alias("rmax"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    return (
+        ks.join(F.broadcast(m), m.rmax <= ks.k, "left")
+        .groupBy("k")
+        .agg(F.count("rmax").cast("bigint").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.col("k"), 4))
+        .orderBy("k")
+    )
+
+
+ORACLE_QUANTIZATION_RECALL = f"""
+WITH brute AS ({ORACLE_COSINE_TOPK}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+q8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x * {QUANT_LEVELS}.0 / s, 0) AS BIGINT)) AS q
+  FROM sc WHERE s > 0
+),
+qn AS (
+  SELECT vec_id, q, sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) AS n
+  FROM q8 WHERE sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) > 0
+),
+qq AS (SELECT q AS qv, n AS qvn FROM qn WHERE vec_id = 0),
+i8 AS (
+  SELECT vec_id,
+         round(list_dot_product(q::DOUBLE[], qv::DOUBLE[]) / (n * qvn), 4) AS cos
+  FROM qn, qq WHERE vec_id <> 0
+  ORDER BY cos DESC, vec_id ASC LIMIT 10
+),
+rb AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r FROM brute),
+rq AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r FROM i8),
+m AS (SELECT greatest(rb.r, rq.r) AS rmax FROM rb JOIN rq USING (vec_id)),
+ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(count(m.rmax) AS BIGINT) AS n_hits,
+       round(count(m.rmax) * 1.0 / ks.k, 4) AS recall
+FROM ks LEFT JOIN m ON m.rmax <= ks.k
+GROUP BY ks.k ORDER BY k
+"""
+
 
 def q_column_profile(spark, sf_dir):
     """Deequ-style column profiling over the corpus table (Schelter et al.,
@@ -5182,11 +5339,13 @@ PIPELINE_QUERIES = {
     "source_overlap": q_source_overlap,
     "length_histogram": q_length_histogram,
     "vocab_stats": q_vocab_stats,
+    "ngram_topk": q_ngram_topk,
     "resolution_histogram": q_resolution_histogram,
     "dup_audit_sample": q_dup_audit_sample,
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
     "kmeans_clusters": q_kmeans_clusters,
+    "cluster_silhouette": q_cluster_silhouette,
     "gopher_rules": q_gopher_rules,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dup_rate_by_source": q_dup_rate_by_source,
@@ -5240,6 +5399,7 @@ PIPELINE_QUERIES = {
     "train_test_split": q_train_test_split,
     "bpe_pair_stats": q_bpe_pair_stats,
     "ann_recall": q_ann_recall,
+    "quantization_recall": q_quantization_recall,
     "column_profile": q_column_profile,
     "quality_checks": q_quality_checks,
     "corpus_diff": q_corpus_diff,
@@ -5285,11 +5445,13 @@ PIPELINE_ORACLES = {
     "source_overlap": ORACLE_SOURCE_OVERLAP,
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "vocab_stats": ORACLE_VOCAB_STATS,
+    "ngram_topk": ORACLE_NGRAM_TOPK,
     "resolution_histogram": ORACLE_RESOLUTION_HISTOGRAM,
     "dup_audit_sample": ORACLE_DUP_AUDIT_SAMPLE,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "source_mix": ORACLE_SOURCE_MIX,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
+    "cluster_silhouette": ORACLE_CLUSTER_SILHOUETTE,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "dup_rate_by_source": ORACLE_DUP_RATE_BY_SOURCE,
@@ -5343,6 +5505,7 @@ PIPELINE_ORACLES = {
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "bpe_pair_stats": ORACLE_BPE_PAIR_STATS,
     "ann_recall": ORACLE_ANN_RECALL,
+    "quantization_recall": ORACLE_QUANTIZATION_RECALL,
     "column_profile": ORACLE_COLUMN_PROFILE,
     "quality_checks": ORACLE_QUALITY_CHECKS,
     "corpus_diff": ORACLE_CORPUS_DIFF,

@@ -450,6 +450,20 @@ def _kmeans_assign(
     assignment WITH the quantized vector, no presentation sort — so callers
     that keep computing (semantic_dedup's pair probe) don't embed a total
     sort mid-plan."""
+    base, cents = _kmeans_fit(df, k, iters, id_col, vec_col)
+    # (id, cell, q, _qd, _qn) — quantized ints for centroid math, the
+    # hoisted double view + norm for callers that keep computing cosines
+    return _argmax_cell(base, cents, id_col)
+
+
+def _kmeans_fit(
+    df: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+):
+    """Lloyd's loop shared by `_kmeans_assign` and `kmeans_silhouette`:
+    returns (base, cents) — the filtered quantized vectors and the FINAL
+    centroid table (with the hoisted double view + norm on both) — so an
+    audit can score against the same centroids the assignment used instead
+    of replaying the iteration."""
     qd = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     base = (
         df.select(
@@ -498,9 +512,127 @@ def _kmeans_assign(
             .withColumn("_cd", qd(F.col("_cvec")))
             .withColumn("_cn", F.sqrt(_dot_pre(F.col("_cd"), F.col("_cd"))))
         )
-    # (id, cell, q, _qd, _qn) — quantized ints for centroid math, the
-    # hoisted double view + norm for callers that keep computing cosines
-    return _argmax_cell(base, cents, id_col)
+    return base, cents
+
+
+def kmeans_silhouette(
+    df: DataFrame, k: int = 8, iters: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified-silhouette audit of the spherical k-means clustering —
+    the cluster-quality table (Rousseeuw 1987's silhouette, in the
+    centroid-distance simplification every large-scale evaluation uses
+    because true silhouette is all-pairs): per cluster, member count, mean
+    cosine to the OWN centroid, mean cosine to the best OTHER centroid,
+    and the mean silhouette s = (b − a) / max(a, b) with a = cosine
+    distance to own centroid, b = distance to the nearest other. A cell
+    with mean s near 0 is not a real topic bucket — the table that says
+    whether SemDeDup's cells (and IVF's probe lists) can be trusted.
+
+    Exactness discipline: cosines quantize to round(cos·10⁶) BIGINT, so
+    a and b are exact integers; each row's silhouette is ONE IEEE division
+    floored onto a micro grid (floor((b−a)·10⁶ / max(a,b)) — the quotient
+    is the same correctly-rounded double on both engines), and all
+    per-cluster means are exact BIGINT sums divided once. The degenerate
+    a = b = 0 row (duplicate centroids) scores 0.
+
+    Scale shape: one extra assignment-shaped pass — the n×k broadcast
+    pair block with the hoisted double view/norm (same cost class as the
+    final Lloyd assignment itself), collapsing map-side to one row per
+    vector; the rollup is k rows. No corpus self-join, no new exchange
+    beyond the |k|-key aggregate."""
+    base, cents = _kmeans_fit(df, k, iters, id_col, vec_col)
+    assign = _argmax_cell(base, cents, id_col)
+    cos = _dot_pre(F.col("_qd"), F.col("_cd")) / (F.col("_qn") * F.col("_cn"))
+    cm = F.round(cos * 1_000_000, 0).cast("bigint")
+    per = (
+        assign.crossJoin(F.broadcast(cents))
+        .withColumn("_cm", cm)
+        .groupBy(id_col, "cell")
+        .agg(
+            F.max(F.when(F.col("_cid") == F.col("cell"), F.col("_cm"))).alias("_own"),
+            F.max(F.when(F.col("_cid") != F.col("cell"), F.col("_cm"))).alias("_oth"),
+        )
+    )
+    a = F.lit(1_000_000) - F.col("_own")
+    b = F.lit(1_000_000) - F.col("_oth")
+    s = F.when(F.greatest(a, b) == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((b - a) * F.lit(1_000_000) / F.greatest(a, b))
+    )
+    return (
+        per.withColumn("_s", s)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_own").alias("_so"),
+            F.sum("_oth").alias("_sb"),
+            F.sum("_s").alias("_ss"),
+        )
+        .select(
+            "cell",
+            "n",
+            F.round(F.col("_so") / (F.col("n") * F.lit(1_000_000.0)), 4).alias(
+                "mean_cos_own"
+            ),
+            F.round(F.col("_sb") / (F.col("n") * F.lit(1_000_000.0)), 4).alias(
+                "mean_cos_other"
+            ),
+            F.round(F.col("_ss") / (F.col("n") * F.lit(1_000_000.0)), 4).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def quantized_topk(
+    df: DataFrame, query_vec_id: int, k: int = 10, levels: int = 127,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine over symmetric per-vector scalar-
+    quantized embeddings — the compressed-index retrieval path (Faiss
+    SQ8/SQ4; 4-8× less index memory than float32 is what a corpus-scale
+    vector store actually serves). Each vector quantizes independently:
+    scale = max|x|, q_i = round(levels·x_i / scale) ∈ [−levels, levels]
+    (levels=127 ⇒ int8, levels=7 ⇒ int4); cosine is scale-invariant so
+    the per-vector scale never needs storing for ranking. Zero vectors
+    (scale = 0) are dropped, like the k-means norm filter. Deterministic
+    order: (cos desc, id asc), cosine rounded to 4 dp before ranking.
+
+    Exactness: round() on a correctly-rounded product/quotient is
+    bit-identical cross-engine (the round(cos·10⁴) precedent); the int8
+    dot products are exact integer sums (≤ 127²·dims ≪ 2⁵³) folded
+    element-sequentially on both engines.
+
+    Scale shape: identical to `cosine_topk` — the 1-row query broadcasts,
+    the corpus streams once through a narrow quantize+score pass, and the
+    top-k is a TakeOrderedAndProject; quantization adds two array
+    transforms to the scan, no exchange."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q8 = F.transform(
+        F.col("_xd"),
+        lambda x: F.round(x * F.lit(float(levels)) / F.col("_sc"), 0).cast("bigint"),
+    )
+    quant = (
+        df.select(id_col, xd.alias("_xd"))
+        .withColumn("_sc", F.array_max(F.transform(F.col("_xd"), F.abs)))
+        .filter(F.col("_sc") > 0)
+        .select(id_col, q8.alias("_q8"))
+        .withColumn("_qd", F.transform(F.col("_q8"), lambda x: x.cast("double")))
+        .withColumn("_qn", F.sqrt(_dot_pre(F.col("_qd"), F.col("_qd"))))
+        .filter(F.col("_qn") > 0)
+    )
+    q = quant.filter(F.col(id_col) == query_vec_id).select(
+        F.col("_qd").alias("_qvec"), F.col("_qn").alias("_qvn")
+    )
+    cos = _dot_pre(F.col("_qd"), F.col("_qvec")) / (F.col("_qn") * F.col("_qvn"))
+    return (
+        quant.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 # ---------------------------------------------------------------------------

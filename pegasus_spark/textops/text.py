@@ -150,6 +150,51 @@ def vocab_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
     )
 
 
+def ngram_topk(
+    df: DataFrame, n: int = 3, topk: int = 20,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most-common word n-grams — the WIMBD headline table
+    (Elazar et al. 2024, "What's In My Big Data?"): for the top-``topk``
+    n-grams by occurrence count, the count, the document frequency, and
+    the share of all n-gram occurrences. The table that surfaces template
+    boilerplate ("click here to subscribe") before it dominates training.
+    Grams come from the shared ``word_grams`` construction (clamp=False —
+    a doc shorter than n tokens contributes nothing), lowercased.
+
+    Scale shape: the gram explode is narrow; the first aggregate keys on
+    (gram, doc) — a doc's repeated grams collapse MAP-side because the
+    explode keeps them in one partition — and the second on gram alone,
+    so the big exchange is vocabulary-sized (distinct (gram, doc) pairs),
+    never occurrence-sized. The top-k is a TakeOrderedAndProject (per-
+    partition heap + driver merge of topk·|parts| rows), NOT a global
+    sort; the total for the share column is a 1-row broadcast. Ties break
+    lexicographically on the gram."""
+    grams = df.select(
+        id_col, F.explode(word_grams(text_col, n=n, clamp=False)).alias("_g0")
+    ).select(id_col, F.lower(F.col("_g0")).alias("gram"))
+    per_doc = grams.groupBy("gram", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    counts = per_doc.groupBy("gram").agg(
+        F.sum("_c").cast("bigint").alias("cnt"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("_tot"))
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(topk)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "cnt",
+            "doc_freq",
+            F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+    )
+
+
 def compression_ratio(
     df: DataFrame, level: int = 6, tau_repetitive: float = 0.3,
     id_col: str = "doc_id", text_col: str = "text",

@@ -18,6 +18,9 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_aesthetic_score,
     q_ann_recall,
     q_bpe_pair_stats,
+    q_cluster_silhouette,
+    q_ngram_topk,
+    q_quantization_recall,
     q_clip_aesthetic_grid,
     q_clip_filter,
     q_column_profile,
@@ -149,6 +152,188 @@ class TestTrainTestSplit:
         # an all-zero leak column would gate nothing
         assert leaked_total > 0
         assert sum(r["n_docs"] for r in got) == len(docs_rows)
+
+
+@pytest.fixture(scope="module")
+def emb_rows():
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{SF_TEST_DIR}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _half_up_int(x: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+
+class TestNgramTopk:
+    def test_matches_python_replay(self, spark, docs_rows):
+        """Top-20 trigram table recomputed with Counters over the same
+        tokenization (whitespace split of trimmed text, lowercased gram);
+        counts, doc frequency, and HALF_UP 6dp share all bit-exact."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        cnt, df_cnt = Counter(), Counter()
+        for doc_id, text, *_ in docs_rows:
+            toks = text.strip().split()
+            grams = [
+                " ".join(toks[i : i + 3]).lower() for i in range(len(toks) - 2)
+            ]
+            cnt.update(grams)
+            df_cnt.update(set(grams))
+        total = sum(cnt.values())
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = q_ngram_topk(spark, SF_TEST_DIR).collect()
+        assert len(got) == 20
+        for r, (g, c) in zip(got, want):
+            assert (r["gram"], r["cnt"], r["doc_freq"]) == (g, c, df_cnt[g])
+            share = float(
+                Decimal(repr(c / total)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            assert r["share"] == share
+        # the head must not be flat-1 noise or the table gates nothing
+        assert got[0]["cnt"] > 1
+
+
+class TestClusterSilhouette:
+    def test_matches_python_replay(self, spark, emb_rows):
+        """Full replay of quantize → seed → 1 Lloyd iteration → final
+        assignment → centroid-cosine silhouette on the exact integer
+        grids; per-cluster n / mean cosines / mean silhouette bit-exact."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        def r4(x):
+            return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+        vecs = {}
+        for vid, emb in emb_rows:
+            q = [math.floor(float(x) * 1_000_000) for x in emb]
+            n = math.sqrt(dot(q, q))
+            if n > 0:
+                vecs[vid] = (q, n)
+        k = 8
+        cents = {cid: vecs[cid][0] for cid in range(k)}
+
+        def assign(cents):
+            cn = {cid: math.sqrt(dot(c, c)) for cid, c in cents.items()}
+            out = {}
+            for vid, (q, n) in vecs.items():
+                best = max(
+                    cents,
+                    key=lambda cid: _half_up_int(
+                        dot(q, cents[cid]) / (n * cn[cid]) * 10000
+                    )
+                    * 1_000_000
+                    - cid,
+                )
+                out[vid] = best
+            return out
+
+        a0 = assign(cents)
+        c1 = {}
+        for vid, cell in a0.items():
+            q = vecs[vid][0]
+            if cell not in c1:
+                c1[cell] = list(q)
+            else:
+                c1[cell] = [a + b for a, b in zip(c1[cell], q)]
+        a1 = assign(c1)
+
+        cn1 = {cid: math.sqrt(dot(c, c)) for cid, c in c1.items()}
+        agg = defaultdict(lambda: [0, 0, 0, 0])  # n, sum_own, sum_oth, sum_s
+        for vid, cell in a1.items():
+            q, n = vecs[vid]
+            cm = {
+                cid: _half_up_int(dot(q, c1[cid]) / (n * cn1[cid]) * 1_000_000)
+                for cid in c1
+            }
+            own = cm[cell]
+            oth = max(v for cid, v in cm.items() if cid != cell)
+            a, b = 1_000_000 - own, 1_000_000 - oth
+            s = 0 if max(a, b) == 0 else math.floor((own - oth) * 1_000_000 / max(a, b))
+            e = agg[cell]
+            e[0] += 1
+            e[1] += own
+            e[2] += oth
+            e[3] += s
+        got = q_cluster_silhouette(spark, SF_TEST_DIR).collect()
+        assert [r["cell"] for r in got] == sorted(agg)
+        for r in got:
+            n, so, sb, ss = agg[r["cell"]]
+            assert r["n"] == n
+            assert r["mean_cos_own"] == r4(so / (n * 1_000_000.0))
+            assert r["mean_cos_other"] == r4(sb / (n * 1_000_000.0))
+            assert r["mean_silhouette"] == r4(ss / (n * 1_000_000.0))
+        # clusters must separate (own > other on average somewhere) or the
+        # audit gates nothing
+        assert any(r["mean_silhouette"] > 0 for r in got)
+
+
+class TestQuantizationRecall:
+    def test_matches_python_replay(self, spark, emb_rows):
+        """int4 top-10 and float top-10 recomputed in python (same 4dp
+        HALF_UP cosine ordering, id tie-break); the recall curve must be
+        bit-exact and the quantization must actually lose a candidate."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        def r4(x):
+            return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+        vecs = {vid: [float(x) for x in emb] for vid, emb in emb_rows}
+
+        def topk(table, qid=0, k=10):
+            q = table[qid]
+            qn = math.sqrt(dot(q, q))
+            scored = []
+            for vid, v in table.items():
+                if vid == qid:
+                    continue
+                n = math.sqrt(dot(v, v))
+                scored.append((r4(dot(v, q) / (n * qn)), vid))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            return [vid for _, vid in scored[:k]]
+
+        quant = {}
+        for vid, v in vecs.items():
+            s = max(abs(x) for x in v)
+            if s == 0:
+                continue
+            q = [float(_half_up_int(x * 7.0 / s)) for x in v]
+            if math.sqrt(dot(q, q)) > 0:
+                quant[vid] = q
+        brute = topk(vecs)
+        i4 = topk(quant)
+        rb = {vid: i + 1 for i, vid in enumerate(brute)}
+        rq = {vid: i + 1 for i, vid in enumerate(i4)}
+        rmax = [max(rb[v], rq[v]) for v in rb if v in rq]
+        got = sorted(q_quantization_recall(spark, SF_TEST_DIR).collect(),
+                     key=lambda r: r["k"])
+        assert [r["k"] for r in got] == list(range(1, 11))
+        for r in got:
+            hits = sum(1 for x in rmax if x <= r["k"])
+            assert r["n_hits"] == hits
+            assert r["recall"] == r4(hits / r["k"])
+        hits_seq = [r["n_hits"] for r in got]
+        assert hits_seq == sorted(hits_seq)  # prefix intersections only grow
+        # int4 must actually lose a candidate at this SF or the gate is flat
+        assert any(r["recall"] < 1.0 for r in got)
 
 
 class TestAnnRecall:
