@@ -288,21 +288,28 @@ def q_minhash_threshold_sweep(spark, sf_dir):
     pairs no band catches are invisible to any t; the b/r recall curve is
     the analytic (1-(1-s^r)^b) companion, not measured here.
 
-    The t × pairs comparison is a ≤8-row broadcast theta-join over the
-    LSH-bounded pair table (ann_recall's ks pattern, zero-filled so a t
-    that keeps nothing still reports); every ratio is one IEEE division
-    of exact BIGINTs, NULL on empty denominators."""
+    The pair table first collapses to its ≤8-row (sig_matches → pairs,
+    true dups) histogram — a map-side-combinable 8-key aggregate — and
+    the t ≥ s comparison is an 8×8 broadcast theta-join over THAT (the
+    first form broadcast the whole LSH pair table into the theta-join:
+    ~900k rows × 8 t values of nested-loop probes at sf0.1); zero-filled
+    so a t that keeps nothing still reports. Every ratio is one IEEE
+    division of exact BIGINTs, NULL on empty denominators."""
     acc = D.minhash_accuracy(
         _docs(spark, sf_dir), n_hashes=8, k=5, bands=4, rows=2, min_sig_match=1
     ).select("sig_matches", "true_jaccard")
+    hist = acc.groupBy("sig_matches").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+        F.sum(F.when(F.col("true_jaccard") >= 0.25, 1).otherwise(0))
+        .cast("bigint").alias("_d"),
+    )
     ks = spark.range(1, 9).select(F.col("id").cast("int").alias("t"))
     per = (
-        ks.join(F.broadcast(acc), F.col("sig_matches") >= F.col("t"), "left")
+        ks.join(F.broadcast(hist), F.col("sig_matches") >= F.col("t"), "left")
         .groupBy("t")
         .agg(
-            F.count("sig_matches").cast("bigint").alias("n_pairs"),
-            F.sum(F.when(F.col("true_jaccard") >= 0.25, 1).otherwise(0))
-            .cast("bigint").alias("n_true_dups"),
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.sum("_d"), F.lit(0)).cast("bigint").alias("n_true_dups"),
         )
     )
     tot = per.agg(

@@ -191,14 +191,20 @@ def minhash_accuracy(
     Scale shape: the dominant cost is the signature build, paid ONCE —
     the pair list is LSH-bounded, so it is materialized (eager
     localCheckpoint) rather than letting its expensive signature subtree
-    re-run under every downstream branch (measured 9.9 → ~3 s at sf0.1).
-    The exact-verify side then touches ONLY pair participants: the
-    participant id set broadcasts, shingle explode + set sizes run over
-    those docs alone, and the intersection count is an equi-join keyed on
-    (id_b, shingle). Set sizes are a narrow size(array_distinct(...)) —
-    no second explode-aggregate. Full-corpus shingle sets never shuffle,
-    let alone self-join; every verify exchange is O(|pairs| · shingles
-    per doc) regardless of corpus size."""
+    re-run under every downstream branch. The exact-verify side then
+    touches ONLY pair participants: the participant id set broadcasts,
+    each participant's distinct-shingle ARRAY is built once, and the
+    intersection is a per-row `array_intersect` after two id-keyed joins
+    — NO exploded (pair, shingle) rows ever shuffle and there is no
+    verify-side aggregate at all. The first verify form exploded shingles
+    and counted matches through a (id_b, shingle) join + groupBy: at
+    sf0.1 with min_sig_match=1 (~900k candidate pairs × ~100 shingles/
+    doc) that shuffled ~10⁸ skinny rows — measured 23 s for the t≥4
+    audit and 73 s for the t≥1 sweep late in the bench suite; the array
+    form moves each pair's two ~0.5 KB arrays once and intersects
+    locally (measured 9.4 s cold / 2.1 s warm for the audit, 2.6 s for
+    the sweep, values identical). Verify exchanges are O(|pairs| · doc
+    bytes) regardless of corpus size."""
     pairs = minhash_near_dups(
         df, n_hashes, k, bands, rows, min_sig_match, id_col
     ).localCheckpoint(eager=True)  # LSH-bounded rows; stops subtree re-runs
@@ -214,28 +220,30 @@ def minhash_accuracy(
             f" j -> substring(_t, j, {k}))"
         )
     )
-    sh = src.select(id_col, F.explode(shingle_arr).alias("_s"))
-    cnt = src.select(id_col, F.size(shingle_arr).cast("bigint").alias("n"))
-    inter = (
-        pairs.select("id_a", "id_b")
-        .join(sh.select(F.col(id_col).alias("id_a"), "_s"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "_s"), ["id_b", "_s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    part = src.select(
+        id_col,
+        shingle_arr.alias("_arr"),
+        F.size(shingle_arr).cast("bigint").alias("_n"),
+    )
+    a = part.select(
+        F.col(id_col).alias("id_a"), F.col("_arr").alias("_aa"),
+        F.col("_n").alias("_na"),
+    )
+    b = part.select(
+        F.col(id_col).alias("id_b"), F.col("_arr").alias("_ab"),
+        F.col("_n").alias("_nb"),
     )
     est = F.col("sig_matches") / F.lit(n_hashes)
     true = F.col("n_inter") / F.col("n_union")
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(cnt.select(F.col(id_col).alias("id_a"), F.col("n").alias("_na")), "id_a")
-        .join(cnt.select(F.col(id_col).alias("id_b"), F.col("n").alias("_nb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "sig_matches",
-            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
-            (F.col("_na") + F.col("_nb") - F.coalesce("n_inter", F.lit(0)))
-            .cast("bigint").alias("n_union"),
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_aa", "_ab")).cast("bigint")
+        )
+        .withColumn(
+            "n_union",
+            (F.col("_na") + F.col("_nb") - F.col("n_inter")).cast("bigint"),
         )
         .select(
             "id_a",
