@@ -1936,6 +1936,82 @@ FROM r ORDER BY doc_id
 """
 
 
+BM25_QUERY = ["hash", "window", "merge", "scan"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (text.bm25_topk — Robertson & Zaragoza 2009,
+    the Lucene scoring) for a fixed 4-keyword query over the documents
+    table: the lexical-search QA pass beside the embedding retrieval
+    family. idf is the non-negative Lucene variant, quantized ONCE to
+    floor(ln·10⁶) BIGINT in the 1-row stats frame; per-doc scores are
+    exact BIGINT sums of floored per-term contributions, so the top-10
+    (score desc, doc_id) cannot drift cross-engine. The corpus never
+    shuffles: tf/dl are narrow array expressions, the stats are one 1-row
+    broadcast aggregate, and the top-k is a TakeOrderedAndProject."""
+    return T.bm25_topk(_docs(spark, sf_dir), BM25_QUERY, k=10)
+
+
+def _bm25_oracle_sql(terms: list[str]) -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    idf_cols = ",\n         ".join(
+        f"CAST(floor(ln(1.0::DOUBLE + (n - df{i} + 0.5::DOUBLE)"
+        f" / (df{i} + 0.5::DOUBLE)) * 1000000) AS BIGINT) AS idf{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"CAST(floor(idf{i} * (tf{i} * 2.2::DOUBLE)"
+        f" / (tf{i} + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))"
+        f" AS BIGINT)"
+        for i in range(len(terms))
+    )
+    hits = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS tk
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM base
+),
+st0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+         {df_cols}
+  FROM feat
+),
+st AS (
+  SELECT n, sdl * 1.0 / n AS avgdl,
+         {idf_cols}
+  FROM st0
+),
+scored AS (
+  SELECT doc_id,
+         {contrib} AS sm,
+         CAST({hits} AS INT) AS n_hit_terms
+  FROM feat, st
+)
+SELECT doc_id, round(sm * 1.0 / 1000000, 4) AS score, n_hit_terms
+FROM scored WHERE n_hit_terms > 0
+ORDER BY sm DESC, doc_id ASC LIMIT 10
+"""
+
+
+ORACLE_BM25_TOPK = _bm25_oracle_sql(BM25_QUERY)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-3 terms by tf-idf (idf = ln(N/df), score rounded to 6 dp
     BEFORE ranking so both engines rank identical decimals; term ASC breaks
@@ -5355,6 +5431,7 @@ PIPELINE_QUERIES = {
     "cluster_silhouette": q_cluster_silhouette,
     "gopher_rules": q_gopher_rules,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_topk": q_bm25_topk,
     "dup_rate_by_source": q_dup_rate_by_source,
     "pack_shards": q_pack_shards,
     "pack_shards_salted": q_pack_shards_salted,
@@ -5461,6 +5538,7 @@ PIPELINE_ORACLES = {
     "cluster_silhouette": ORACLE_CLUSTER_SILHOUETTE,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "bm25_topk": ORACLE_BM25_TOPK,
     "dup_rate_by_source": ORACLE_DUP_RATE_BY_SOURCE,
     "pack_shards": ORACLE_PACK_SHARDS,
     "pack_shards_salted": ORACLE_PACK_SHARDS_SALTED,

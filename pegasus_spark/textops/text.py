@@ -150,6 +150,101 @@ def vocab_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
     )
 
 
+def bm25_topk(
+    df: DataFrame, query_terms: list[str], k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """BM25 lexical retrieval — top-k documents for a fixed query term set
+    (Robertson & Zaragoza 2009; the Lucene/Elasticsearch scoring the QA
+    tooling around a corpus release runs: find the docs a benchmark
+    question's keywords hit before embedding search existed). idf uses the
+    non-negative Lucene variant ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Parity discipline: the only transcendental is one ln per QUERY TERM,
+    quantized once to floor(idf·10⁶) BIGINT in the 1-row stats frame (the
+    unigram_logprob discipline — a cross-engine ulp flips the floor with
+    probability ~1e-10); each (doc, term) contribution then floors the
+    idf·tf-saturation product onto the same micro grid, so the per-doc
+    score is an exact BIGINT sum and the top-k order (score desc, id asc)
+    cannot drift. tf, dl, df, N are exact integers; avgdl is one IEEE
+    division both engines perform identically.
+
+    Scale shape: the corpus NEVER shuffles — tf per term and dl are
+    narrow array expressions fused into the scan (no token explode for a
+    |query|-term probe), the (N, Σdl, df_t) stats are ONE map-side-
+    combinable 1-row aggregate broadcast back, and the top-k is a
+    TakeOrderedAndProject. At 100 TB this is one streaming pass."""
+    toks = F.transform(tokens_col(text_col), F.lower)
+
+    def _tf(term: str):
+        # single-arg lambda is LOAD-BEARING: a second parameter (even a
+        # defaulted one) makes F.filter pass the element INDEX into it
+        lit = F.lit(term)
+        return F.size(F.filter(toks, lambda x: x == lit)).cast("bigint")
+
+    base = df.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("_dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_dl").cast("bigint").alias("_sdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int")).cast("bigint").alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).select(
+        "_n",
+        (F.col("_sdl") / F.col("_n")).alias("_avgdl"),
+        *[
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+                    / (F.col(f"_df{i}") + F.lit(0.5))
+                )
+                * 1_000_000
+            ).cast("bigint").alias(f"_idf{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    contrib = [
+        F.floor(
+            F.col(f"_idf{i}")
+            * (F.col(f"_tf{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"_tf{i}")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            )
+        ).cast("bigint")
+        for i in range(len(query_terms))
+    ]
+    hits = sum(
+        (F.col(f"_tf{i}") > 0).cast("int") for i in range(len(query_terms))
+    )
+    score_micro = sum(contrib[1:], contrib[0])
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            score_micro.alias("_sm"),
+            hits.cast("int").alias("n_hit_terms"),
+        )
+        .filter(F.col("n_hit_terms") > 0)
+        .orderBy(F.desc("_sm"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.round(F.col("_sm") / F.lit(1_000_000.0), 4).alias("score"),
+            "n_hit_terms",
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )
+
+
 def ngram_topk(
     df: DataFrame, n: int = 3, topk: int = 20,
     id_col: str = "doc_id", text_col: str = "text",

@@ -200,6 +200,64 @@ class TestNgramTopk:
         assert got[0]["cnt"] > 1
 
 
+class TestBm25Topk:
+    def test_matches_python_replay(self, spark, docs_rows):
+        """Exact replay of the integer-grid BM25: idf floors once per
+        query term, per-doc scores are exact BIGINT sums of floored
+        contributions, top-10 tie-broken on doc_id."""
+        from pegasus_spark.analytics.pipeline_queries import (
+            BM25_QUERY, q_bm25_topk,
+        )
+
+        k1, b = 1.2, 0.75
+        feats = []
+        for doc_id, text, *_ in docs_rows:
+            toks = [w.lower() for w in text.strip().split()]
+            feats.append(
+                (doc_id, len(toks), [toks.count(t) for t in BM25_QUERY])
+            )
+        n = len(feats)
+        sdl = sum(f[1] for f in feats)
+        avgdl = sdl / n
+        dfs = [
+            sum(1 for f in feats if f[2][i] > 0) for i in range(len(BM25_QUERY))
+        ]
+        idfs = [
+            math.floor(math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * 1_000_000)
+            for d in dfs
+        ]
+        scored = []
+        for doc_id, dl, tfs in feats:
+            sm = sum(
+                math.floor(
+                    idfs[i] * (tfs[i] * (k1 + 1.0))
+                    / (tfs[i] + k1 * ((1.0 - b) + b * dl / avgdl))
+                )
+                for i in range(len(BM25_QUERY))
+            )
+            hits = sum(1 for t in tfs if t > 0)
+            if hits > 0:
+                scored.append((-sm, doc_id, sm, hits))
+        scored.sort()
+        want = scored[:10]
+        got = q_bm25_topk(spark, SF_TEST_DIR).collect()
+        assert len(got) == 10
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for r, (_, doc_id, sm, hits) in zip(got, want):
+            assert r["doc_id"] == doc_id
+            assert r["n_hit_terms"] == hits
+            assert r["score"] == float(
+                Decimal(repr(sm / 1_000_000.0)).quantize(
+                    Decimal("0.0001"), ROUND_HALF_UP
+                )
+            )
+        # scores must vary and every term must match somewhere, or the
+        # ranking gates nothing
+        assert len({r["score"] for r in got}) > 1
+        assert all(d > 0 for d in dfs)
+
+
 class TestClusterSilhouette:
     def test_matches_python_replay(self, spark, emb_rows):
         """Full replay of quantize → seed → 1 Lloyd iteration → final
