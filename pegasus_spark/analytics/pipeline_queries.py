@@ -1488,6 +1488,83 @@ ORDER BY cnt DESC, gram ASC
 """
 
 
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (text.pmi_bigrams — Church &
+    Hanks 1990): exact BIGINT lift on the 10⁶ grid, min bigram count 3.
+    Both count aggregates collapse map-side; the joins key on the
+    frequent-bigram word set. Single-file scan respread (the
+    bpe_pair_stats precedent)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return T.pmi_bigrams(docs, min_count=3, topk=20)
+
+
+ORACLE_PMI_BIGRAMS = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+),
+w AS (SELECT lower(t.w) AS w FROM toks, unnest(tk) AS t(w) WHERE t.w != ''),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM w GROUP BY w),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM uni),
+g AS (
+  SELECT lower(array_to_string(tk[i:i+1], ' ')) AS g
+  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2)
+),
+bi AS (
+  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         CAST(count(*) AS BIGINT) AS c_xy
+  FROM g GROUP BY g HAVING count(*) >= 3
+)
+SELECT w1, w2, c_xy, u1.c_w AS c_x, u2.c_w AS c_y,
+       (c_xy * t.n * 1000000) // (u1.c_w * u2.c_w) AS lift_micro
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2, tot t
+ORDER BY lift_micro DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-source OOV rate vs the corpus top-V vocabulary
+    (text.vocab_coverage). Gate uses vocab_size=8 — the synthetic corpus
+    has ~31 distinct words, so a production-sized vocab (default 1000)
+    would make OOV identically zero and gate nothing; with V=8 both the
+    occurrence and type OOV channels fire. One (source, word) partial
+    agg feeds both the vocab build and the rollup."""
+    return T.vocab_coverage(_docs(spark, sf_dir), vocab_size=8)
+
+
+ORACLE_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+),
+w AS (
+  SELECT source, lower(t.w) AS w FROM toks, unnest(tk) AS t(w) WHERE t.w != ''
+),
+gw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY source, w
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, SUM(cnt) AS c FROM gw GROUP BY w
+    ORDER BY c DESC, w ASC LIMIT 8
+  )
+)
+SELECT gw.source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
+       round(SUM(CASE WHEN v.w IS NULL THEN cnt ELSE 0 END) * 1.0 / SUM(cnt), 6)
+         AS oov_rate
+FROM gw LEFT JOIN vocab v ON gw.w = v.w
+GROUP BY gw.source
+ORDER BY gw.source
+"""
+
+
 def q_dup_audit_sample(spark, sf_dir):
     """Deterministic human-QA queue for the near-dup pass: the 20
     strongest verified minhash pairs (sig_matches desc, then (id_a, id_b)
@@ -5423,6 +5500,8 @@ PIPELINE_QUERIES = {
     "length_histogram": q_length_histogram,
     "vocab_stats": q_vocab_stats,
     "ngram_topk": q_ngram_topk,
+    "pmi_bigrams": q_pmi_bigrams,
+    "vocab_coverage": q_vocab_coverage,
     "resolution_histogram": q_resolution_histogram,
     "dup_audit_sample": q_dup_audit_sample,
     "doc_repetition": q_doc_repetition,
@@ -5530,6 +5609,8 @@ PIPELINE_ORACLES = {
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "vocab_stats": ORACLE_VOCAB_STATS,
     "ngram_topk": ORACLE_NGRAM_TOPK,
+    "pmi_bigrams": ORACLE_PMI_BIGRAMS,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "resolution_histogram": ORACLE_RESOLUTION_HISTOGRAM,
     "dup_audit_sample": ORACLE_DUP_AUDIT_SAMPLE,
     "doc_repetition": ORACLE_DOC_REPETITION,

@@ -651,6 +651,177 @@ ORDER BY region_name, nation_name
 """
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer for one order
+    quarter — lineitem(returnflag='R') ⋈ orders(quarter window) ⋈
+    customer ⋈ nation, top 20 customers by lost revenue.
+
+    Scale: both filters push to the parquet scans (returnflag and the
+    orderdate window prune row groups); nation broadcasts; the
+    lineitem⋈orders join shuffles on orderkey once, the customer join on
+    custkey once; revenue sums as DECIMAL(28,8) (order-independent) and
+    the top-20 is TakeOrderedAndProject with a custkey tie-break."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    dec = lambda cn: F.col(cn).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                    .cast("decimal(28,8)")
+                ).cast("double"),
+                4,
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("returned_lines"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name AS nation,
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS DOUBLE), 4) AS lost_revenue,
+       COUNT(*) AS returned_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: per order priority, how many orders in one year had at
+    least one lineitem shipped more than 90 days after the order date —
+    the EXISTS-semi-join surface.
+
+    Scale: the orders year-window pushes to the scan; the semi join is a
+    LEFT SEMI on the orderkey equi-key with the lateness predicate as a
+    residual condition — one shuffle of each side on orderkey, the
+    lineitem side pre-pruned to (orderkey, shipdate); output is bounded
+    by orders and the final agg is priority-cardinality (5 rows).
+    EXISTS (not a join+distinct): the semi join emits each order at most
+    once, so no dedup exchange is needed."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY_COUNTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse audit over the event stream: users whose busiest day
+    carries more than 3× their mean daily event volume — the burstiness
+    screen a pipeline runs before trusting engagement counts. The test
+    is exact integer cross-multiplication (peak·active_days > 3·total),
+    no float mean; the burst ratio is reported on the 10³ grid
+    (peak·active_days·1000 DIV total). Peak-day ties break to the
+    earliest day.
+
+    Scale: events collapse to (user, day) map-side (the partial agg
+    bounds the exchange by users × days, not events); the peak-day
+    row_number window and the per-user rollup both key on user_id and
+    AQE coalesces them into the same exchange. Output is the flagged
+    subset, ordered by ratio with a user tie-break."""
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("dy"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("dy"))
+    peak = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("dy").alias("peak_day"), F.col("c").alias("peak_day_cnt"))
+    )
+    per = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+        F.sum("c").cast("bigint").alias("total_events"),
+    )
+    return (
+        per.join(peak, "user_id")
+        .filter(F.col("peak_day_cnt") * F.col("active_days") > 3 * F.col("total_events"))
+        .select(
+            "user_id",
+            "peak_day",
+            "peak_day_cnt",
+            "active_days",
+            "total_events",
+            F.expr("(peak_day_cnt * active_days * 1000) DIV total_events").alias(
+                "burst_ratio_milli"
+            ),
+        )
+        .orderBy(F.desc("burst_ratio_milli"), F.asc("user_id"))
+    )
+
+
+ORACLE_BURST_USERS = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS dy, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+peak AS (
+  SELECT user_id, dy AS peak_day, c AS peak_day_cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY c DESC, dy ASC) AS rn
+  FROM d
+),
+per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS active_days,
+         CAST(SUM(c) AS BIGINT) AS total_events
+  FROM d GROUP BY user_id
+)
+SELECT p.user_id, k.peak_day, k.peak_day_cnt, p.active_days, p.total_events,
+       (k.peak_day_cnt * p.active_days * 1000) // p.total_events AS burst_ratio_milli
+FROM per p JOIN peak k ON k.user_id = p.user_id AND k.rn = 1
+WHERE k.peak_day_cnt * p.active_days > 3 * p.total_events
+ORDER BY burst_ratio_milli DESC, p.user_id ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join (custom operator — pegasus_spark.operators.asof_join)
 # ---------------------------------------------------------------------------
@@ -1193,6 +1364,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
     "supplier_balance_by_region": q_supplier_balance_by_region,
+    "returned_items": q_returned_items,
+    "order_priority_counts": q_order_priority_counts,
+    "burst_users": q_burst_users,
     **PIPELINE_QUERIES,
 }
 
@@ -1222,5 +1396,8 @@ ORACLE_SQL: dict[str, str] = {
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "supplier_balance_by_region": ORACLE_SUPPLIER_BALANCE_BY_REGION,
+    "returned_items": ORACLE_RETURNED_ITEMS,
+    "order_priority_counts": ORACLE_ORDER_PRIORITY_COUNTS,
+    "burst_users": ORACLE_BURST_USERS,
     **PIPELINE_ORACLES,
 }

@@ -150,6 +150,115 @@ def vocab_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
     )
 
 
+def pmi_bigrams(
+    df: DataFrame, min_count: int = 3, topk: int = 20, text_col: str = "text",
+) -> DataFrame:
+    """Top-``topk`` bigram collocations by pointwise mutual information —
+    the classic Church & Hanks (1990) association table a corpus release
+    publishes to surface multi-word expressions ("new york") vs chance
+    co-occurrence. Words are the repo's lowercased whitespace tokens;
+    bigrams come from the shared ``word_grams`` construction (n=2,
+    clamp=False).
+
+    PMI is reported as an exact BIGINT lift on the 10⁶ grid:
+    ``lift_micro = c_xy·N·10⁶ DIV (c_x·c_y)`` where N is the total token
+    count — the monotone exp of PMI, so the ranking is the PMI ranking
+    without a cross-engine log(). At sf gates the triple product stays
+    far under 2⁶³; a 100 TB corpus (N≈10¹³) would overflow it, so the
+    production variant computes the same grid as DECIMAL(38,0) — the
+    formula is division-free until the final DIV either way.
+
+    Scale shape: the unigram and bigram counts are both map-side partial
+    aggregates whose exchanges are vocabulary-sized (the Zipf head
+    collapses in the partial stage). Bigrams below ``min_count`` are
+    dropped BEFORE the two word-keyed joins against the unigram table, so
+    the join input is the frequent-bigram set, not the full cross
+    vocabulary; stopword hot keys are AQE skew-split. The top-k is a
+    TakeOrderedAndProject with a full lexical tie-break."""
+    words = df.select(F.explode(tokens_col(text_col)).alias("_w0")).filter(
+        F.col("_w0") != ""
+    ).select(F.lower(F.col("_w0")).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    total = uni.agg(F.sum("c_w").cast("bigint").alias("_n"))
+    bi = (
+        df.select(F.explode(word_grams(text_col, n=2, clamp=False)).alias("_g0"))
+        .select(F.lower(F.col("_g0")).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_xy",
+        )
+    )
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.expr("(c_xy * _n * 1000000) DIV (c_x * c_y)").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(topk)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, vocab_size: int = 1000, group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-coverage audit: per source, the share of token
+    occurrences that fall OUTSIDE the corpus-wide top-``vocab_size``
+    vocabulary — the out-of-vocabulary rate a fixed-vocab tokenizer
+    would pay on each source, plus the distinct OOV type count. High
+    OOV on one source flags script/domain mismatch before training.
+
+    Scale shape: ONE (group, word) partial aggregate feeds both paths —
+    the global vocabulary (a second, group-collapsing agg over distinct
+    words, then a TakeOrdered of ``vocab_size`` rows with a lexical
+    tie-break) and the per-source rollup. The vocab is broadcast back as
+    a left join (null flag = OOV), so the corpus-sized token stream is
+    touched exactly once and every post-explode exchange is
+    vocabulary-sized. Output is |groups| rows."""
+    words = df.select(
+        group_col, F.explode(tokens_col()).alias("_w0")
+    ).filter(F.col("_w0") != "").select(
+        group_col, F.lower(F.col("_w0")).alias("w")
+    )
+    gw = words.groupBy(group_col, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vocab = (
+        gw.groupBy("w")
+        .agg(F.sum("cnt").cast("bigint").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = gw.join(F.broadcast(vocab), "w", "left")
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov_types"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            "n_oov_types",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def bm25_topk(
     df: DataFrame, query_terms: list[str], k: int = 10,
     k1: float = 1.2, b: float = 0.75,

@@ -920,3 +920,130 @@ class TestBpePairStats:
             rows.sort(key=lambda r: r["rnk"])
             assert [(r["pair"], r["cnt"]) for r in rows] == want
             assert [r["rnk"] for r in rows] == list(range(1, len(want) + 1))
+
+
+class TestPmiBigrams:
+    def test_matches_counter_replay(self, spark, docs_rows):
+        import re
+
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for _i, text, *_ in docs_rows:
+            toks = re.split(r"\s+", text.strip())
+            for t in toks:
+                if t != "":
+                    uni[t.lower()] += 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a.lower(), b.lower())] += 1
+        n = sum(uni.values())
+        rows = [
+            (w1, w2, c, uni[w1], uni[w2], (c * n * 1_000_000) // (uni[w1] * uni[w2]))
+            for (w1, w2), c in bi.items()
+            if c >= 3
+        ]
+        rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+        want = rows[:20]
+        from pegasus_spark.analytics.pipeline_queries import q_pmi_bigrams
+
+        got = [
+            (r["w1"], r["w2"], r["c_xy"], r["c_x"], r["c_y"], r["lift_micro"])
+            for r in q_pmi_bigrams(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want
+
+    def test_positive_association_ranks_above_chance(self, spark):
+        from pegasus_spark.analytics.pipeline_queries import q_pmi_bigrams
+
+        top = q_pmi_bigrams(spark, SF_TEST_DIR).collect()[0]
+        # the strongest collocation must beat independence (lift > 1.0)
+        assert top["lift_micro"] > 1_000_000
+
+
+class TestVocabCoverage:
+    def test_matches_counter_replay(self, spark, docs_rows):
+        import re
+
+        per: dict[str, Counter] = defaultdict(Counter)
+        for _i, text, _lang, source, _n in docs_rows:
+            for t in re.split(r"\s+", text.strip()):
+                if t != "":
+                    per[source][t.lower()] += 1
+        glob: Counter = Counter()
+        for c in per.values():
+            glob.update(c)
+        vocab = {
+            w for w, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        }
+        from pegasus_spark.analytics.pipeline_queries import q_vocab_coverage
+
+        got = q_vocab_coverage(spark, SF_TEST_DIR).collect()
+        assert [r["source"] for r in got] == sorted(per)
+        for r in got:
+            c = per[r["source"]]
+            n_tokens = sum(c.values())
+            n_oov = sum(v for w, v in c.items() if w not in vocab)
+            n_oov_types = sum(1 for w in c if w not in vocab)
+            assert (r["n_tokens"], r["n_oov"], r["n_oov_types"]) == (
+                n_tokens, n_oov, n_oov_types
+            )
+            assert r["oov_rate"] == round(n_oov / n_tokens, 6)
+            # with V=8 over the ~31-word synthetic vocabulary the OOV
+            # channel must actually fire (the gate is non-degenerate)
+            assert 0 < r["n_oov"] < r["n_tokens"]
+
+
+class TestBurstUsers:
+    def test_matches_python_replay(self, spark):
+        con = duckdb.connect()
+        ev = con.sql(
+            f"SELECT user_id, CAST(ts AS DATE) FROM '{SF_TEST_DIR}/events.parquet'"
+        ).fetchall()
+        con.close()
+        per_day: Counter = Counter(ev)
+        users: dict[int, list] = defaultdict(list)
+        for (u, d), c in per_day.items():
+            users[u].append((d, c))
+        want = []
+        for u, days in users.items():
+            total = sum(c for _, c in days)
+            peak_day, peak = min(days, key=lambda dc: (-dc[1], dc[0]))
+            if peak * len(days) > 3 * total:
+                want.append(
+                    (u, peak_day, peak, len(days), total,
+                     (peak * len(days) * 1000) // total)
+                )
+        want.sort(key=lambda r: (-r[5], r[0]))
+        from pegasus_spark.analytics.queries import q_burst_users
+
+        got = [
+            (r["user_id"], r["peak_day"], r["peak_day_cnt"], r["active_days"],
+             r["total_events"], r["burst_ratio_milli"])
+            for r in q_burst_users(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want
+        assert got, "gate is degenerate: no user trips the 3x burst test"
+
+
+class TestRelationalBatchPlans:
+    """Executable PLANS.md claims for the Q10/Q4-shaped additions."""
+
+    def test_order_priority_counts_is_semi_join(self, spark):
+        from pegasus_spark.analytics.queries import q_order_priority_counts
+
+        plan = (
+            q_order_priority_counts(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # EXISTS compiles to one LeftSemi — no join+distinct dedup pass
+        assert "LeftSemi" in plan, plan
+        assert "Deduplicate" not in plan, plan
+
+    def test_returned_items_broadcasts_nation_and_takeordered(self, spark):
+        from pegasus_spark.analytics.queries import q_returned_items
+
+        plan = (
+            q_returned_items(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
