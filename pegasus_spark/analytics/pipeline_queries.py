@@ -1565,6 +1565,49 @@ ORDER BY gw.source
 """
 
 
+def q_pareto_docs(spark, sf_dir):
+    """Quality/length Pareto frontier (text.pareto_frontier): the docs no
+    other doc weakly dominates on (quality, n_tokens) — the skyline a
+    curator reads as "the best doc at every length". Sweep over DISTINCT
+    points via the ranged prefix-max machinery (no O(n²) dominance join,
+    no single-partition window), winners joined back by (quality,
+    n_tokens) as a broadcast semi join."""
+    d = T.with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    return T.pareto_frontier(d, x_col="quality", y_col="n_tokens")
+
+
+ORACLE_PARETO_DOCS = r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, length(tt) AS tlen, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS n_stop
+  FROM t
+), q AS (
+  SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       round(least(n / 64.0, 1.0) * 0.5
+             + (1.0 - least(n_stop * 1.0 / n, 1.0)) * 0.3
+             + least(((tlen - (n - 1)) * 1.0 / n) / 8.0, 1.0) * 0.2, 4) AS quality
+  FROM m
+),
+pts AS (SELECT DISTINCT quality, n_tokens FROM q),
+sw AS (
+  SELECT quality, n_tokens,
+         max(n_tokens) OVER (ORDER BY quality DESC, n_tokens DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM pts
+),
+fr AS (SELECT quality, n_tokens FROM sw WHERE mx IS NULL OR mx < n_tokens)
+SELECT q.doc_id, q.quality, q.n_tokens
+FROM q JOIN fr ON q.quality = fr.quality AND q.n_tokens = fr.n_tokens
+ORDER BY q.quality DESC, q.n_tokens DESC, q.doc_id ASC
+"""
+
+
 def q_dup_audit_sample(spark, sf_dir):
     """Deterministic human-QA queue for the near-dup pass: the 20
     strongest verified minhash pairs (sig_matches desc, then (id_a, id_b)
@@ -5502,6 +5545,7 @@ PIPELINE_QUERIES = {
     "ngram_topk": q_ngram_topk,
     "pmi_bigrams": q_pmi_bigrams,
     "vocab_coverage": q_vocab_coverage,
+    "pareto_docs": q_pareto_docs,
     "resolution_histogram": q_resolution_histogram,
     "dup_audit_sample": q_dup_audit_sample,
     "doc_repetition": q_doc_repetition,
@@ -5611,6 +5655,7 @@ PIPELINE_ORACLES = {
     "ngram_topk": ORACLE_NGRAM_TOPK,
     "pmi_bigrams": ORACLE_PMI_BIGRAMS,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "pareto_docs": ORACLE_PARETO_DOCS,
     "resolution_histogram": ORACLE_RESOLUTION_HISTOGRAM,
     "dup_audit_sample": ORACLE_DUP_AUDIT_SAMPLE,
     "doc_repetition": ORACLE_DOC_REPETITION,

@@ -822,6 +822,120 @@ ORDER BY burst_ratio_milli DESC, p.user_id ASC
 """
 
 
+def _global_disc_rank(df: DataFrame, order_cols: list, n: int) -> DataFrame:
+    """Exact global row_number over ``order_cols`` WITHOUT a
+    single-partition window — repartitionByRange on the order, partition-
+    local row_number, plus ``range_prefix_offsets`` row-count offsets (the
+    with_dequeue_seq pattern; placement frozen by eager localCheckpoint
+    before the ≤ n_partitions-row collect). Adds ``rn``."""
+    from pegasus_spark.operators import range_prefix_offsets
+
+    d = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # freeze placement BEFORE the collect
+    )
+    off = range_prefix_offsets(d)
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        d.withColumn("rn", F.row_number().over(w) + off[F.col("_pid")])
+        .drop("_pid")
+    )
+
+
+def q_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen on per-customer spend: customers whose total
+    order value deviates from the median customer by more than 3× the
+    median absolute deviation — the median/MAD screen that survives the
+    heavy tail a mean/stddev test is wrecked by. Raw order prices are
+    uniform (MAD ≈ max deviation — nothing would flag); per-customer SUMS
+    are near-normal, so the 3×MAD tail exists and the screen gates.
+
+    Float discipline: spend sums as DECIMAL (exact) then casts to double
+    once; deviations are quantized to exact BIGINT cents
+    (floor(|x − med|·100) — multiply and floor are deterministic IEEE) so
+    the MAD rank order and the 3× threshold never compare raw doubles.
+    Both exact medians are percentile_disc rank math ((50·n+99) DIV 100,
+    the length_percentiles rule) over ``_global_disc_rank`` — the ranged
+    row_number machinery, so neither median pass has a single-partition
+    exchange; each collects only per-partition row counts. The two 1-row
+    median frames broadcast back. At 100 TB this stays the exact audit
+    tool; the in-pipeline path would swap percentile_approx into the same
+    frame."""
+    n_parts = spark.sparkContext.defaultParallelism
+    s = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+    nc = s.agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
+    r1 = _global_disc_rank(s, ["spend", "custkey"], n_parts).crossJoin(
+        F.broadcast(nc)
+    )
+    med = (
+        r1.filter(F.col("rn") == F.expr("(50 * _nc + 99) DIV 100"))
+        .select(F.col("spend").alias("med_spend"))
+    )
+    d = (
+        r1.drop("rn")
+        .crossJoin(F.broadcast(med))
+        .withColumn(
+            "dev_cents",
+            F.floor(F.abs(F.col("spend") - F.col("med_spend")) * 100).cast("bigint"),
+        )
+    )
+    r2 = _global_disc_rank(d, ["dev_cents", "custkey"], n_parts)
+    mad = (
+        r2.filter(F.col("rn") == F.expr("(50 * _nc + 99) DIV 100"))
+        .select(F.col("dev_cents").alias("mad_cents"))
+    )
+    return (
+        r2.drop("rn")
+        .crossJoin(F.broadcast(mad))
+        .filter(F.col("dev_cents") > 3 * F.col("mad_cents"))
+        .select(
+            "custkey", "n_orders", "spend", "dev_cents", "med_spend", "mad_cents"
+        )
+        .orderBy(F.desc("dev_cents"), F.asc("custkey"))
+    )
+
+
+ORACLE_SPEND_OUTLIERS = """
+WITH s AS (
+  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+r1 AS (
+  SELECT s.*, row_number() OVER (ORDER BY spend, custkey) AS rn FROM s
+),
+med AS (
+  SELECT spend AS med_spend FROM r1, nc WHERE rn = (50 * n + 99) // 100
+),
+d AS (
+  SELECT r1.custkey, r1.n_orders, r1.spend, med_spend,
+         CAST(floor(abs(spend - med_spend) * 100) AS BIGINT) AS dev_cents
+  FROM r1, med
+),
+r2 AS (
+  SELECT d.*, row_number() OVER (ORDER BY dev_cents, custkey) AS rn2 FROM d
+),
+mad AS (
+  SELECT dev_cents AS mad_cents FROM r2, nc WHERE rn2 = (50 * n + 99) // 100
+)
+SELECT custkey, n_orders, spend, dev_cents, med_spend, mad_cents
+FROM r2, mad
+WHERE dev_cents > 3 * mad_cents
+ORDER BY dev_cents DESC, custkey ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join (custom operator — pegasus_spark.operators.asof_join)
 # ---------------------------------------------------------------------------
@@ -1367,6 +1481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_items": q_returned_items,
     "order_priority_counts": q_order_priority_counts,
     "burst_users": q_burst_users,
+    "spend_outliers": q_spend_outliers,
     **PIPELINE_QUERIES,
 }
 
@@ -1399,5 +1514,6 @@ ORACLE_SQL: dict[str, str] = {
     "returned_items": ORACLE_RETURNED_ITEMS,
     "order_priority_counts": ORACLE_ORDER_PRIORITY_COUNTS,
     "burst_users": ORACLE_BURST_USERS,
+    "spend_outliers": ORACLE_SPEND_OUTLIERS,
     **PIPELINE_ORACLES,
 }

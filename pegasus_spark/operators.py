@@ -131,6 +131,33 @@ def range_join_binned(
     )
 
 
+def range_prefix_max(frozen: DataFrame, value_col: str, floor_value: int = -1):
+    """Per-partition EXCLUSIVE prefix maxima for a range-partitioned frame —
+    the max-monoid sibling of ``range_prefix_offsets`` (same contract:
+    ``frozen`` carries ``_pid`` = spark_partition_id() taken AFTER
+    repartitionByRange on the sweep order and is already eagerly
+    localCheckpointed, because the ≤ n_partitions-row collect below reads
+    that placement). Returns a map Column _pid → max(value_col) over all
+    EARLIER partitions, ``floor_value`` for the first partition (and for
+    any prefix that is all-NULL — ANSI MAX skips NULLs). Used by sweep
+    algorithms (Pareto frontier) that need "running max so far" without a
+    single-partition global window: partition-local window + this offset
+    = the exact global prefix max."""
+    per_pid = {
+        int(r["_pid"]): r["v"]
+        for r in frozen.groupBy("_pid").agg(F.max(value_col).alias("v")).collect()
+    }
+    offsets, acc = {}, floor_value
+    for pid in sorted(per_pid):  # range partitions are ordered by the keys
+        offsets[pid] = acc
+        v = per_pid[pid]
+        if v is not None and v > acc:
+            acc = v
+    return F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+
+
 def range_prefix_offsets(frozen: DataFrame, value_col: str | None = None):
     """Per-partition exclusive prefix offsets for a range-partitioned frame —
     the shared second half of the "global sequence / global prefix sum

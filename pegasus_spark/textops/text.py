@@ -259,6 +259,68 @@ def vocab_coverage(
     )
 
 
+def pareto_frontier(
+    df: DataFrame, x_col: str, y_col: str, id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline) over (x, y) — the rows no other row
+    weakly dominates (x' ≥ x ∧ y' ≥ y with one strict). The curation
+    question "which docs are best for their length" is this skyline over
+    (quality, n_tokens); the naive formulation is an O(n²) dominance
+    self-join, and Spark would execute its inequality condition as a
+    BroadcastNestedLoopJoin — never acceptable.
+
+    Plan: (1) collapse to DISTINCT (x, y) points — frontier membership is
+    a property of the point, and the distinct bounds every later stage by
+    the value grid, not the row count; (2) the classic sweep: in
+    (x DESC, y DESC) order a point is on the frontier iff the running max
+    of y over STRICTLY earlier points is < y (an equal-x predecessor has
+    larger y and dominates; an earlier-x predecessor dominates iff its
+    y ≥ y); (3) join winners back to the rows by (x, y).
+
+    The sweep needs a global prefix max but never a single-partition
+    window: repartitionByRange on the sweep order, partition-local
+    running-max window, then ``range_prefix_max`` offsets (the
+    with_dequeue_seq / sequence_pack_ranged machinery, max-monoid form —
+    a ≤ n_partitions-row driver collect, placement frozen by eager
+    localCheckpoint BEFORE the collect). y must be a non-negative
+    integer (the -1 prefix floor is the identity below any real y)."""
+    from pyspark.sql import Window as W
+
+    from pegasus_spark.operators import range_prefix_max
+
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    pts = (
+        df.select(x_col, y_col)
+        .distinct()
+        .repartitionByRange(n, F.desc(x_col), F.desc(y_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # freeze placement BEFORE the collect
+    )
+    off = range_prefix_max(pts, y_col)
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(F.desc(x_col), F.desc(y_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = (
+        pts.withColumn(
+            "_mx",
+            F.greatest(
+                F.coalesce(F.max(y_col).over(w), F.lit(-1)),
+                off[F.col("_pid")],
+            ),
+        )
+        .filter(F.col("_mx") < F.col(y_col))
+        .select(x_col, y_col)
+    )
+    return (
+        df.join(frontier, [x_col, y_col], "left_semi")
+        .select(id_col, x_col, y_col)
+        .orderBy(F.desc(x_col), F.desc(y_col), F.asc(id_col))
+    )
+
+
 def bm25_topk(
     df: DataFrame, query_terms: list[str], k: int = 10,
     k1: float = 1.2, b: float = 0.75,

@@ -1047,3 +1047,101 @@ class TestRelationalBatchPlans:
         )
         assert "BroadcastHashJoin" in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestParetoDocs:
+    def test_matches_bruteforce_dominance(self, spark):
+        from pegasus_spark.analytics.pipeline_queries import q_pareto_docs, _docs
+        from pegasus_spark.textops import text as T
+
+        base = [
+            (r["doc_id"], r["quality"], r["n_tokens"])
+            for r in T.with_quality(_docs(spark, SF_TEST_DIR))
+            .select("doc_id", "quality", "n_tokens")
+            .collect()
+        ]
+        def dominated(a):
+            return any(
+                (b[1] >= a[1] and b[2] >= a[2]) and (b[1] > a[1] or b[2] > a[2])
+                for b in base
+            )
+        want = sorted(
+            (r for r in base if not dominated(r)),
+            key=lambda r: (-r[1], -r[2], r[0]),
+        )
+        got = [
+            (r["doc_id"], r["quality"], r["n_tokens"])
+            for r in q_pareto_docs(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want
+        assert got, "gate is degenerate: empty frontier"
+
+    def test_partition_count_invariance(self, spark):
+        from pegasus_spark.analytics.pipeline_queries import _docs
+        from pegasus_spark.textops import text as T
+
+        d = T.with_quality(_docs(spark, SF_TEST_DIR)).select(
+            "doc_id", "quality", "n_tokens"
+        )
+        a = T.pareto_frontier(d, "quality", "n_tokens", n_partitions=2).collect()
+        b = T.pareto_frontier(d, "quality", "n_tokens", n_partitions=17).collect()
+        assert a == b and a
+
+
+class TestSpendOutliers:
+    def test_matches_decimal_replay(self, spark):
+        from decimal import Decimal
+        import math as _math
+
+        con = duckdb.connect()
+        orders = con.sql(
+            f"SELECT o_custkey, o_totalprice FROM '{SF_TEST_DIR}/orders.parquet'"
+        ).fetchall()
+        con.close()
+        spend: dict[int, Decimal] = defaultdict(lambda: Decimal(0))
+        n_orders: Counter = Counter()
+        for k, p in orders:
+            # mirror the engine: DECIMAL(18,4) quantization before the sum
+            spend[k] += Decimal(repr(p)).quantize(Decimal("0.0001"))
+            n_orders[k] += 1
+        s = [(k, n_orders[k], float(v)) for k, v in spend.items()]
+        nc = len(s)
+        rank = (50 * nc + 99) // 100
+        med = sorted(s, key=lambda r: (r[2], r[0]))[rank - 1][2]
+        d = [(k, n, x, int(_math.floor(abs(x - med) * 100))) for k, n, x in s]
+        mad = sorted(d, key=lambda r: (r[3], r[0]))[rank - 1][3]
+        want = sorted(
+            ((k, n, x, dc, med, mad) for k, n, x, dc in d if dc > 3 * mad),
+            key=lambda r: (-r[3], r[0]),
+        )
+        from pegasus_spark.analytics.queries import q_spend_outliers
+
+        got = [
+            (r["custkey"], r["n_orders"], r["spend"], r["dev_cents"],
+             r["med_spend"], r["mad_cents"])
+            for r in q_spend_outliers(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want
+        assert got, "gate is degenerate: no 3xMAD outliers"
+
+    def test_global_disc_rank_matches_window(self, spark):
+        from pegasus_spark.analytics.queries import _global_disc_rank, load
+        import pyspark.sql.functions as SF
+        from pyspark.sql import Window as W
+
+        s = (
+            load(spark, SF_TEST_DIR, "orders")
+            .groupBy(SF.col("o_custkey").alias("k"))
+            .agg(SF.count(SF.lit(1)).alias("c"))
+        )
+        got = {
+            r["k"]: r["rn"]
+            for r in _global_disc_rank(s, ["c", "k"], 13).collect()
+        }
+        want = {
+            r["k"]: r["rn"]
+            for r in s.withColumn(
+                "rn", SF.row_number().over(W.orderBy("c", "k"))
+            ).collect()
+        }
+        assert got == want
