@@ -645,6 +645,21 @@ def caption_vocab(items: DataFrame) -> DataFrame:
     return vocab_stats(caps, group_col="region")
 
 
+def caption_collocations(items: DataFrame, topk: int = 20) -> DataFrame:
+    """Top caption collocations by PMI over a committed items table — the
+    crawl twin of the gated ``pmi_bigrams``: template captions show up as
+    a head of maxed-out lift pairs (every occurrence of w1 is followed by
+    w2) long before a dup pass runs, the same smoke-alarm role
+    caption_vocab plays for single words. Shares
+    :func:`pegasus_spark.textops.text.pmi_bigrams` (the flag_ablation
+    shared-core precedent); captions reduce to word counts before
+    anything moves and the items table's image bytes prune at the scan."""
+    from pegasus_spark.textops.text import pmi_bigrams
+
+    caps = items.select(F.col("caption").alias("text"))
+    return pmi_bigrams(caps, min_count=3, topk=topk)
+
+
 def volume_anomaly_flags(
     df: DataFrame, key_col: str, period_col: str,
     count_alias: str = "n_events", mean_alias: str = "mean_events",

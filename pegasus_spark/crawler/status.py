@@ -172,6 +172,26 @@ def crawl_caption_vocab(
     return [r.asDict() for r in caption_vocab(items).collect()]
 
 
+def crawl_caption_collocations(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> list[dict[str, Any]]:
+    """Top caption collocations by PMI over the COMMITTED items table
+    (reports.caption_collocations, the crawl twin of the gated
+    pmi_bigrams): maxed-out lift pairs flag template captions before any
+    dup pass. Reads only manifest-referenced rounds, so it is safe while
+    a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import caption_collocations
+
+    return [r.asDict() for r in caption_collocations(items).collect()]
+
+
 def crawl_datacard(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
 ) -> list[dict[str, Any]]:
@@ -400,12 +420,13 @@ def main(argv: list[str] | None = None) -> int:
     sweep = "--sweep" in argv
     volume = "--volume" in argv
     vocab = "--vocab" in argv
+    collocations = "--collocations" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
             "--politeness", "--pii", "--datacard", "--ablation", "--sweep",
-            "--volume", "--vocab",
+            "--volume", "--vocab", "--collocations",
         )
     ]
     if len(argv) != 1:
@@ -413,7 +434,7 @@ def main(argv: list[str] | None = None) -> int:
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
             " [--politeness] [--pii] [--datacard] [--ablation] [--sweep]"
-            " [--volume] [--vocab] <workdir>",
+            " [--volume] [--vocab] [--collocations] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -489,6 +510,14 @@ def main(argv: list[str] | None = None) -> int:
             out["caption_vocab"] = crawl_caption_vocab(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--vocab: {exc}", file=sys.stderr)
+            return 2
+    if collocations:
+        try:
+            out["caption_collocations"] = crawl_caption_collocations(
+                spark, argv[0], store
+            )
+        except FileNotFoundError as exc:
+            print(f"--collocations: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

@@ -714,3 +714,43 @@ def test_volume_cli_surface(crawl, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["volume_anomaly"] == rep
+
+
+def test_collocations_cli_surface(crawl, capsys):
+    """`status --collocations` publishes the top caption collocations by
+    PMI (reports.caption_collocations, the crawl twin of the gated
+    pmi_bigrams): the exact-BIGINT lift table matches a plain-Python
+    recount over the committed captions, and the CLI payload equals the
+    report."""
+    import json
+    import re
+    from collections import Counter
+
+    from pegasus_spark.crawler.status import crawl_caption_collocations, main
+
+    spec, sched, result, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for r in items.select("caption").collect():
+        toks = re.split(r"\s+", r["caption"].strip())
+        uni.update(t.lower() for t in toks if t != "")
+        bi.update((a.lower(), b.lower()) for a, b in zip(toks, toks[1:]))
+    n = sum(uni.values())
+    want = sorted(
+        (
+            {"w1": w1, "w2": w2, "c_xy": c, "c_x": uni[w1], "c_y": uni[w2],
+             "lift_micro": (c * n * 1_000_000) // (uni[w1] * uni[w2])}
+            for (w1, w2), c in bi.items() if c >= 3
+        ),
+        key=lambda d: (-d["lift_micro"], d["w1"], d["w2"]),
+    )[:20]
+
+    rep = crawl_caption_collocations(sched.spark, sched.store.workdir, sched.store)
+    assert rep == want
+    assert rep, "fixture captions produced no collocations — twin gates nothing"
+
+    rc = main(["--collocations", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["caption_collocations"] == rep
