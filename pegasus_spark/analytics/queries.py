@@ -936,6 +936,165 @@ ORDER BY dev_cents DESC, custkey ASC
 """
 
 
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the what-if revenue delta from eliminating a discount
+    band — one scan-heavy single-table aggregate whose ENTIRE predicate
+    set (shipdate year, discount band, quantity cap) pushes to the
+    parquet scan, the canonical predicate-pushdown showcase. Revenue
+    sums price·discount as DECIMAL (order-independent); output is one
+    row, so the agg is a 1-row combinable fold — at 100 TB this query is
+    pure scan bandwidth, zero meaningful exchange."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    dec = lambda cn: F.col(cn).cast("decimal(18,4)")  # noqa: E731
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,8)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_REVENUE_FORECAST = """
+SELECT ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE), 4)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier counts per (brand, size) excluding
+    promo parts — the COUNT(DISTINCT) surface. Spark compiles the
+    distinct aggregate as the two-phase Expand plan: a partial
+    (brand, size, suppkey) dedup collapses map-side before the count, so
+    the exchange carries distinct triples, never raw lineitem rows; the
+    part dimension broadcasts with its type filter pushed to the scan.
+    Output is |brands|·|sizes| bounded."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+ORACLE_BRAND_SUPPLIER_COUNTS = """
+SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+"""
+
+
+def q_host_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph degree datasheet over the synthesized host link graph
+    (the pagerank/triangle_count graph): per host, out-degree, in-degree,
+    and the count of RECIPROCATED out-links (mutual edges — the
+    reciprocity column every WebGraph-style crawl datasheet publishes;
+    high reciprocity flags link farms, near-zero flags a hierarchy).
+
+    Scale shape: the corpus crosses exactly ONE exchange (the (src, dst)
+    distinct — the pagerank precedent); degrees, the mutual self-join and
+    the final assembly all run on the |V|²-bounded edge set with
+    broadcast-sized per-host rollups. Exact integer counts only."""
+    n_hosts = 97
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dst = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % n_hosts
+    )
+    edges = (
+        docs.select((F.col("doc_id") % n_hosts).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_d = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_deg")
+    )
+    rev = edges.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
+    mut = (
+        edges.join(
+            rev,
+            (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        )
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mutual"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    return (
+        nodes.join(out_d, "host", "left")
+        .join(in_d, "host", "left")
+        .join(mut, "host", "left")
+        .select(
+            F.col("host").cast("bigint").alias("host"),
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+            F.coalesce("n_mutual", F.lit(0)).cast("bigint").alias("n_mutual"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_HOST_DEGREE_STATS = """
+WITH e AS (
+  SELECT DISTINCT (doc_id % 97) AS src,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 97 AS dst
+  FROM documents
+  WHERE (doc_id % 97) <> ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 97
+),
+nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+od AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY src),
+idg AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY dst),
+m AS (
+  SELECT a.src AS host, CAST(count(*) AS BIGINT) AS c
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+  GROUP BY a.src
+)
+SELECT CAST(n.host AS BIGINT) AS host,
+       COALESCE(od.c, 0) AS out_deg,
+       COALESCE(idg.c, 0) AS in_deg,
+       COALESCE(m.c, 0) AS n_mutual
+FROM nodes n
+LEFT JOIN od ON od.host = n.host
+LEFT JOIN idg ON idg.host = n.host
+LEFT JOIN m ON m.host = n.host
+ORDER BY host
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join (custom operator — pegasus_spark.operators.asof_join)
 # ---------------------------------------------------------------------------
@@ -1482,6 +1641,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_counts": q_order_priority_counts,
     "burst_users": q_burst_users,
     "spend_outliers": q_spend_outliers,
+    "revenue_forecast": q_revenue_forecast,
+    "brand_supplier_counts": q_brand_supplier_counts,
+    "host_degree_stats": q_host_degree_stats,
     **PIPELINE_QUERIES,
 }
 
@@ -1515,5 +1677,8 @@ ORACLE_SQL: dict[str, str] = {
     "order_priority_counts": ORACLE_ORDER_PRIORITY_COUNTS,
     "burst_users": ORACLE_BURST_USERS,
     "spend_outliers": ORACLE_SPEND_OUTLIERS,
+    "revenue_forecast": ORACLE_REVENUE_FORECAST,
+    "brand_supplier_counts": ORACLE_BRAND_SUPPLIER_COUNTS,
+    "host_degree_stats": ORACLE_HOST_DEGREE_STATS,
     **PIPELINE_ORACLES,
 }

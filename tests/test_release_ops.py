@@ -41,6 +41,11 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_triangle_count,
     q_vocab_stats,
 )
+from pegasus_spark.analytics.queries import (
+    q_brand_supplier_counts,
+    q_host_degree_stats,
+    q_revenue_forecast,
+)
 from tests.conftest import SF_TEST_DIR
 
 
@@ -1145,3 +1150,78 @@ class TestSpendOutliers:
             ).collect()
         }
         assert got == want
+
+
+class TestRevenueForecast:
+    def test_matches_decimal_replay(self, spark):
+        from decimal import Decimal
+        import datetime as _dt
+
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT l_shipdate, l_discount, l_quantity, l_extendedprice "
+            f"FROM '{SF_TEST_DIR}/lineitem.parquet'"
+        ).fetchall()
+        con.close()
+        lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+        q4 = lambda v: Decimal(repr(v)).quantize(Decimal("0.0001"))  # noqa: E731
+        tot, n = Decimal(0), 0
+        for sd, disc, qty, price in rows:
+            if lo <= sd < hi and 0.05 <= disc <= 0.07 and qty < 24:
+                tot += q4(price) * q4(disc)
+                n += 1
+        r = q_revenue_forecast(spark, SF_TEST_DIR).collect()[0]
+        assert r["n_lines"] == n and n > 0
+        assert r["revenue"] == round(float(tot), 4)
+
+
+class TestBrandSupplierCounts:
+    def test_matches_set_replay(self, spark):
+        con = duckdb.connect()
+        parts = {
+            k: (b, s)
+            for k, b, s, t in con.sql(
+                f"SELECT p_partkey, p_brand, p_size, p_type FROM '{SF_TEST_DIR}/part.parquet'"
+            ).fetchall()
+            if t != "PROMO"
+        }
+        li = con.sql(
+            f"SELECT l_partkey, l_suppkey FROM '{SF_TEST_DIR}/lineitem.parquet'"
+        ).fetchall()
+        con.close()
+        sup: dict[tuple, set] = defaultdict(set)
+        for pk, sk in li:
+            if pk in parts:
+                sup[parts[pk]].add(sk)
+        want = sorted(
+            ((b, s, len(v)) for (b, s), v in sup.items()),
+            key=lambda r: (-r[2], r[0], r[1]),
+        )
+        got = [
+            (r["p_brand"], r["p_size"], r["supplier_cnt"])
+            for r in q_brand_supplier_counts(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want and got
+
+
+class TestHostDegreeStats:
+    def test_matches_counter_replay(self, spark, docs_rows):
+        edges = set()
+        for doc_id, *_ in docs_rows:
+            s, d = doc_id % 97, _md5_bucket(doc_id, 97)
+            if s != d:
+                edges.add((s, d))
+        out_d, in_d, mut = Counter(), Counter(), Counter()
+        for s, d in edges:
+            out_d[s] += 1
+            in_d[d] += 1
+            if (d, s) in edges:
+                mut[s] += 1
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        want = [(h, out_d[h], in_d[h], mut[h]) for h in nodes]
+        got = [
+            (r["host"], r["out_deg"], r["in_deg"], r["n_mutual"])
+            for r in q_host_degree_stats(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want
+        assert any(m > 0 for *_x, m in want), "no mutual edges — reciprocity gates nothing"
