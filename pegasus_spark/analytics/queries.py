@@ -936,6 +936,138 @@ ORDER BY dev_cents DESC, custkey ASC
 """
 
 
+def q_daily_volume_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event volume with a trailing 7-observed-day moving average —
+    the ops-dashboard smoother next to daily_anomaly's 2σ flags. The
+    average is exact: (window sum · 1000) DIV window size on BIGINT
+    counts (partial heads average over the days seen so far, the
+    stickiness convention).
+
+    Scale shape: events collapse to one row per day in a combinable
+    partial agg, so the ordered window runs over the BOUNDED daily
+    rollup (≤ a few thousand rows for a decade of data) — the documented
+    bounded-cardinality single-partition posture (threshold_sweep
+    precedent), never over raw events."""
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("dy"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = Window.orderBy("dy").rowsBetween(-6, 0)
+    return (
+        d.withColumn("_s", F.sum("n_events").over(w))
+        .withColumn("_k", F.count(F.lit(1)).over(w))
+        .select(
+            "dy",
+            "n_events",
+            F.expr("(_s * 1000) DIV _k").alias("ma7_milli"),
+        )
+        .orderBy("dy")
+    )
+
+
+ORACLE_DAILY_VOLUME_MA7 = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS dy, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT dy, n_events,
+       (SUM(n_events) OVER (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        * 1000)
+       // COUNT(*) OVER (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS ma7_milli
+FROM d ORDER BY dy
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the warehouse classic: quartile each
+    customer on Recency (days since last order, vs the corpus max date),
+    Frequency (order count) and Monetary (decimal-exact spend), then
+    report segment sizes and spend. Quartiles are exact rank math
+    (((rn−1)·4) DIV n + 1 over a fully tie-broken order — no percentile
+    sketch, no float), and each of the three ranks rides
+    ``_global_disc_rank`` (ranged row_number + row-count offsets), so no
+    pass has a single-partition exchange. Output ≤ 4³ rows.
+
+    Recency quartile 1 = most recent; frequency/monetary quartile 4 =
+    most orders / highest spend (ascending rank)."""
+    n_parts = spark.sparkContext.defaultParallelism
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend"),
+    )
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_mx"))
+    s = s.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.datediff(F.col("_mx"), F.col("_last")).cast("bigint")
+    ).drop("_last", "_mx")
+    nc = s.agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
+    r = _global_disc_rank(s, ["recency_days", "custkey"], n_parts)
+    r = r.withColumnRenamed("rn", "rn_r")
+    r = _global_disc_rank(r, ["n_orders", "custkey"], n_parts)
+    r = r.withColumnRenamed("rn", "rn_f")
+    r = _global_disc_rank(r, ["spend", "custkey"], n_parts)
+    r = r.withColumnRenamed("rn", "rn_m").crossJoin(F.broadcast(nc))
+    quart = lambda c: F.expr(f"(({c} - 1) * 4) DIV _nc + 1").cast("int")  # noqa: E731
+    return (
+        r.select(
+            quart("rn_r").alias("r_quartile"),
+            quart("rn_f").alias("f_quartile"),
+            quart("rn_m").alias("m_quartile"),
+            "spend",
+        )
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("spend").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total_spend"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH s AS (
+  SELECT o_custkey AS custkey,
+         CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS last_d,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+b AS (
+  SELECT custkey, n_orders, spend,
+         CAST(datediff('day', last_d, mxd) AS BIGINT) AS recency_days
+  FROM s, mx
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+r AS (
+  SELECT b.*,
+         row_number() OVER (ORDER BY recency_days, custkey) AS rn_r,
+         row_number() OVER (ORDER BY n_orders, custkey) AS rn_f,
+         row_number() OVER (ORDER BY spend, custkey) AS rn_m
+  FROM b
+),
+q AS (
+  SELECT CAST(((rn_r - 1) * 4) // n + 1 AS INT) AS r_quartile,
+         CAST(((rn_f - 1) * 4) // n + 1 AS INT) AS f_quartile,
+         CAST(((rn_m - 1) * 4) // n + 1 AS INT) AS m_quartile,
+         spend
+  FROM r, nc
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_spend
+FROM q GROUP BY r_quartile, f_quartile, m_quartile
+ORDER BY r_quartile, f_quartile, m_quartile
+"""
+
+
 def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 shape: the what-if revenue delta from eliminating a discount
     band — one scan-heavy single-table aggregate whose ENTIRE predicate
@@ -1644,6 +1776,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_forecast": q_revenue_forecast,
     "brand_supplier_counts": q_brand_supplier_counts,
     "host_degree_stats": q_host_degree_stats,
+    "daily_volume_ma7": q_daily_volume_ma7,
+    "rfm_segments": q_rfm_segments,
     **PIPELINE_QUERIES,
 }
 
@@ -1680,5 +1814,7 @@ ORACLE_SQL: dict[str, str] = {
     "revenue_forecast": ORACLE_REVENUE_FORECAST,
     "brand_supplier_counts": ORACLE_BRAND_SUPPLIER_COUNTS,
     "host_degree_stats": ORACLE_HOST_DEGREE_STATS,
+    "daily_volume_ma7": ORACLE_DAILY_VOLUME_MA7,
+    "rfm_segments": ORACLE_RFM_SEGMENTS,
     **PIPELINE_ORACLES,
 }

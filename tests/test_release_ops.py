@@ -43,6 +43,8 @@ from pegasus_spark.analytics.pipeline_queries import (
 )
 from pegasus_spark.analytics.queries import (
     q_brand_supplier_counts,
+    q_daily_volume_ma7,
+    q_rfm_segments,
     q_host_degree_stats,
     q_revenue_forecast,
 )
@@ -1225,3 +1227,71 @@ class TestHostDegreeStats:
         ]
         assert got == want
         assert any(m > 0 for *_x, m in want), "no mutual edges — reciprocity gates nothing"
+
+
+class TestDailyVolumeMa7:
+    def test_matches_python_replay(self, spark):
+        con = duckdb.connect()
+        days = con.sql(
+            f"SELECT CAST(ts AS DATE), CAST(count(*) AS BIGINT) "
+            f"FROM '{SF_TEST_DIR}/events.parquet' GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        con.close()
+        want = []
+        for i, (dy, n) in enumerate(days):
+            win = [c for _, c in days[max(0, i - 6): i + 1]]
+            want.append((dy, n, (sum(win) * 1000) // len(win)))
+        got = [
+            (r["dy"], r["n_events"], r["ma7_milli"])
+            for r in q_daily_volume_ma7(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want and got
+
+
+class TestRfmSegments:
+    def test_matches_decimal_replay(self, spark):
+        from decimal import Decimal
+
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT o_custkey, CAST(o_orderdate AS DATE), o_totalprice "
+            f"FROM '{SF_TEST_DIR}/orders.parquet'"
+        ).fetchall()
+        con.close()
+        q4 = lambda v: Decimal(repr(v)).quantize(Decimal("0.0001"))  # noqa: E731
+        last: dict[int, object] = {}
+        cnt: Counter = Counter()
+        spend: dict[int, Decimal] = defaultdict(lambda: Decimal(0))
+        for k, d, p in rows:
+            last[k] = max(last.get(k, d), d)
+            cnt[k] += 1
+            spend[k] += q4(p)
+        mx = max(last.values())
+        base = [
+            (k, (mx - last[k]).days, cnt[k], float(spend[k])) for k in last
+        ]
+        n = len(base)
+        def quartiles(key):
+            order = sorted(base, key=key)
+            return {r[0]: ((i * 4) // n) + 1 for i, r in enumerate(order)}
+        qr = quartiles(lambda r: (r[1], r[0]))
+        qf = quartiles(lambda r: (r[2], r[0]))
+        qm = quartiles(lambda r: (r[3], r[0]))
+        seg_n: Counter = Counter()
+        seg_s: dict[tuple, Decimal] = defaultdict(lambda: Decimal(0))
+        for k, _rd, _nf, sp in base:
+            seg = (qr[k], qf[k], qm[k])
+            seg_n[seg] += 1
+            seg_s[seg] += q4(sp)
+        want = sorted(
+            (s + (seg_n[s], round(float(seg_s[s]), 4)) for s in seg_n),
+        )
+        got = [
+            (r["r_quartile"], r["f_quartile"], r["m_quartile"],
+             r["n_customers"], r["total_spend"])
+            for r in q_rfm_segments(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want
+        # every quartile axis must actually spread (1..4 present)
+        for axis in range(3):
+            assert {g[axis] for g in got} == {1, 2, 3, 4}
