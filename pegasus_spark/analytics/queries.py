@@ -822,12 +822,29 @@ ORDER BY burst_ratio_milli DESC, p.user_id ASC
 """
 
 
-def _global_disc_rank(df: DataFrame, order_cols: list, n: int) -> DataFrame:
+# below this row count the ranged machinery's checkpoint + offset collect
+# costs more than the one-task window it avoids (the
+# SEQPACK_SCALABLE_THRESHOLD precedent — a pure physical choice, outputs
+# identical; pinned by test_global_disc_rank_matches_window)
+GLOBALRANK_SCALABLE_THRESHOLD = 100_000
+
+
+def _global_disc_rank(
+    df: DataFrame, order_cols: list, n: int, n_rows: int | None = None,
+) -> DataFrame:
     """Exact global row_number over ``order_cols`` WITHOUT a
     single-partition window — repartitionByRange on the order, partition-
     local row_number, plus ``range_prefix_offsets`` row-count offsets (the
     with_dequeue_seq pattern; placement frozen by eager localCheckpoint
-    before the ≤ n_partitions-row collect). Adds ``rn``."""
+    before the ≤ n_partitions-row collect). Adds ``rn``.
+
+    ``n_rows`` (when the caller already knows it) picks the strategy:
+    at or under GLOBALRANK_SCALABLE_THRESHOLD a plain global window is
+    cheaper than the checkpoint + collect it avoids — one small task
+    beats four jobs. Same rows either way."""
+    if n_rows is not None and n_rows <= GLOBALRANK_SCALABLE_THRESHOLD:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn("rn", F.row_number().over(w))
     from pegasus_spark.operators import range_prefix_offsets
 
     d = (
@@ -873,12 +890,11 @@ def q_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend"),
         )
     )
-    nc = s.agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
-    r1 = _global_disc_rank(s, ["spend", "custkey"], n_parts).crossJoin(
-        F.broadcast(nc)
-    )
+    nc = s.count()  # bounded driver value; also picks the rank strategy
+    rank = (50 * nc + 99) // 100
+    r1 = _global_disc_rank(s, ["spend", "custkey"], n_parts, n_rows=nc)
     med = (
-        r1.filter(F.col("rn") == F.expr("(50 * _nc + 99) DIV 100"))
+        r1.filter(F.col("rn") == rank)
         .select(F.col("spend").alias("med_spend"))
     )
     d = (
@@ -889,9 +905,9 @@ def q_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.abs(F.col("spend") - F.col("med_spend")) * 100).cast("bigint"),
         )
     )
-    r2 = _global_disc_rank(d, ["dev_cents", "custkey"], n_parts)
+    r2 = _global_disc_rank(d, ["dev_cents", "custkey"], n_parts, n_rows=nc)
     mad = (
-        r2.filter(F.col("rn") == F.expr("(50 * _nc + 99) DIV 100"))
+        r2.filter(F.col("rn") == rank)
         .select(F.col("dev_cents").alias("mad_cents"))
     )
     return (
@@ -1005,14 +1021,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = s.crossJoin(F.broadcast(mx)).withColumn(
         "recency_days", F.datediff(F.col("_mx"), F.col("_last")).cast("bigint")
     ).drop("_last", "_mx")
-    nc = s.agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
-    r = _global_disc_rank(s, ["recency_days", "custkey"], n_parts)
+    nc = s.count()  # bounded driver value; also picks the rank strategy
+    r = _global_disc_rank(s, ["recency_days", "custkey"], n_parts, n_rows=nc)
     r = r.withColumnRenamed("rn", "rn_r")
-    r = _global_disc_rank(r, ["n_orders", "custkey"], n_parts)
+    r = _global_disc_rank(r, ["n_orders", "custkey"], n_parts, n_rows=nc)
     r = r.withColumnRenamed("rn", "rn_f")
-    r = _global_disc_rank(r, ["spend", "custkey"], n_parts)
-    r = r.withColumnRenamed("rn", "rn_m").crossJoin(F.broadcast(nc))
-    quart = lambda c: F.expr(f"(({c} - 1) * 4) DIV _nc + 1").cast("int")  # noqa: E731
+    r = _global_disc_rank(r, ["spend", "custkey"], n_parts, n_rows=nc)
+    r = r.withColumnRenamed("rn", "rn_m")
+    quart = lambda c: F.expr(f"(({c} - 1) * 4) DIV {nc} + 1").cast("int")  # noqa: E731
     return (
         r.select(
             quart("rn_r").alias("r_quartile"),

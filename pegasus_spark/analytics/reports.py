@@ -645,6 +645,61 @@ def caption_vocab(items: DataFrame) -> DataFrame:
     return vocab_stats(caps, group_col="region")
 
 
+def price_history(apartments: DataFrame, changes: DataFrame | None) -> DataFrame:
+    """SCD2 price-validity intervals per apartment — the lakehouse
+    "dimension history" view built from the CDC change log: each aid gets
+    one row per price regime (price, valid_from, valid_to, is_current),
+    where the opening interval starts at nts (first-seen, preserved
+    across updates by the J1 contract) with the EARLIEST known price (the
+    first change row's old_price — the value the apartment carried before
+    any recorded change; current price if no change ever fired) and each
+    change at ts closes the previous interval and opens the next at
+    new_price. The interval form answers "what was the price on day X"
+    with one BETWEEN predicate — the point-in-time query the raw change
+    log needs a window for every time.
+
+    Scale shape: one aid-keyed window over the change log (first change),
+    one union of apartment-sized and change-sized interval openers, one
+    aid-keyed lead window — all exchanges key on aid, AQE reuses the
+    partitioning. Timestamps are epoch-second BIGINTs end-to-end."""
+    base = apartments.select("aid", "region", "price", "nts")
+    if changes is None:
+        ivals = base.select(
+            "aid", "region", "price", F.col("nts").cast("bigint").alias("valid_from")
+        )
+    else:
+        # the upsert key is (aid, region) — cdc.merge_apartments joins on
+        # both, so the history partitions on both too
+        w1 = Window.partitionBy("aid", "region").orderBy(
+            F.asc("ts"), F.asc("new_price")
+        )
+        first_chg = (
+            changes.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") == 1)
+            .select("aid", "region", F.col("old_price").alias("_first_price"))
+        )
+        opening = base.join(first_chg, ["aid", "region"], "left").select(
+            "aid",
+            "region",
+            F.coalesce("_first_price", "price").alias("price"),
+            F.col("nts").cast("bigint").alias("valid_from"),
+        )
+        steps = changes.select(
+            "aid", "region",
+            F.col("new_price").alias("price"),
+            F.col("ts").cast("bigint").alias("valid_from"),
+        )
+        ivals = opening.unionByName(steps)
+    w = Window.partitionBy("aid", "region").orderBy(
+        F.asc("valid_from"), F.asc("price")
+    )
+    return (
+        ivals.withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("aid", "region", "valid_from")
+    )
+
+
 def caption_collocations(items: DataFrame, topk: int = 20) -> DataFrame:
     """Top caption collocations by PMI over a committed items table — the
     crawl twin of the gated ``pmi_bigrams``: template captions show up as

@@ -18,6 +18,7 @@ import json
 import sys
 from typing import Any
 
+import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from pegasus_spark.crawler.frontier import FrontierStore
@@ -170,6 +171,40 @@ def crawl_caption_vocab(
     from pegasus_spark.analytics.reports import caption_vocab
 
     return [r.asDict() for r in caption_vocab(items).collect()]
+
+
+def crawl_price_history(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> dict[str, Any]:
+    """SCD2 price-validity intervals from the COMMITTED store
+    (reports.price_history over the checkpointed apartments version +
+    manifest-referenced change rounds): summary counts plus the full
+    interval history for every aid that has at least one recorded price
+    change (bounded by the change log, not the apartment count; capped at
+    200 rows with an (aid, valid_from) tie-broken order). Safe while a
+    crawl runs — reads only the committed version/rounds."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None or ckpt.apartments_version < 0:
+        raise FileNotFoundError(f"no committed apartments under {workdir}")
+    apartments = store.read_apartments(ckpt.apartments_version)
+    changes = store.read_appended("changes", ckpt.appended_rounds)
+    from pegasus_spark.analytics.reports import price_history
+
+    hist = price_history(apartments, changes)
+    per_key = hist.groupBy("aid", "region").agg(F.count(F.lit(1)).alias("_n"))
+    changed = per_key.filter(F.col("_n") >= 2).select("aid", "region")
+    rows = (
+        hist.join(F.broadcast(changed), ["aid", "region"], "left_semi")
+        .orderBy("aid", "region", "valid_from")
+        .limit(200)
+        .collect()
+    )
+    return {
+        "n_tracked": apartments.count(),
+        "n_changed": changed.count(),
+        "histories": [r.asDict() for r in rows],
+    }
 
 
 def crawl_caption_collocations(
@@ -421,12 +456,13 @@ def main(argv: list[str] | None = None) -> int:
     volume = "--volume" in argv
     vocab = "--vocab" in argv
     collocations = "--collocations" in argv
+    history = "--history" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
             "--politeness", "--pii", "--datacard", "--ablation", "--sweep",
-            "--volume", "--vocab", "--collocations",
+            "--volume", "--vocab", "--collocations", "--history",
         )
     ]
     if len(argv) != 1:
@@ -434,7 +470,7 @@ def main(argv: list[str] | None = None) -> int:
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
             " [--politeness] [--pii] [--datacard] [--ablation] [--sweep]"
-            " [--volume] [--vocab] [--collocations] <workdir>",
+            " [--volume] [--vocab] [--collocations] [--history] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -518,6 +554,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         except FileNotFoundError as exc:
             print(f"--collocations: {exc}", file=sys.stderr)
+            return 2
+    if history:
+        try:
+            out["price_history"] = crawl_price_history(spark, argv[0], store)
+        except FileNotFoundError as exc:
+            print(f"--history: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

@@ -95,3 +95,49 @@ def test_run1_changes_empty(two_runs):
     run1_rounds = [r for r in ckpt.appended_rounds if r not in run2_rounds]
     ch = sched.store.read_appended("changes", run1_rounds)
     assert ch is None or ch.count() == 0
+
+
+def test_price_history_scd2(two_runs, capsys):
+    """SCD2 price-validity intervals (reports.price_history + `status
+    --history`): changed aids get (old_price @ nts=TS1 → new_price @ TS2,
+    open), unchanged aids one open interval — checked against the pandas
+    CDC oracle's change set."""
+    import json
+
+    from pegasus_spark.analytics.reports import price_history
+    from pegasus_spark.crawler.status import crawl_price_history, main
+
+    spec, sched, ckpt, run2_rounds = two_runs
+    apartments = sched.store.read_apartments(ckpt.apartments_version)
+    changes = sched.store.read_appended("changes", ckpt.appended_rounds)
+    hist = {}
+    for r in price_history(apartments, changes).collect():
+        hist.setdefault(r["aid"], []).append(r)
+
+    exp_changes = expected_after_run2(spec, TS1, TS2)[1]
+    changed = {c["aid"]: c for c in exp_changes}
+    apt = {r["aid"]: r for r in apartments.collect()}
+    assert set(hist) == set(apt)
+    for aid, rows in hist.items():
+        assert [r["valid_from"] for r in rows] == sorted(r["valid_from"] for r in rows)
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        assert rows[-1]["price"] == apt[aid]["price"]
+        assert rows[0]["valid_from"] == apt[aid]["nts"]
+        if aid in changed:
+            assert len(rows) == 2, rows
+            assert rows[0]["price"] == changed[aid]["old_price"]
+            assert rows[0]["valid_to"] == TS2
+            assert rows[1]["price"] == changed[aid]["new_price"]
+            assert rows[1]["valid_from"] == TS2
+        else:
+            assert len(rows) == 1, rows
+
+    rep = crawl_price_history(sched.spark, sched.store.workdir, sched.store)
+    assert rep["n_tracked"] == len(apt)
+    assert rep["n_changed"] == len(changed)
+    assert {h["aid"] for h in rep["histories"]} == set(changed)
+
+    rc = main(["--history", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["price_history"] == rep

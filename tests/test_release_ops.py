@@ -1152,6 +1152,13 @@ class TestSpendOutliers:
             ).collect()
         }
         assert got == want
+        # the size switch (n_rows under threshold → window path) is a pure
+        # physical choice: identical rows
+        switched = {
+            r["k"]: r["rn"]
+            for r in _global_disc_rank(s, ["c", "k"], 13, n_rows=10).collect()
+        }
+        assert switched == want
 
 
 class TestRevenueForecast:
