@@ -952,6 +952,62 @@ ORDER BY dev_cents DESC, custkey ASC
 """
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: the share of one month's revenue that came from promo
+    parts — a broadcast dim join + two conditional decimal folds into a
+    1-row ratio. Both sums aggregate DECIMAL (order-independent), cast to
+    double and round ONCE, and the share divides the already-rounded
+    pair — no float enters any aggregation. At 100 TB: month filter
+    pushed to the lineitem scan, part broadcasts, output is 1 row."""
+    lo = F.lit("1996-03-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    dec = lambda cn: F.col(cn).cast("decimal(18,4)")  # noqa: E731
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))\
+        .cast("decimal(28,8)")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                      .otherwise(F.lit(0).cast("decimal(28,8)"))).cast("double"),
+                4,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev).cast("double"), 4).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(F.col("promo_revenue") / F.col("total_revenue") * 100, 6)
+            .alias("promo_share_pct"),
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+WITH a AS (
+  SELECT
+    ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+           THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))
+           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE), 4) AS promo_revenue,
+    ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS DOUBLE), 4) AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       ROUND(promo_revenue / total_revenue * 100, 6) AS promo_share_pct
+FROM a
+"""
+
+
 def q_daily_volume_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event volume with a trailing 7-observed-day moving average —
     the ops-dashboard smoother next to daily_anomaly's 2σ flags. The
@@ -1794,6 +1850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_degree_stats": q_host_degree_stats,
     "daily_volume_ma7": q_daily_volume_ma7,
     "rfm_segments": q_rfm_segments,
+    "promo_revenue_share": q_promo_revenue_share,
     **PIPELINE_QUERIES,
 }
 
@@ -1832,5 +1889,6 @@ ORACLE_SQL: dict[str, str] = {
     "host_degree_stats": ORACLE_HOST_DEGREE_STATS,
     "daily_volume_ma7": ORACLE_DAILY_VOLUME_MA7,
     "rfm_segments": ORACLE_RFM_SEGMENTS,
+    "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
     **PIPELINE_ORACLES,
 }

@@ -44,6 +44,7 @@ from pegasus_spark.analytics.pipeline_queries import (
 from pegasus_spark.analytics.queries import (
     q_brand_supplier_counts,
     q_daily_volume_ma7,
+    q_promo_revenue_share,
     q_rfm_segments,
     q_host_degree_stats,
     q_revenue_forecast,
@@ -1302,3 +1303,40 @@ class TestRfmSegments:
         # every quartile axis must actually spread (1..4 present)
         for axis in range(3):
             assert {g[axis] for g in got} == {1, 2, 3, 4}
+
+
+class TestPromoRevenueShare:
+    def test_matches_decimal_replay(self, spark):
+        from decimal import Decimal
+        import datetime as _dt
+
+        con = duckdb.connect()
+        ptype = dict(con.sql(
+            f"SELECT p_partkey, p_type FROM '{SF_TEST_DIR}/part.parquet'"
+        ).fetchall())
+        li = con.sql(
+            f"SELECT l_partkey, l_shipdate, l_extendedprice, l_discount "
+            f"FROM '{SF_TEST_DIR}/lineitem.parquet'"
+        ).fetchall()
+        con.close()
+        q4 = lambda v: Decimal(repr(v)).quantize(Decimal("0.0001"))  # noqa: E731
+        lo, hi = _dt.datetime(1996, 3, 1), _dt.datetime(1996, 4, 1)
+        promo, total = Decimal(0), Decimal(0)
+        for pk, sd, price, disc in li:
+            if lo <= sd < hi and pk in ptype:
+                rev = q4(price) * (Decimal(1) - q4(disc))
+                total += rev
+                if ptype[pk] == "PROMO":
+                    promo += rev
+        pr, tr = round(float(promo), 4), round(float(total), 4)
+        r = q_promo_revenue_share(spark, SF_TEST_DIR).collect()[0]
+        assert (r["promo_revenue"], r["total_revenue"]) == (pr, tr)
+        assert r["promo_share_pct"] == round(pr / tr * 100, 6)
+        assert 0 < r["promo_share_pct"] < 100
+
+    def test_part_dim_broadcasts(self, spark):
+        plan = (
+            q_promo_revenue_share(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
