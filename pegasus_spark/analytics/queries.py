@@ -952,6 +952,77 @@ ORDER BY dev_cents DESC, custkey ASC
 """
 
 
+def q_daily_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day churn accounting — the growth ledger next to the
+    cohort `retention` table: for every day with an observed FOLLOWING
+    day, the active users, how many of them vanished the next day
+    (churned), how many next-day actives are new, and the churn rate on
+    the 10³ grid (n_churned·1000 DIV n_active — exact). Day granularity,
+    not week: the synthetic corpus has every user active every week, so
+    a weekly ledger would gate nothing; daily actives genuinely move. A
+    calendar gap (no events the next day) drops the row rather than
+    fabricating 100% churn.
+
+    Scale shape: events collapse to DISTINCT (user, day) pairs in one
+    exchange; retained counts come from a user-keyed self-join of that
+    deduped frame shifted by one day; the daily rollups and final
+    assembly are |days|-bounded. All counts are exact BIGINTs."""
+    a = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("dy")
+    ).distinct()
+    act = a.groupBy("dy").agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    nxt = a.select("user_id", F.date_sub(F.col("dy"), 1).alias("dy"))
+    retained = (
+        a.join(nxt, ["user_id", "dy"])
+        .groupBy("dy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_ret"))
+    )
+    act_next = act.select(
+        F.date_sub(F.col("dy"), 1).alias("dy"),
+        F.col("n_active").alias("_n_next"),
+    )
+    return (
+        act.join(act_next, "dy")  # inner: only days with an observed next day
+        .join(retained, "dy", "left")
+        .select(
+            F.col("dy").alias("day"),
+            "n_active",
+            (F.col("n_active") - F.coalesce("_ret", F.lit(0)))
+            .cast("bigint")
+            .alias("n_churned"),
+            (F.col("_n_next") - F.coalesce("_ret", F.lit(0)))
+            .cast("bigint")
+            .alias("n_new"),
+            F.expr(
+                "(( n_active - coalesce(_ret, 0)) * 1000) DIV n_active"
+            ).alias("churn_rate_milli"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_CHURN = """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events
+),
+act AS (SELECT dy, CAST(count(*) AS BIGINT) AS n_active FROM a GROUP BY dy),
+ret AS (
+  SELECT c.dy, CAST(count(*) AS BIGINT) AS n_ret
+  FROM a c JOIN a n ON n.user_id = c.user_id AND n.dy = c.dy + 1
+  GROUP BY c.dy
+)
+SELECT c.dy AS day, c.n_active,
+       c.n_active - COALESCE(r.n_ret, 0) AS n_churned,
+       n.n_active - COALESCE(r.n_ret, 0) AS n_new,
+       ((c.n_active - COALESCE(r.n_ret, 0)) * 1000) // c.n_active
+         AS churn_rate_milli
+FROM act c
+JOIN act n ON n.dy = c.dy + 1
+LEFT JOIN ret r ON r.dy = c.dy
+ORDER BY day
+"""
+
+
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: the share of one month's revenue that came from promo
     parts — a broadcast dim join + two conditional decimal folds into a
@@ -1851,6 +1922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_volume_ma7": q_daily_volume_ma7,
     "rfm_segments": q_rfm_segments,
     "promo_revenue_share": q_promo_revenue_share,
+    "daily_churn": q_daily_churn,
     **PIPELINE_QUERIES,
 }
 
@@ -1890,5 +1962,6 @@ ORACLE_SQL: dict[str, str] = {
     "daily_volume_ma7": ORACLE_DAILY_VOLUME_MA7,
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
+    "daily_churn": ORACLE_DAILY_CHURN,
     **PIPELINE_ORACLES,
 }

@@ -1340,3 +1340,38 @@ class TestPromoRevenueShare:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestDailyChurn:
+    def test_matches_python_replay(self, spark):
+        con = duckdb.connect()
+        pairs = set(con.sql(
+            f"SELECT DISTINCT user_id, CAST(ts AS DATE) FROM '{SF_TEST_DIR}/events.parquet'"
+        ).fetchall())
+        con.close()
+        import datetime as _dt
+
+        act: dict = defaultdict(set)
+        for u, d in pairs:
+            act[d].add(u)
+        days = sorted(act)
+        want = []
+        for d in days:
+            nd = d + _dt.timedelta(days=1)
+            if nd not in act:
+                continue
+            ret = len(act[d] & act[nd])
+            churned = len(act[d]) - ret
+            want.append(
+                (d, len(act[d]), churned, len(act[nd]) - ret,
+                 (churned * 1000) // len(act[d]))
+            )
+        from pegasus_spark.analytics.queries import q_daily_churn
+
+        got = [
+            (r["day"], r["n_active"], r["n_churned"], r["n_new"],
+             r["churn_rate_milli"])
+            for r in q_daily_churn(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want
+        assert sum(r[2] for r in got) > 0 and sum(r[3] for r in got) > 0
