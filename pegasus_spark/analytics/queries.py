@@ -952,6 +952,147 @@ ORDER BY dev_cents DESC, custkey ASC
 """
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining: the 10 most common 3-step event-type paths
+    (per-user time order, microsecond-integer compares with event_id
+    tie-breaks — the transition_matrix discipline one step deeper), with
+    occurrence count and the number of distinct users who walked each
+    path. The table behind 'what do users actually do' funnels no one
+    designed in advance.
+
+    Scale shape: ONE user-keyed window produces both lags; the
+    (path, user) partial agg collapses a user's repeated walks map-side
+    (the ngram_topk (gram, doc) precedent), the path rollup is
+    ≤ |types|³-bounded, and the top-10 is a TakeOrderedAndProject with a
+    lexical tie-break."""
+    micros = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr(micros).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    paths = (
+        ev.withColumn("_e2", F.lag("event_type", 1).over(w))
+        .withColumn("_e3", F.lag("event_type", 2).over(w))
+        .filter(F.col("_e3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "_e3", "_e2", "event_type").alias("path"),
+        )
+    )
+    per_user = paths.groupBy("path", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(
+            F.sum("_c").cast("bigint").alias("cnt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_PATHS = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), lagged AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS e3,
+         lag(event_type, 1) OVER w AS e2,
+         event_type AS e1
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), p AS (
+  SELECT user_id, e3 || '>' || e2 || '>' || e1 AS path
+  FROM lagged WHERE e3 IS NOT NULL
+), pu AS (
+  SELECT path, user_id, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY path, user_id
+)
+SELECT path, CAST(SUM(c) AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS n_users
+FROM pu GROUP BY path
+ORDER BY cnt DESC, path ASC
+LIMIT 10
+"""
+
+
+def q_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment rate per day: of the gap-sessionized sessions
+    (the q_sessionize 30-minute rule, same microsecond/tie-break
+    discipline) that contain a 'view', how many never reach a
+    'purchase'. Day = the session's first event day; the rate is exact
+    (n_abandoned·1000 DIV n_view_sessions, NULL on a day with no view
+    sessions rather than a fabricated zero).
+
+    Scale shape: the sessionize single-user-keyed-shuffle core, then a
+    (user, session) aggregate carrying two boolean maxes and the first
+    event time; the daily rollup is |days|-bounded."""
+    micros = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", F.expr(micros).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > 1_800_000_000, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    sess = marked.groupBy("user_id", "session_seq").agg(
+        F.min(F.col("ts").cast("date")).alias("day"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("_has_view"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("_has_purchase"),
+    )
+    return (
+        sess.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("_has_view").cast("bigint").alias("n_view_sessions"),
+            F.sum(
+                F.when((F.col("_has_view") == 1) & (F.col("_has_purchase") == 0), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_abandoned"),
+        )
+        .withColumn(
+            "abandon_rate_milli",
+            F.expr("(n_abandoned * 1000) DIV nullif(n_view_sessions, 0)"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_SESSION_ABANDONMENT = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS t FROM events
+), marked AS (
+  SELECT user_id, event_id, event_type, ts, t,
+         CASE WHEN t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), numbered AS (
+  SELECT user_id, event_type, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM marked
+), sess AS (
+  SELECT user_id, session_seq,
+         MIN(CAST(ts AS DATE)) AS day,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(has_view) AS BIGINT) AS n_view_sessions,
+       CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_abandoned,
+       (SUM(CASE WHEN has_view = 1 AND has_purchase = 0 THEN 1 ELSE 0 END) * 1000)
+         // NULLIF(SUM(has_view), 0) AS abandon_rate_milli
+FROM sess GROUP BY day ORDER BY day
+"""
+
+
 def q_daily_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day churn accounting — the growth ledger next to the
     cohort `retention` table: for every day with an observed FOLLOWING
@@ -1923,6 +2064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "promo_revenue_share": q_promo_revenue_share,
     "daily_churn": q_daily_churn,
+    "top_paths": q_top_paths,
+    "session_abandonment": q_session_abandonment,
     **PIPELINE_QUERIES,
 }
 
@@ -1963,5 +2106,7 @@ ORACLE_SQL: dict[str, str] = {
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
     "daily_churn": ORACLE_DAILY_CHURN,
+    "top_paths": ORACLE_TOP_PATHS,
+    "session_abandonment": ORACLE_SESSION_ABANDONMENT,
     **PIPELINE_ORACLES,
 }

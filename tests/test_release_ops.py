@@ -1375,3 +1375,78 @@ class TestDailyChurn:
         ]
         assert got == want
         assert sum(r[2] for r in got) > 0 and sum(r[3] for r in got) > 0
+
+
+@pytest.fixture(scope="module")
+def event_rows():
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, event_id, event_type, epoch_us(ts), CAST(ts AS DATE) "
+        f"FROM '{SF_TEST_DIR}/events.parquet'"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+class TestTopPaths:
+    def test_matches_python_replay(self, spark, event_rows):
+        by_user: dict[int, list] = defaultdict(list)
+        for u, eid, et, t, _d in event_rows:
+            by_user[u].append((t, eid, et))
+        path_users: dict[str, Counter] = defaultdict(Counter)
+        for u, evs in by_user.items():
+            evs.sort()
+            types = [e[2] for e in evs]
+            for i in range(len(types) - 2):
+                path_users[">".join(types[i : i + 3])][u] += 1
+        agg = [
+            (p, sum(c.values()), len(c)) for p, c in path_users.items()
+        ]
+        want = sorted(agg, key=lambda r: (-r[1], r[0]))[:10]
+        from pegasus_spark.analytics.queries import q_top_paths
+
+        got = [
+            (r["path"], r["cnt"], r["n_users"])
+            for r in q_top_paths(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want and len(got) == 10
+
+
+class TestSessionAbandonment:
+    def test_matches_python_replay(self, spark, event_rows):
+        by_user: dict[int, list] = defaultdict(list)
+        for u, eid, et, t, d in event_rows:
+            by_user[u].append((t, eid, et, d))
+        sessions = []
+        for u, evs in by_user.items():
+            evs.sort()
+            cur = [evs[0]]
+            for prev, nxt in zip(evs, evs[1:]):
+                if nxt[0] - prev[0] > 1_800_000_000:
+                    sessions.append(cur)
+                    cur = []
+                cur.append(nxt)
+            sessions.append(cur)
+        per_day: dict = defaultdict(lambda: [0, 0, 0])
+        for s in sessions:
+            day = min(e[3] for e in s)
+            types = {e[2] for e in s}
+            cell = per_day[day]
+            cell[0] += 1
+            if "view" in types:
+                cell[1] += 1
+                if "purchase" not in types:
+                    cell[2] += 1
+        want = [
+            (d, n, v, a, (a * 1000) // v if v else None)
+            for d, (n, v, a) in sorted(per_day.items())
+        ]
+        from pegasus_spark.analytics.queries import q_session_abandonment
+
+        got = [
+            (r["day"], r["n_sessions"], r["n_view_sessions"], r["n_abandoned"],
+             r["abandon_rate_milli"])
+            for r in q_session_abandonment(spark, SF_TEST_DIR).collect()
+        ]
+        assert got == want
+        assert sum(r[3] for r in got) > 0
