@@ -952,6 +952,61 @@ ORDER BY dev_cents DESC, custkey ASC
 """
 
 
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration audit (the 80/20 ledger): what share of all
+    events comes from the top 10% / 20% / 50% most active users — the
+    user-axis complement of key_skew_report's hot-key table, and the
+    number that says whether "engagement" is broad or three whales. Top-k%
+    cohort sizes are exact ceil rank math ((k·n + 99) DIV 100); shares
+    are exact 10³-grid integers; the rank rides _global_disc_rank (users
+    ordered by count desc with a user_id tie-break via a negated count
+    column — the helper ranks ascending).
+
+    Scale shape: events collapse to per-user counts in one exchange; the
+    rank pass is the ranged row_number (or one small window task under
+    the size switch); the conditional sums fold to ONE row."""
+    n_parts = spark.sparkContext.defaultParallelism
+    s = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("_negc", -F.col("cnt"))
+    )
+    nu = s.count()  # bounded driver value; also picks the rank strategy
+    r = _global_disc_rank(s, ["_negc", "user_id"], n_parts, n_rows=nu)
+    cut = lambda k: (k * nu + 99) // 100  # noqa: E731
+    return r.agg(
+        F.lit(nu).cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.expr(f"(sum(CASE WHEN rn <= {cut(10)} THEN cnt ELSE 0 END) * 1000)"
+               " DIV sum(cnt)").alias("top10_share_milli"),
+        F.expr(f"(sum(CASE WHEN rn <= {cut(20)} THEN cnt ELSE 0 END) * 1000)"
+               " DIV sum(cnt)").alias("top20_share_milli"),
+        F.expr(f"(sum(CASE WHEN rn <= {cut(50)} THEN cnt ELSE 0 END) * 1000)"
+               " DIV sum(cnt)").alias("top50_share_milli"),
+    )
+
+
+ORACLE_USER_CONCENTRATION = """
+WITH s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY -cnt, user_id) AS rn FROM s
+)
+SELECT n AS n_users,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       (SUM(CASE WHEN rn <= (10 * n + 99) // 100 THEN cnt ELSE 0 END) * 1000)
+         // SUM(cnt) AS top10_share_milli,
+       (SUM(CASE WHEN rn <= (20 * n + 99) // 100 THEN cnt ELSE 0 END) * 1000)
+         // SUM(cnt) AS top20_share_milli,
+       (SUM(CASE WHEN rn <= (50 * n + 99) // 100 THEN cnt ELSE 0 END) * 1000)
+         // SUM(cnt) AS top50_share_milli
+FROM r, nu GROUP BY n
+"""
+
+
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential path mining: the 10 most common 3-step event-type paths
     (per-user time order, microsecond-integer compares with event_id
@@ -2064,6 +2119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "promo_revenue_share": q_promo_revenue_share,
     "daily_churn": q_daily_churn,
+    "user_concentration": q_user_concentration,
     "top_paths": q_top_paths,
     "session_abandonment": q_session_abandonment,
     **PIPELINE_QUERIES,
@@ -2106,6 +2162,7 @@ ORACLE_SQL: dict[str, str] = {
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
     "daily_churn": ORACLE_DAILY_CHURN,
+    "user_concentration": ORACLE_USER_CONCENTRATION,
     "top_paths": ORACLE_TOP_PATHS,
     "session_abandonment": ORACLE_SESSION_ABANDONMENT,
     **PIPELINE_ORACLES,

@@ -1450,3 +1450,23 @@ class TestSessionAbandonment:
         ]
         assert got == want
         assert sum(r[3] for r in got) > 0
+
+
+class TestUserConcentration:
+    def test_matches_python_replay(self, spark, event_rows):
+        cnt = Counter(u for u, *_ in event_rows)
+        nu = len(cnt)
+        order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(cnt.values())
+        def share(k):
+            top = sum(c for _, c in order[: (k * nu + 99) // 100])
+            return (top * 1000) // total
+        from pegasus_spark.analytics.queries import q_user_concentration
+
+        r = q_user_concentration(spark, SF_TEST_DIR).collect()[0]
+        assert (r["n_users"], r["n_events"]) == (nu, total)
+        assert r["top10_share_milli"] == share(10)
+        assert r["top20_share_milli"] == share(20)
+        assert r["top50_share_milli"] == share(50)
+        # concentration must be monotone and non-degenerate
+        assert 100 <= r["top10_share_milli"] < r["top20_share_milli"] < r["top50_share_milli"] < 1000
