@@ -952,6 +952,77 @@ ORDER BY dev_cents DESC, custkey ASC
 """
 
 
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority fulfillment-lag percentiles: days from order date to
+    the EARLIEST lineitem ship date, exact percentile_disc rank math
+    ((p·n + 99) DIV 100 in (lag, orderkey) order — the length_percentiles
+    rule applied to a join-derived measure). The ops table behind the Q4
+    lateness count: not just how many orders slipped, but the shape of
+    the slip per priority class. Lags are exact integer day diffs (this
+    synthetic corpus ships some lines before the order date — negative
+    lags are data, not errors, and the exact math keeps them).
+
+    Scale shape: lineitem collapses to one earliest-ship row per order in
+    a combinable partial agg, the orders join shuffles on orderkey once,
+    and the percentile window partitions on the 5-value priority key (the
+    exact-audit posture; percentile_approx is the in-pipeline swap)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("_first_ship"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("_od")
+    )
+    d = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.datediff(F.col("_first_ship"), F.col("_od")).cast("bigint").alias("lag_days"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lag_days", "o_orderkey")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    )
+    pick = lambda p, name: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("lag_days"))
+    ).alias(name)
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            pick(25, "p25"), pick(50, "p50"), pick(75, "p75"), pick(95, "p95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_FULFILLMENT_LAG = """
+WITH li AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+d AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), first_ship) AS BIGINT)
+           AS lag_days
+  FROM orders JOIN li ON o_orderkey = l_orderkey
+),
+r AS (
+  SELECT o_orderpriority, lag_days,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lag_days, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM d
+)
+SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+       max(CASE WHEN rn = (25 * n + 99) // 100 THEN lag_days END) AS p25,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN lag_days END) AS p50,
+       max(CASE WHEN rn = (75 * n + 99) // 100 THEN lag_days END) AS p75,
+       max(CASE WHEN rn = (95 * n + 99) // 100 THEN lag_days END) AS p95
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity-concentration audit (the 80/20 ledger): what share of all
     events comes from the top 10% / 20% / 50% most active users — the
@@ -2120,6 +2191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_share": q_promo_revenue_share,
     "daily_churn": q_daily_churn,
     "user_concentration": q_user_concentration,
+    "fulfillment_lag": q_fulfillment_lag,
     "top_paths": q_top_paths,
     "session_abandonment": q_session_abandonment,
     **PIPELINE_QUERIES,
@@ -2163,6 +2235,7 @@ ORACLE_SQL: dict[str, str] = {
     "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
     "daily_churn": ORACLE_DAILY_CHURN,
     "user_concentration": ORACLE_USER_CONCENTRATION,
+    "fulfillment_lag": ORACLE_FULFILLMENT_LAG,
     "top_paths": ORACLE_TOP_PATHS,
     "session_abandonment": ORACLE_SESSION_ABANDONMENT,
     **PIPELINE_ORACLES,

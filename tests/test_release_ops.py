@@ -1470,3 +1470,33 @@ class TestUserConcentration:
         assert r["top50_share_milli"] == share(50)
         # concentration must be monotone and non-degenerate
         assert 100 <= r["top10_share_milli"] < r["top20_share_milli"] < r["top50_share_milli"] < 1000
+
+
+class TestFulfillmentLag:
+    def test_matches_rank_math_replay(self, spark):
+        con = duckdb.connect()
+        first_ship = dict(con.sql(
+            f"SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) "
+            f"FROM '{SF_TEST_DIR}/lineitem.parquet' GROUP BY 1"
+        ).fetchall())
+        orders = con.sql(
+            f"SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) "
+            f"FROM '{SF_TEST_DIR}/orders.parquet'"
+        ).fetchall()
+        con.close()
+        by_prio: dict[str, list] = defaultdict(list)
+        for k, prio, od in orders:
+            if k in first_ship:
+                by_prio[prio].append(((first_ship[k] - od).days, k))
+        from pegasus_spark.analytics.queries import q_fulfillment_lag
+
+        got = {r["o_orderpriority"]: r for r in q_fulfillment_lag(spark, SF_TEST_DIR).collect()}
+        assert set(got) == set(by_prio)
+        for prio, vals in by_prio.items():
+            vals.sort()
+            n = len(vals)
+            r = got[prio]
+            assert r["n_orders"] == n
+            for p, col in ((25, "p25"), (50, "p50"), (75, "p75"), (95, "p95")):
+                assert r[col] == vals[(p * n + 99) // 100 - 1][0]
+            assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
