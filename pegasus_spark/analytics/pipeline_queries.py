@@ -3497,6 +3497,50 @@ def q_phash_keepers(spark, sf_dir):
     )
 
 
+def q_image_dedup_savings(spark, sf_dir):
+    """The "what did image dedup buy" ledger closing the phash chain:
+    per source, image count, keeper count, total vs kept resolution
+    (exact BIGINT w·h from the md5 dim synthesis — a byte-cost proxy
+    with no codec in this environment), and the storage savings on the
+    10³ grid ((total − kept)·1000 DIV total). The number a release
+    datasheet quotes to justify the dedup pass.
+
+    Scale shape: the phash cluster build + the shared cluster_keepers
+    argmax (one cluster_id shuffle of id/metric triples), then one
+    source-keyed bounded rollup; image bytes never move."""
+    hw = F.md5(F.col("doc_id").cast("string"))
+    res = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        (
+            (F.conv(F.substring(hw, 1, 4), 16, 10).cast("bigint") % 1793 + 256)
+            * (F.conv(F.substring(hw, 5, 4), 16, 10).cast("bigint") % 1793 + 256)
+        ).alias("resolution"),
+    )
+    keep = D.cluster_keepers(
+        _phash_cluster_df(spark, sf_dir),
+        res.select("doc_id", "resolution"),
+        metric_col="resolution",
+    )
+    return (
+        keep.join(res, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum(F.col("is_keeper").cast("int")).cast("bigint").alias("n_keepers"),
+            F.sum("resolution").cast("bigint").alias("res_total"),
+            F.sum(F.when(F.col("is_keeper"), F.col("resolution")).otherwise(0))
+            .cast("bigint")
+            .alias("res_kept"),
+        )
+        .withColumn(
+            "savings_milli",
+            F.expr("((res_total - res_kept) * 1000) DIV res_total"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLE_PHASH_NEAR_DUP = """
 WITH ph AS (
   SELECT doc_id,
@@ -3563,6 +3607,41 @@ SELECT v.doc_id,
 FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
 GROUP BY v.doc_id
 ORDER BY v.doc_id
+"""
+
+
+ORACLE_IMAGE_DEDUP_SAVINGS = _ORACLE_PHASH_GRAPH + """,
+clusters AS (
+  SELECT v.doc_id,
+         CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+  FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+  GROUP BY v.doc_id
+),
+imgs AS (
+  SELECT doc_id, source,
+    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1793 + 256)
+     * (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 1793 + 256))
+      AS resolution
+  FROM documents
+),
+kk AS (
+  SELECT c.doc_id, i.source, i.resolution,
+         first_value(c.doc_id) OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY i.resolution DESC, c.doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) = c.doc_id AS is_keeper
+  FROM clusters c JOIN imgs i ON i.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+       CAST(SUM(resolution) AS BIGINT) AS res_total,
+       CAST(SUM(CASE WHEN is_keeper THEN resolution ELSE 0 END) AS BIGINT)
+         AS res_kept,
+       ((SUM(resolution) - SUM(CASE WHEN is_keeper THEN resolution ELSE 0 END))
+        * 1000) // SUM(resolution) AS savings_milli
+FROM kk GROUP BY source ORDER BY source
 """
 
 ORACLE_PHASH_KEEPERS = _ORACLE_PHASH_GRAPH + """,
@@ -5584,6 +5663,7 @@ PIPELINE_QUERIES = {
     "phash_near_dup": q_phash_near_dup,
     "phash_clusters": q_phash_clusters,
     "phash_keepers": q_phash_keepers,
+    "image_dedup_savings": q_image_dedup_savings,
     "cluster_size_histogram": q_cluster_size_histogram,
     "embedding_dispersion": q_embedding_dispersion,
     "corpus_datacard": q_corpus_datacard,
@@ -5694,6 +5774,7 @@ PIPELINE_ORACLES = {
     "phash_near_dup": ORACLE_PHASH_NEAR_DUP,
     "phash_clusters": ORACLE_PHASH_CLUSTERS,
     "phash_keepers": ORACLE_PHASH_KEEPERS,
+    "image_dedup_savings": ORACLE_IMAGE_DEDUP_SAVINGS,
     "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,
     "embedding_dispersion": ORACLE_EMBEDDING_DISPERSION,
     "corpus_datacard": ORACLE_CORPUS_DATACARD,

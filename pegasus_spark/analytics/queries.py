@@ -952,6 +952,77 @@ ORDER BY dev_cents DESC, custkey ASC
 """
 
 
+def q_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the Q5 join rolled up
+    to (nation, year) with a lag window for the prior year. Revenue sums
+    as DECIMAL and rounds ONCE; the growth rate is
+    floor((cur − prev)·1000 / prev) over the two already-rounded doubles
+    (floor of a correctly-rounded IEEE quotient — identical on both
+    engines; DIV is avoided because growth can be NEGATIVE and Spark DIV
+    truncates toward zero while DuckDB // floors). First observed year
+    reports NULL growth, not zero.
+
+    Scale shape: the two fact joins shuffle on their keys once, nation
+    broadcasts, and the lag window partitions on nation over a
+    |nations|·|years| bounded rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    dec = lambda cn: F.col(cn).cast("decimal(18,4)")  # noqa: E731
+    rolled = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                    .cast("decimal(28,8)")
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    return (
+        rolled.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn(
+            "growth_milli",
+            F.floor(
+                (F.col("revenue") - F.col("prev_revenue")) * 1000 / F.col("prev_revenue")
+            ).cast("bigint"),
+        )
+        .orderBy("nation", "yr")
+    )
+
+
+ORACLE_REVENUE_YOY = """
+WITH rolled AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+         ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate)
+)
+SELECT nation, yr, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       CAST(floor((revenue - lag(revenue) OVER w) * 1000 / lag(revenue) OVER w)
+            AS BIGINT) AS growth_milli
+FROM rolled
+WINDOW w AS (PARTITION BY nation ORDER BY yr)
+ORDER BY nation, yr
+"""
+
+
 def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority fulfillment-lag percentiles: days from order date to
     the EARLIEST lineitem ship date, exact percentile_disc rank math
@@ -2192,6 +2263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_churn": q_daily_churn,
     "user_concentration": q_user_concentration,
     "fulfillment_lag": q_fulfillment_lag,
+    "revenue_yoy": q_revenue_yoy,
     "top_paths": q_top_paths,
     "session_abandonment": q_session_abandonment,
     **PIPELINE_QUERIES,
@@ -2236,6 +2308,7 @@ ORACLE_SQL: dict[str, str] = {
     "daily_churn": ORACLE_DAILY_CHURN,
     "user_concentration": ORACLE_USER_CONCENTRATION,
     "fulfillment_lag": ORACLE_FULFILLMENT_LAG,
+    "revenue_yoy": ORACLE_REVENUE_YOY,
     "top_paths": ORACLE_TOP_PATHS,
     "session_abandonment": ORACLE_SESSION_ABANDONMENT,
     **PIPELINE_ORACLES,

@@ -42,6 +42,7 @@ from pegasus_spark.analytics.pipeline_queries import (
     q_vocab_stats,
 )
 from pegasus_spark.analytics.queries import (
+    q_revenue_yoy,
     q_brand_supplier_counts,
     q_daily_volume_ma7,
     q_promo_revenue_share,
@@ -1500,3 +1501,66 @@ class TestFulfillmentLag:
             for p, col in ((25, "p25"), (50, "p50"), (75, "p75"), (95, "p95")):
                 assert r[col] == vals[(p * n + 99) // 100 - 1][0]
             assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+
+
+class TestImageDedupSavings:
+    def test_keeper_ledger_consistency(self, spark):
+        from pegasus_spark.analytics.pipeline_queries import (
+            q_image_dedup_savings,
+            q_phash_keepers,
+        )
+
+        keepers = q_phash_keepers(spark, SF_TEST_DIR).collect()
+        res = {
+            r[0]: ((int(hashlib.md5(str(r[0]).encode()).hexdigest()[:4], 16) % 1793 + 256)
+                   * (int(hashlib.md5(str(r[0]).encode()).hexdigest()[4:8], 16) % 1793 + 256))
+            for r in [(k["doc_id"],) for k in keepers]
+        }
+        con = duckdb.connect()
+        src_of = dict(con.sql(
+            f"SELECT doc_id, source FROM '{SF_TEST_DIR}/documents.parquet'"
+        ).fetchall())
+        con.close()
+        want: dict = defaultdict(lambda: [0, 0, 0, 0])
+        for k in keepers:
+            cell = want[src_of[k["doc_id"]]]
+            r = res[k["doc_id"]]
+            cell[0] += 1
+            cell[2] += r
+            if k["is_keeper"]:
+                cell[1] += 1
+                cell[3] += r
+        got = q_image_dedup_savings(spark, SF_TEST_DIR).collect()
+        assert {r["source"] for r in got} == set(want)
+        for r in got:
+            ni, nk, rt, rk = want[r["source"]]
+            assert (r["n_images"], r["n_keepers"], r["res_total"], r["res_kept"]) == (
+                ni, nk, rt, rk
+            )
+            assert r["savings_milli"] == ((rt - rk) * 1000) // rt
+            # planted duplicate groups mean every source saves something
+            assert r["n_keepers"] < r["n_images"]
+            assert r["savings_milli"] > 0
+
+
+class TestRevenueYoy:
+    def test_growth_math_and_negative_floor(self, spark):
+        import math as _math
+
+        rows = q_revenue_yoy(spark, SF_TEST_DIR).collect()
+        by_nation: dict[str, list] = defaultdict(list)
+        for r in rows:
+            by_nation[r["nation"]].append(r)
+        saw_negative = False
+        for nation, rs in by_nation.items():
+            assert [r["yr"] for r in rs] == sorted(r["yr"] for r in rs)
+            assert rs[0]["prev_revenue"] is None and rs[0]["growth_milli"] is None
+            for prev, cur in zip(rs, rs[1:]):
+                assert cur["prev_revenue"] == prev["revenue"]
+                want = _math.floor(
+                    (cur["revenue"] - prev["revenue"]) * 1000 / prev["revenue"]
+                )
+                assert cur["growth_milli"] == want
+                if want < 0:
+                    saw_negative = True
+        assert saw_negative, "no negative growth — the floor-vs-DIV distinction is untested"
