@@ -2216,6 +2216,540 @@ ORDER BY p.prev_type, p.next_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Relational completeness batch (round 5): the remaining classic TPC-H plan
+# shapes expressible over the driver tables — big-big join + count-of-counts
+# (Q13), decorrelated same-table scalar subquery (Q17), having-semi-join
+# (Q18), disjunctive pushdown (Q19), stacked EXISTS/NOT-EXISTS (Q21),
+# 1-row-broadcast + anti join (Q22), and the two-dim big join (Q7). Each is
+# the canonical physical pattern a migrating reference user would expect the
+# engine to plan well; Q2/Q9/Q11/Q20 need partsupp, which the driver tables
+# don't carry.
+# ---------------------------------------------------------------------------
+
+
+def _dec(cn: str):
+    return F.col(cn).cast("decimal(18,4)")
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: the distribution of orders-per-customer — customer LEFT
+    OUTER joins its non-urgent orders, counts per customer (zeros kept),
+    then a count-of-counts histogram.
+
+    Scale: the first agg keys on custkey so it is bounded by |customer|
+    (the partial agg collapses order rows map-side); the histogram agg has
+    at most max-orders-per-customer keys, so the second exchange is tiny.
+    The outer join keeps customers with no surviving orders (c_count=0) —
+    a join+inner-count would silently drop them. At 100 TB the
+    customer⋈orders join shuffles both sides on custkey once; no window,
+    no driver collect."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: yearly revenue lost if small-quantity orders (below 20%%
+    of the part's average order quantity) for one brand moved to bulk —
+    the canonical correlated scalar subquery over the SAME fact table,
+    decorrelated into a per-part partial agg + equi join.
+
+    Scale: the per-part (sum, count) agg is bounded by |part| and
+    combines map-side; the brand filter rides the broadcast part dim so
+    only brand lines reach the join. The 0.2·avg threshold is exact
+    integer cross-multiplication (5·qty·cnt < sum on the DECIMAL grid) —
+    no float mean; the single output row divides once at the end."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).cast("decimal(28,8)").alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(_dec("l_quantity") * F.col("cnt") * F.lit(5) < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice").cast("decimal(28,8)")).cast("double") / 7.0, 4
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("small_lines"),
+        )
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,8)) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+             AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS small_lines
+FROM lineitem l
+JOIN part ON l_partkey = p_partkey
+JOIN per_part a ON a.l_partkey = l.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(18,4)) * a.cnt * 5 < a.sum_qty
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: the top-100 largest orders by total quantity (> 300
+    units) with their customers — a HAVING filter on a fact-table agg,
+    semi-joined back to the order/customer detail.
+
+    Scale: the orderkey agg combines map-side and the >300 filter drops
+    ~99%% of orders BEFORE any join, so the joins move only the survivors;
+    the big side is never re-shuffled for the customer join (survivor set
+    is broadcastable at any realistic selectivity). Quantities sum on the
+    DECIMAL grid; top-100 is TakeOrderedAndProject with an orderkey
+    tie-break on the raw (bit-identical) totalprice order key."""
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(28,8)").alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(300).cast("decimal(18,4)"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sum_qty").cast("double"), 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,8)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,8))
+         > CAST(300 AS DECIMAL(18,4))
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(CAST(sum_qty AS DOUBLE), 4) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue from three OR'd brand/size/quantity bands — the
+    disjunctive-predicate pattern that tests whether per-side conjuncts
+    still push down. l_partkey IS NOT NULL-style common conjuncts are
+    absent by construction; the shared l_quantity envelope (1..40) is
+    factored out so the fact scan prunes before the join.
+
+    Scale: part is a broadcast dim carrying the brand/size legs; the OR
+    residual evaluates post-join inside codegen. The fact side reads only
+    (partkey, quantity, extendedprice, discount). One row out; the sum is
+    DECIMAL-exact."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 40)
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(
+                    (_dec("l_extendedprice")
+                     * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+                    .cast("decimal(28,8)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_lines"),
+        )
+    )
+
+
+ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT round(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+             AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS matched_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 1 AND l_quantity <= 40
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1  AND 20)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 40))
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the ONLY late supplier on a finished
+    multi-supplier order — stacked EXISTS (another supplier shipped the
+    same order) and NOT EXISTS (another supplier was ALSO late), late
+    meaning shipped more than 90 days after the order date.
+
+    Scale: both subqueries become one LEFT SEMI and one LEFT ANTI on the
+    orderkey equi-key with the suppkey inequality as a residual — three
+    shuffles of orderkey-keyed projections total, no join+distinct, no
+    window. Supplier is a broadcast dim; the final agg has at most
+    |supplier| keys. Top-20 with a name tie-break."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    l1 = late.select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    other_ship = (F.col("k2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey"))
+    other_late = (F.col("k3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(l2, on=other_ship, how="left_semi")
+        .join(l3, on=other_late, how="left_anti")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per-nation count and balance of above-average-balance
+    customers with NO order since 1999 — the 1-row-broadcast scalar
+    subquery (global positive-balance average) plus an anti join against
+    recent orders.
+
+    Scale: the global average is one combinable (sum, count) agg reduced
+    to a single broadcast row; the above-average test is exact integer
+    cross-multiplication (bal·cnt > sum) so no float mean is ever
+    compared. The anti join shuffles custkey-keyed projections only; the
+    recent-order filter pushes to the orders scan. Final agg is bounded
+    by |nation|."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).cast("decimal(28,8)").alias("sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt_pos"),
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("cnt_pos") > F.col("sum_pos"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(
+                F.sum(_dec("c_acctbal").cast("decimal(28,8)")).cast("double"), 4
+            ).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_IDLE_CUSTOMERS = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(28,8)) AS sum_pos,
+         CAST(count(*) AS BIGINT) AS cnt_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+             AS DOUBLE), 4) AS totacctbal
+FROM customer
+CROSS JOIN pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * cnt_pos > sum_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between two nations per year, both
+    directions — the two-dimension big join (lineitem⋈orders on orderkey
+    is the centerpiece; supplier and customer carry the nation legs).
+
+    Scale: supplier pre-filters to the two nations BEFORE touching
+    lineitem (broadcast semi), so the fact scan's join input shrinks by
+    ~|nations|/2 immediately; the customer leg joins after the
+    orderkey shuffle and the pair predicate drops non-qualifying rows
+    before the final tiny agg (2 nations × 2 directions × years). The
+    year comes off l_shipdate so no second date column is shuffled."""
+    pair = ("NATION_1", "NATION_2")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cnk"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    (_dec("l_extendedprice")
+                     * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+                    .cast("decimal(28,8)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+ORACLE_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS yr,
+       round(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+             AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP ladder (region → nation → grand total) over
+    order revenue — the subtotal surface `source_lang_cube`'s CUBE does
+    not demonstrate (ROLLUP emits only the hierarchy's prefixes, so the
+    Expand replicates each row 3×, not 4×). GROUPING() flags distinguish
+    subtotal rows from real NULL keys; labels coalesce to '(all)'.
+
+    Scale: customer/nation/region are broadcast dims; orders shuffles
+    once on custkey, then ONE Expand feeds a single partial-aggregable
+    exchange whose key space is ≤ |region|·|nation|+|region|+1 — three
+    separate GROUP BYs would scan the fact table three times."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(_dec("o_totalprice").cast("decimal(28,8)")).cast("double"), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "g_region",
+            "g_nation",
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("g_region", "g_nation", "region_name", "nation_name")
+    )
+
+
+ORACLE_REVENUE_ROLLUP = """
+SELECT COALESCE(r_name, '(all)') AS region_name,
+       COALESCE(n_name, '(all)') AS nation_name,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       round(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+             AS DOUBLE), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY g_region, g_nation, region_name, nation_name
+"""
+
+
+def q_behavior_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set-operation surface: distinct (user,
+    event_type) behavior pairs on an early day vs a late day — how much
+    of the behavior grid repeated, lapsed, or is new. Day granularity
+    because every synthetic user is active in every multi-day window
+    (user-level set ops would be degenerate: all 150 users intersect).
+
+    Scale: Spark compiles intersect/subtract on pre-distinct inputs to
+    LEFT SEMI / LEFT ANTI joins plus one distinct agg each — the pair
+    sets are bounded by |users|·|event types| so every exchange is tiny;
+    the date filters push to the events scan. Three 1-row branches union
+    into the 3-row segment table."""
+    ev = load(spark, sf_dir, "events")
+    day = lambda d: (  # noqa: E731
+        ev.filter(F.col("ts").cast("date") == F.lit(d).cast("date"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a, b = day("2024-01-02"), day("2024-01-29")
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")).select(
+            F.lit(name).alias("segment"), "n_pairs"
+        )
+
+    return (
+        seg("repeated", a.intersect(b))
+        .unionByName(seg("lapsed", a.subtract(b)))
+        .unionByName(seg("new", b.subtract(a)))
+        .orderBy("segment")
+    )
+
+
+ORACLE_BEHAVIOR_SET_OPS = """
+WITH a AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+),
+b AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-29'
+)
+SELECT 'repeated' AS segment,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_pairs
+UNION ALL
+SELECT 'lapsed',
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+UNION ALL
+SELECT 'new',
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+ORDER BY segment
+"""
+
+
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2266,6 +2800,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_yoy": q_revenue_yoy,
     "top_paths": q_top_paths,
     "session_abandonment": q_session_abandonment,
+    "order_count_distribution": q_order_count_distribution,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_orders": q_large_orders,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_customers": q_idle_customers,
+    "trade_volume": q_trade_volume,
+    "revenue_rollup": q_revenue_rollup,
+    "behavior_set_ops": q_behavior_set_ops,
     **PIPELINE_QUERIES,
 }
 
@@ -2311,5 +2854,14 @@ ORACLE_SQL: dict[str, str] = {
     "revenue_yoy": ORACLE_REVENUE_YOY,
     "top_paths": ORACLE_TOP_PATHS,
     "session_abandonment": ORACLE_SESSION_ABANDONMENT,
+    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
+    "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+    "large_orders": ORACLE_LARGE_ORDERS,
+    "disjunctive_revenue": ORACLE_DISJUNCTIVE_REVENUE,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "idle_customers": ORACLE_IDLE_CUSTOMERS,
+    "trade_volume": ORACLE_TRADE_VOLUME,
+    "revenue_rollup": ORACLE_REVENUE_ROLLUP,
+    "behavior_set_ops": ORACLE_BEHAVIOR_SET_OPS,
     **PIPELINE_ORACLES,
 }
