@@ -1057,6 +1057,94 @@ class TestRelationalBatchPlans:
         assert "BroadcastHashJoin" in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
 
+    def test_waiting_suppliers_is_semi_plus_anti(self, spark):
+        """Q21's stacked EXISTS / NOT EXISTS must compile to exactly one
+        LeftSemi and one LeftAnti — never a join + Deduplicate pass."""
+        from pegasus_spark.analytics.queries import q_waiting_suppliers
+
+        plan = (
+            q_waiting_suppliers(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "Deduplicate" not in plan, plan
+
+    def test_order_count_distribution_keeps_outer_zeros(self, spark):
+        """Q13's customer join must stay LEFT OUTER (zero-order customers
+        are rows, not casualties) and the c_count=0 bucket must exist at
+        a scale where some customer places no non-urgent order."""
+        from pegasus_spark.analytics.queries import q_order_count_distribution
+
+        df = q_order_count_distribution(spark, SF_TEST_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftOuter" in plan, plan
+        rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+        assert sum(rows.values()) == 1500  # every sf0.01 customer reported
+
+    def test_large_orders_filters_before_joining(self, spark):
+        """Q18's >300 HAVING must sit under the joins (the agg+filter
+        prunes the fact side before any order/customer rows move) and the
+        top-100 must be TakeOrderedAndProject."""
+        from pegasus_spark.analytics.queries import q_large_orders
+
+        qe = q_large_orders(spark, SF_TEST_DIR)._jdf.queryExecution()
+        opt = qe.optimizedPlan().toString()
+        join_at = opt.index("Join")
+        agg_at = opt.index("Aggregate", join_at)  # agg nested below a join
+        assert agg_at > join_at, opt
+        filt_at = opt.index("Filter", join_at)
+        assert "sum_qty" in opt[filt_at:agg_at + 400], opt
+        assert "TakeOrderedAndProject" in qe.executedPlan().toString()
+
+    def test_disjunctive_revenue_pushes_quantity_envelope(self, spark):
+        """Q19's factored l_quantity envelope must reach the lineitem
+        parquet scan as pushed filters; part stays a broadcast dim."""
+        from pegasus_spark.analytics.queries import q_disjunctive_revenue
+
+        plan = (
+            q_disjunctive_revenue(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        pushed = plan[plan.index("PushedFilters"):][:300]
+        assert "l_quantity" in pushed, pushed
+
+    def test_idle_customers_is_anti_join(self, spark):
+        """Q22's NOT EXISTS must compile to a LeftAnti; the only
+        nested-loop join allowed is the 1-row scalar-average broadcast."""
+        from pegasus_spark.analytics.queries import q_idle_customers
+
+        plan = (
+            q_idle_customers(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "LeftAnti" in plan, plan
+
+    def test_behavior_set_ops_compiles_to_semi_anti(self, spark):
+        """INTERSECT/EXCEPT must lower to LeftSemi/LeftAnti joins over the
+        pre-distinct pair sets — Spark has no physical set-op operator, so
+        this is the shape that proves the surface isn't a union+groupBy."""
+        from pegasus_spark.analytics.queries import q_behavior_set_ops
+
+        plan = (
+            q_behavior_set_ops(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+
+    def test_revenue_rollup_is_one_expand(self, spark):
+        """The ROLLUP ladder must be ONE Expand feeding one aggregate —
+        not three scans; ROLLUP(a, b) emits 3 grouping-set replicas."""
+        from pegasus_spark.analytics.queries import q_revenue_rollup
+
+        plan = (
+            q_revenue_rollup(spark, SF_TEST_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Expand") == 1, plan
+
 
 class TestParetoDocs:
     def test_matches_bruteforce_dominance(self, spark):
