@@ -419,7 +419,11 @@ def q_near_dup_clusters(spark, sf_dir):
     return D.near_dup_clusters(docs, pairs).orderBy("doc_id")
 
 
-ORACLE_NEAR_DUP_CLUSTERS = r"""
+# Shared recursive-CTE body: minhash signatures → LSH bands → surviving
+# pairs (p) → transitive closure (reach). ORACLE_NEAR_DUP_CLUSTERS and
+# ORACLE_CLUSTER_DENSITY both build on it so the pair/closure definition
+# can't drift between the assignment gate and the density audit.
+_ORACLE_MINHASH_CC_BODY = r"""
 WITH RECURSIVE t AS (SELECT doc_id, trim(text) AS tt FROM documents),
 pos AS (
   SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
@@ -460,12 +464,67 @@ reach(s, d) AS (
   SELECT s, d FROM e
   UNION
   SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
-)
+)"""
+
+ORACLE_NEAR_DUP_CLUSTERS = _ORACLE_MINHASH_CC_BODY + r"""
 SELECT v.doc_id,
        CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
 FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
 GROUP BY v.doc_id
 ORDER BY v.doc_id
+"""
+
+
+def q_cluster_density(spark, sf_dir):
+    """Transitive-merge risk audit of the near-dup clusters (the false-merge
+    failure mode SemDeDup/RefinedWeb warn about): per cluster size, how many
+    of the C(s,2) possible pairs are DIRECT LSH-surviving near-dup pairs.
+    A 2-cluster is always density 1000‰ (its one edge is what merged it);
+    a large cluster at low density was built by CHAINING — A~B~C~…~Z where
+    A and Z may share nothing — and is the cluster a curation run should
+    re-verify before keeping one doc for all of it. At sf0.01 the corpus
+    has exactly this pathology: a 396-doc component at single-digit
+    per-mille density next to honest 2/3-clusters at 666-1000‰.
+
+    Scale shape: the LSH pair plan is checkpointed ONCE and feeds both the
+    CC build and the density join; the per-cluster pair count joins pairs
+    to the assignment on id_a (both ends share a cluster by construction,
+    so one join suffices); everything after the assignment is
+    cluster-id-keyed and the output is bounded by the number of DISTINCT
+    cluster sizes. All ratios are exact BIGINT·1000 DIV."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    clusters = D.near_dup_clusters(docs, pairs)
+    return D.cluster_pair_density(clusters, pairs)
+
+
+ORACLE_CLUSTER_DENSITY = _ORACLE_MINHASH_CC_BODY + r""",
+assign AS (
+  SELECT v.doc_id,
+         CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+  FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+  GROUP BY v.doc_id
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS s
+  FROM assign GROUP BY cluster_id HAVING count(*) >= 2
+),
+pc AS (
+  SELECT a.cluster_id, CAST(count(*) AS BIGINT) AS d
+  FROM p JOIN assign a ON a.doc_id = p.id_a
+  GROUP BY a.cluster_id
+)
+SELECT s AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(coalesce(d, 0)) AS BIGINT) AS n_direct_pairs,
+       CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS n_possible_pairs,
+       CAST((SUM(coalesce(d, 0)) * 1000) // SUM((s * (s - 1)) // 2)
+            AS BIGINT) AS density_milli
+FROM sizes LEFT JOIN pc USING (cluster_id)
+GROUP BY s
+ORDER BY cluster_size
 """
 
 
@@ -5605,6 +5664,7 @@ PIPELINE_QUERIES = {
     "minhash_accuracy": q_minhash_accuracy,
     "minhash_threshold_sweep": q_minhash_threshold_sweep,
     "near_dup_clusters": q_near_dup_clusters,
+    "cluster_density": q_cluster_density,
     "cross_modal_clusters": q_cross_modal_clusters,
     "dedup_keepers": q_dedup_keepers,
     "curated_corpus": q_curated_corpus,
@@ -5716,6 +5776,7 @@ PIPELINE_ORACLES = {
     "minhash_accuracy": ORACLE_MINHASH_ACCURACY,
     "minhash_threshold_sweep": ORACLE_MINHASH_THRESHOLD_SWEEP,
     "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
+    "cluster_density": ORACLE_CLUSTER_DENSITY,
     "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
     "dedup_keepers": ORACLE_DEDUP_KEEPERS,
     "curated_corpus": ORACLE_CURATED_CORPUS,

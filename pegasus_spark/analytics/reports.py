@@ -287,6 +287,33 @@ def caption_dup_histogram(items: DataFrame) -> DataFrame:
     return group_size_histogram(keyed, key_col="caption_md5")
 
 
+def image_cluster_density(items: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Transitive-merge risk audit over a committed items table's phash
+    near-dup clusters — the crawl-side consumer of
+    ``textops.dedup.cluster_pair_density``: per cluster size, how many of
+    the possible member pairs are DIRECT Hamming pairs. A large cluster
+    at low per-mille density was merged by CHAINING (drift series A~B~C
+    where the endpoints exceed the radius) — the cluster an operator
+    re-verifies before letting the image keeper pass collapse it to one
+    copy. Scale shape: the pair graph comes from the bucketed chunk join
+    (hamming_near_dups — 8-byte chunk values shuffle, never bytes), the
+    pair plan is checkpointed once for CC + density, and the output is
+    bounded by distinct cluster sizes."""
+    from pegasus_spark.textops.dedup import (
+        cluster_pair_density,
+        hamming_near_dups,
+        near_dup_clusters,
+    )
+
+    keyed = items.select("image_id", "phash")
+    pairs = hamming_near_dups(
+        keyed, "phash", max_hamming=max_hamming, chunks=4,
+        id_col="image_id", n_bits=64,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    clusters = near_dup_clusters(keyed, pairs, id_col="image_id")
+    return cluster_pair_density(clusters, pairs, id_col="image_id")
+
+
 def caption_span_report(items: DataFrame, n: int = 3) -> DataFrame:
     """Per-region boilerplate-SPAN triage over a committed items table — the
     crawl-side consumer of ``dup_span_stats`` (Lee et al. 2022 exact-substring

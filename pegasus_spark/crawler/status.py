@@ -247,6 +247,27 @@ def crawl_datacard(
     return [r.asDict() for r in caption_datacard(items).collect()]
 
 
+def crawl_image_cluster_density(
+    spark: SparkSession, workdir: str, store: FrontierStore | None = None,
+) -> list[dict[str, Any]]:
+    """Phash-cluster density audit over the COMMITTED items table
+    (reports.image_cluster_density, the crawl twin of the gated
+    cluster_density): per cluster size, how many possible member pairs are
+    direct Hamming pairs — a big low-density cluster was merged by a drift
+    chain and deserves a look before the keeper pass collapses it. Reads
+    only manifest-referenced rounds, so it is safe while a crawl runs."""
+    store = store or FrontierStore(spark, workdir)
+    ckpt = store.load_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+    items = store.read_appended("items", ckpt.appended_rounds)
+    if items is None:
+        raise FileNotFoundError(f"no committed items rounds under {workdir}")
+    from pegasus_spark.analytics.reports import image_cluster_density
+
+    return [r.asDict() for r in image_cluster_density(items).collect()]
+
+
 
 def crawl_rule_ablation(
     spark: SparkSession, workdir: str, store: FrontierStore | None = None,
@@ -457,12 +478,14 @@ def main(argv: list[str] | None = None) -> int:
     vocab = "--vocab" in argv
     collocations = "--collocations" in argv
     history = "--history" in argv
+    density = "--density" in argv
     argv = [
         a for a in argv
         if a not in (
             "--compact", "--dup-report", "--span-report", "--recrawl",
             "--politeness", "--pii", "--datacard", "--ablation", "--sweep",
             "--volume", "--vocab", "--collocations", "--history",
+            "--density",
         )
     ]
     if len(argv) != 1:
@@ -470,7 +493,8 @@ def main(argv: list[str] | None = None) -> int:
             "usage: python -m pegasus_spark.crawler.status"
             " [--compact] [--dup-report] [--span-report] [--recrawl]"
             " [--politeness] [--pii] [--datacard] [--ablation] [--sweep]"
-            " [--volume] [--vocab] [--collocations] [--history] <workdir>",
+            " [--volume] [--vocab] [--collocations] [--history]"
+            " [--density] <workdir>",
             file=sys.stderr,
         )
         return 2
@@ -560,6 +584,14 @@ def main(argv: list[str] | None = None) -> int:
             out["price_history"] = crawl_price_history(spark, argv[0], store)
         except FileNotFoundError as exc:
             print(f"--history: {exc}", file=sys.stderr)
+            return 2
+    if density:
+        try:
+            out["image_cluster_density"] = crawl_image_cluster_density(
+                spark, argv[0], store
+            )
+        except FileNotFoundError as exc:
+            print(f"--density: {exc}", file=sys.stderr)
             return 2
     if compact:
         # maintenance: expire store versions no checkpoint references

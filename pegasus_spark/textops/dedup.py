@@ -423,6 +423,55 @@ def near_dup_clusters(
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def cluster_pair_density(
+    clusters: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive-merge risk audit over a near_dup_clusters assignment:
+    per cluster SIZE, how many of the C(s,2) possible member pairs are
+    DIRECT near-dup pairs. A 2-cluster is always 1000‰ (its single edge
+    merged it); a large cluster at low density was built by CHAINING
+    (A~B~C~…~Z with A,Z possibly unrelated) — the false-merge failure
+    mode SemDeDup/RefinedWeb flag, and the cluster to re-verify before
+    keeping one member for all of it. Shared by the text gate
+    (`cluster_density`) and the crawl-store image report
+    (`reports.image_cluster_density`).
+
+    Scale shape: pass an already-checkpointed ``pairs`` (both the CC
+    build and this join read it); the pair→cluster join keys on id_a
+    (both ends share a cluster by construction, one join suffices);
+    everything after the assignment is cluster-id-keyed, and the output
+    is bounded by the number of DISTINCT cluster sizes. All ratios are
+    exact BIGINT·1000 DIV."""
+    sizes = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+        .filter(F.col("s") >= 2)
+    )
+    pc = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .join(clusters, id_col)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    per = sizes.join(pc, "cluster_id", "left").select(
+        "s", F.coalesce("d", F.lit(0)).cast("bigint").alias("d")
+    )
+    return (
+        per.groupBy(F.col("s").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("d").cast("bigint").alias("n_direct_pairs"),
+            F.sum(F.expr("(s * (s - 1)) DIV 2")).cast("bigint")
+            .alias("n_possible_pairs"),
+        )
+        .withColumn(
+            "density_milli",
+            F.expr("(n_direct_pairs * 1000) DIV n_possible_pairs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def cluster_keepers(
     clusters: DataFrame, metrics: DataFrame, id_col: str = "doc_id",
     metric_col: str = "quality",

@@ -514,6 +514,67 @@ def test_vocab_cli_surface(crawl, capsys):
     assert payload["caption_vocab"] == rep
 
 
+def test_density_cli_surface(crawl, capsys):
+    """`status --density` publishes the phash-cluster density audit
+    (reports.image_cluster_density, the crawl twin of the gated
+    cluster_density): the table matches a brute-force Python recount —
+    O(n²) Hamming pairs at radius 3, union-find components, per-size
+    direct/possible pair densities — over the committed items."""
+    import json
+    from collections import Counter, defaultdict
+
+    from pegasus_spark.crawler.status import crawl_image_cluster_density, main
+
+    spec, sched, result, ckpt = crawl
+    items = sched.store.read_appended("items", ckpt.appended_rounds)
+    ph = {r["image_id"]: r["phash"] for r in items.select("image_id", "phash").collect()}
+    ids = sorted(ph)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1") <= 3
+    ]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = defaultdict(list)
+    for i in ids:
+        members[find(i)].append(i)
+    sizes = {root: len(m) for root, m in members.items() if len(m) >= 2}
+    direct = Counter()
+    for a, _ in pairs:
+        direct[find(a)] += 1
+    want = defaultdict(lambda: [0, 0, 0])  # size → [n_clusters, direct, possible]
+    for root, s in sizes.items():
+        want[s][0] += 1
+        want[s][1] += direct[root]
+        want[s][2] += s * (s - 1) // 2
+    rep = crawl_image_cluster_density(sched.spark, sched.store.workdir, sched.store)
+    got = {r["cluster_size"]: r for r in rep}
+    assert set(got) == set(want)
+    for s, (nc, d, p) in want.items():
+        row = got[s]
+        assert row["n_clusters"] == nc
+        assert row["n_direct_pairs"] == d
+        assert row["n_possible_pairs"] == p
+        assert row["density_milli"] == d * 1000 // p
+
+    rc = main(["--density", sched.store.workdir])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["image_cluster_density"] == rep
+
+
 def test_pii_cli_surface(crawl, capsys):
     """The crawl CLI answers "what would a scrub redact" from the COMMITTED
     items table: crawl_pii_report's per-region counts match a plain-Python

@@ -333,6 +333,36 @@ def test_caption_datacard_by_region(spark):
     assert ra["top_fmt"] == "jpeg" and rb["top_fmt"] == "jpeg"
 
 
+def test_image_cluster_density_flags_chained_merges(spark):
+    """A drift chain A~B~C (3 bits per hop, endpoints at 6 bits — outside
+    the radius) must land in ONE cluster whose density shows it was merged
+    by chaining (2 of 3 possible pairs direct → 666‰), next to an honest
+    pair at 1000‰; singletons never report."""
+    from pegasus_spark.analytics.reports import image_cluster_density
+
+    items = spark.createDataFrame(
+        [
+            ("img-ra-0001-01", 0),            # A
+            ("img-ra-0001-02", 0b111),        # B: 3 bits from A
+            ("img-ra-0001-03", 0b111111),     # C: 3 bits from B, 6 from A
+            ("img-rb-0002-01", 0xFF00000000),  # D: 8 bits from A/B/C region
+            ("img-rb-0002-02", 0xFF00000001),  # E: 1 bit from D
+            ("img-rb-0003-01", 0x5A5A5A5A5A5A5A5A),  # far singleton
+        ],
+        "image_id string, phash long",
+    )
+    rows = {r["cluster_size"]: r for r in image_cluster_density(items).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["n_clusters"] == 1
+    assert rows[2]["n_direct_pairs"] == 1
+    assert rows[2]["n_possible_pairs"] == 1
+    assert rows[2]["density_milli"] == 1000
+    assert rows[3]["n_clusters"] == 1
+    assert rows[3]["n_direct_pairs"] == 2  # A-B and B-C; A-C exceeds radius
+    assert rows[3]["n_possible_pairs"] == 3
+    assert rows[3]["density_milli"] == 666
+
+
 def test_caption_dup_histogram_yield_curve(spark):
     """Crawl-side dedup yield curve: 3 captions shared by 2/3/1 items →
     histogram rows (1,1), (2,1), (3,1) with cum_docs 1→3→6."""
