@@ -475,6 +475,264 @@ ORDER BY v.doc_id
 """
 
 
+def q_hits_scores(spark, sf_dir):
+    """HITS hub/authority scores (Kleinberg 1999) over the same
+    deterministic host graph as `pagerank` — the second classic
+    link-analysis prior a crawl scheduler consults (hubs = listing/index
+    hosts worth re-crawling for discovery, authorities = content hosts
+    worth fetching deeply; pegasus's region→listing→detail traversal is
+    exactly a hub→authority walk). Three unrolled mutual-recursion
+    rounds: auth ← Σ in-neighbor hubs, hub ← Σ out-neighbor NEW auths,
+    each renormalized to an L∞=10⁶ BIGINT grid via `score·10⁶ DIV
+    max(score)` — integer sums and DIV keep every round bit-identical
+    across engines and partitionings (the pagerank discipline; max is
+    floored at 1 so an empty side can't divide by zero).
+
+    Scale shape: identical to pagerank — the corpus crosses ONE exchange
+    (the (src, dst) host distinct, |V|²-bounded); degrees, the node set,
+    and all six per-round joins run on that bounded graph with the score
+    side broadcast. At 100 TB only the edge-dedup scan grows."""
+    n_hosts = 97
+    docs = _docs(spark, sf_dir).select("doc_id")
+    dst = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % n_hosts
+    )
+    edges = (
+        docs.select((F.col("doc_id") % n_hosts).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    hub = nodes.select("host", F.lit(1000000).cast("bigint").alias("s"))
+
+    def _norm(scored):
+        m = scored.agg(
+            F.greatest(F.max("s"), F.lit(1)).cast("bigint").alias("m")
+        )
+        return scored.crossJoin(F.broadcast(m)).select(
+            "host", F.expr("s * 1000000 DIV m").cast("bigint").alias("s")
+        )
+
+    auth = None
+    for _ in range(3):
+        ac = (
+            edges.join(F.broadcast(hub), edges.src == hub.host)
+            .groupBy("dst")
+            .agg(F.sum("s").alias("c"))
+        )
+        auth = _norm(
+            nodes.join(F.broadcast(ac), nodes.host == ac.dst, "left").select(
+                "host", F.coalesce("c", F.lit(0)).cast("bigint").alias("s")
+            )
+        )
+        hc = (
+            edges.join(F.broadcast(auth), edges.dst == auth.host)
+            .groupBy("src")
+            .agg(F.sum("s").alias("c"))
+        )
+        hub = _norm(
+            nodes.join(F.broadcast(hc), nodes.host == hc.src, "left").select(
+                "host", F.coalesce("c", F.lit(0)).cast("bigint").alias("s")
+            )
+        )
+    return (
+        nodes.join(
+            F.broadcast(auth.select("host", F.col("s").alias("auth_micro"))), "host"
+        )
+        .join(F.broadcast(hub.select("host", F.col("s").alias("hub_micro"))), "host")
+        .orderBy("host")
+    )
+
+
+def _hits_iter_sql(i: int) -> str:
+    prev_hub = f"hn{i - 1}" if i > 0 else "s0"
+    return f"""
+ac{i} AS (
+  SELECT e.dst AS host, SUM(h.s) AS c FROM e JOIN {prev_hub} h ON h.host = e.src
+  GROUP BY e.dst
+),
+a{i} AS (
+  SELECT n.host, CAST(coalesce(ac{i}.c, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN ac{i} ON ac{i}.host = n.host
+),
+am{i} AS (SELECT greatest(MAX(s), 1) AS m FROM a{i}),
+an{i} AS (SELECT host, CAST(s * 1000000 // m AS BIGINT) AS s FROM a{i}, am{i}),
+hc{i} AS (
+  SELECT e.src AS host, SUM(a.s) AS c FROM e JOIN an{i} a ON a.host = e.dst
+  GROUP BY e.src
+),
+h{i} AS (
+  SELECT n.host, CAST(coalesce(hc{i}.c, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN hc{i} ON hc{i}.host = n.host
+),
+hm{i} AS (SELECT greatest(MAX(s), 1) AS m FROM h{i}),
+hn{i} AS (SELECT host, CAST(s * 1000000 // m AS BIGINT) AS s FROM h{i}, hm{i})"""
+
+
+ORACLE_HITS_SCORES = (
+    """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 97 AS dst
+    FROM documents
+  ) WHERE src <> dst
+),
+nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+s0 AS (SELECT host, CAST(1000000 AS BIGINT) AS s FROM nodes),"""
+    + ",".join(_hits_iter_sql(i) for i in range(3))
+    + """
+SELECT n.host, an2.s AS auth_micro, hn2.s AS hub_micro
+FROM nodes n
+JOIN an2 ON an2.host = n.host
+JOIN hn2 ON hn2.host = n.host
+ORDER BY n.host
+"""
+)
+
+
+def q_shingle_df_histogram(spark, sf_dir):
+    """Document-frequency spectrum of the 5-shingles — the evidence table
+    behind every df-cut decision (ngram_jaccard's max_df_frac hot-gram
+    anti-join, CCNet's head/tail split): per log2 df band, how many
+    distinct shingles live there and how many postings (doc, shingle)
+    they carry. The Zipf head is the point: at sf0.01 the top band holds
+    76 shingles carrying 29k postings — the boilerplate a pair search
+    must cut before it quadratically explodes. The band is the exact
+    length(bin(df))−1 identity (length_histogram's rule) so no float
+    log2 can drift a power-of-two boundary between engines.
+
+    Scale shape: distinct (doc, shingle) explode → (shingle) partial-agg
+    count — the exchange is VOCABULARY-sized (one row per distinct
+    shingle, map-side combined, boilerplate mega-keys collapse early) —
+    then a ≤64-band rollup. Text never moves past the explode."""
+    d = _docs(spark, sf_dir).select("doc_id", F.trim("text").alias("_t"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(_t) - 4, 1)),"
+                    " j -> substring(_t, j, 5))"
+                )
+            )
+        ).alias("s"),
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        df.groupBy((F.length(F.bin("df")) - 1).cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_SHINGLE_DF_HISTOGRAM = r"""
+WITH t AS (SELECT doc_id, trim(text) AS tt FROM documents),
+pos AS (
+  SELECT doc_id, tt, unnest(generate_series(1, greatest(length(tt) - 4, 1))) AS i FROM t
+),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 5) AS s FROM pos),
+df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+SELECT CAST(length(bin(df)) - 1 AS INT) AS band,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS n_postings
+FROM df GROUP BY band ORDER BY band
+"""
+
+
+def q_dup_quality_gap(spark, sf_dir):
+    """What does dedup actually remove? Exact quality/length comparison
+    of CLUSTERED docs (any doc in a ≥2-member near-dup cluster) vs UNIQUE
+    docs — the datasheet row that justifies (or indicts) a dedup pass:
+    if clustered docs score like unique ones, the pass costs diversity
+    for nothing; here they differ, and the table quantifies it. Means are
+    exact: token sums are BIGINTs and the 4-dp quality re-quantizes to a
+    10⁴ grid via round(q·10⁴, 0) — the product of a 4-dp-rounded double
+    and 10⁴ is within 1e-10 of an integer, so round-to-nearest lands both
+    engines on the same BIGINT (floor would not).
+
+    Scale shape: the pair/CC build is the dedup pipeline's own cost; the
+    gap table adds one broadcast-sized join of ≥2-cluster ids and one
+    2-key partial agg. Output: 2 rows."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    clusters = D.near_dup_clusters(docs, pairs)
+    multi = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .filter(F.col("_s") >= 2)
+        .join(clusters, "cluster_id")
+        .select("doc_id", F.lit(True).alias("_dup"))
+    )
+    q = T.with_quality(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("nt"),
+        F.round(F.col("quality") * 10000, 0).cast("bigint").alias("q4"),
+    )
+    return (
+        q.join(multi, "doc_id", "left")
+        .groupBy(
+            F.when(F.col("_dup"), F.lit("clustered"))
+            .otherwise(F.lit("unique"))
+            .alias("dup_status")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("SUM(nt) DIV COUNT(*)").cast("bigint").alias("mean_tokens"),
+            F.expr("SUM(q4) DIV COUNT(*)").cast("bigint").alias("mean_quality_e4"),
+        )
+        .orderBy("dup_status")
+    )
+
+
+ORACLE_DUP_QUALITY_GAP = _ORACLE_MINHASH_CC_BODY + r""",
+assign AS (
+  SELECT v.doc_id,
+         CAST(least(v.doc_id, coalesce(MIN(r.d), v.doc_id)) AS BIGINT) AS cluster_id
+  FROM documents v LEFT JOIN reach r ON r.s = v.doc_id
+  GROUP BY v.doc_id
+),
+multi AS (
+  SELECT doc_id FROM assign
+  WHERE cluster_id IN (
+    SELECT cluster_id FROM assign GROUP BY cluster_id HAVING count(*) >= 2
+  )
+),
+q AS (
+  SELECT m.doc_id, m.n AS nt,
+         CAST(round(round(least(m.n / 64.0, 1.0) * 0.5
+               + (1.0 - least(m.n_stop * 1.0 / m.n, 1.0)) * 0.3
+               + least(((m.tlen - (m.n - 1)) * 1.0 / m.n) / 8.0, 1.0) * 0.2, 4)
+             * 10000, 0) AS BIGINT) AS q4
+  FROM (
+    SELECT doc_id, length(tt) AS tlen, len(toks) AS n,
+           len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS n_stop
+    FROM (
+      SELECT doc_id, tt, regexp_split_to_array(tt, '\s+') AS toks
+      FROM t
+    )
+  ) m
+)
+SELECT CASE WHEN mu.doc_id IS NOT NULL THEN 'clustered' ELSE 'unique' END AS dup_status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) // count(*) AS BIGINT) AS mean_tokens,
+       CAST(SUM(q4) // count(*) AS BIGINT) AS mean_quality_e4
+FROM q LEFT JOIN multi mu ON mu.doc_id = q.doc_id
+GROUP BY dup_status
+ORDER BY dup_status
+"""
+
+
 def q_cluster_density(spark, sf_dir):
     """Transitive-merge risk audit of the near-dup clusters (the false-merge
     failure mode SemDeDup/RefinedWeb warn about): per cluster size, how many
@@ -5665,6 +5923,9 @@ PIPELINE_QUERIES = {
     "minhash_threshold_sweep": q_minhash_threshold_sweep,
     "near_dup_clusters": q_near_dup_clusters,
     "cluster_density": q_cluster_density,
+    "shingle_df_histogram": q_shingle_df_histogram,
+    "dup_quality_gap": q_dup_quality_gap,
+    "hits_scores": q_hits_scores,
     "cross_modal_clusters": q_cross_modal_clusters,
     "dedup_keepers": q_dedup_keepers,
     "curated_corpus": q_curated_corpus,
@@ -5777,6 +6038,9 @@ PIPELINE_ORACLES = {
     "minhash_threshold_sweep": ORACLE_MINHASH_THRESHOLD_SWEEP,
     "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
     "cluster_density": ORACLE_CLUSTER_DENSITY,
+    "shingle_df_histogram": ORACLE_SHINGLE_DF_HISTOGRAM,
+    "dup_quality_gap": ORACLE_DUP_QUALITY_GAP,
+    "hits_scores": ORACLE_HITS_SCORES,
     "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
     "dedup_keepers": ORACLE_DEDUP_KEEPERS,
     "curated_corpus": ORACLE_CURATED_CORPUS,
