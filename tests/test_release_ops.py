@@ -93,6 +93,105 @@ class TestPagerank:
         assert keys == sorted(keys)
 
 
+class TestHitsScores:
+    def test_matches_integer_replay_and_norm_invariants(self, spark, docs_rows):
+        """q_hits_scores must equal a plain-Python integer replay of the
+        3 unrolled rounds (same edges as pagerank, auth←Σ hub over
+        in-edges, hub←Σ NEW auth over out-edges, L∞ renorm to 10⁶ via
+        // max), and the renorm contract must hold: every score in
+        [0, 10⁶] with both maxima pinned at exactly 10⁶."""
+        from pegasus_spark.analytics.pipeline_queries import q_hits_scores
+
+        edges = set()
+        for doc_id, *_ in docs_rows:
+            src, dst = doc_id % 97, _md5_bucket(doc_id, 97)
+            if src != dst:
+                edges.add((src, dst))
+        nodes = {s for s, _ in edges} | {d for _, d in edges}
+        hub = {h: 1_000_000 for h in nodes}
+        for _ in range(3):
+            ac: dict[int, int] = defaultdict(int)
+            for s, d in edges:
+                ac[d] += hub[s]
+            m = max(max(ac.values(), default=0), 1)
+            auth = {h: ac.get(h, 0) * 1_000_000 // m for h in nodes}
+            hc: dict[int, int] = defaultdict(int)
+            for s, d in edges:
+                hc[s] += auth[d]
+            m = max(max(hc.values(), default=0), 1)
+            hub = {h: hc.get(h, 0) * 1_000_000 // m for h in nodes}
+        got = q_hits_scores(spark, SF_TEST_DIR).collect()
+        assert len(got) == len(nodes)
+        for r in got:
+            assert r["auth_micro"] == auth[r["host"]]
+            assert r["hub_micro"] == hub[r["host"]]
+            assert 0 <= r["auth_micro"] <= 1_000_000
+            assert 0 <= r["hub_micro"] <= 1_000_000
+        assert max(r["auth_micro"] for r in got) == 1_000_000
+        assert max(r["hub_micro"] for r in got) == 1_000_000
+
+
+class TestClusterPairDensity:
+    def test_matches_union_find_replay_on_random_graph(self, spark):
+        """dedup.cluster_pair_density over a seeded random pair graph must
+        equal a union-find replay, and the invariants must hold: every
+        density ≤ 1000‰ and every 2-cluster exactly 1000‰ (its one edge
+        is what merged it)."""
+        import random
+
+        from pegasus_spark.textops.dedup import (
+            cluster_pair_density,
+            near_dup_clusters,
+        )
+
+        rng = random.Random(42)
+        n = 120
+        ids = list(range(n))
+        pairs = sorted(
+            {tuple(sorted(rng.sample(ids, 2))) for _ in range(60)}
+        )
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        clusters = near_dup_clusters(docs, pdf)
+        got = {
+            r["cluster_size"]: r
+            for r in cluster_pair_density(clusters, pdf).collect()
+        }
+
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members = defaultdict(int)
+        for i in ids:
+            members[find(i)] += 1
+        direct = Counter(find(a) for a, _ in pairs)
+        want = defaultdict(lambda: [0, 0, 0])
+        for root, s in members.items():
+            if s >= 2:
+                want[s][0] += 1
+                want[s][1] += direct[root]
+                want[s][2] += s * (s - 1) // 2
+        assert set(got) == set(want)
+        for s, (nc, d, p) in want.items():
+            row = got[s]
+            assert row["n_clusters"] == nc
+            assert row["n_direct_pairs"] == d
+            assert row["n_possible_pairs"] == p
+            assert row["density_milli"] == d * 1000 // p
+            assert row["density_milli"] <= 1000
+        if 2 in got:
+            assert got[2]["density_milli"] == 1000
+
+
 class TestLengthPercentiles:
     def test_matches_rank_math_replay(self, spark, docs_rows):
         by_src: dict[str, list[tuple[int, int]]] = defaultdict(list)
