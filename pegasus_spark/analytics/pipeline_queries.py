@@ -475,6 +475,59 @@ ORDER BY v.doc_id
 """
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity re-identification risk audit (Sweeney 2002) over the
+    quasi-identifier tuple (source, lang, log2 length band) — the privacy
+    datasheet row a release review asks for next to the PII scrub: how
+    many docs sit in quasi-identifier groups smaller than k=5, i.e. are
+    re-identifiable by their metadata alone if any one attribute links to
+    an external record. The length band uses the exact length(bin(n))−1
+    identity so the quasi-id itself can't drift between engines.
+
+    Scale shape: one (source, lang, band) partial-agg groupBy (bounded by
+    the quasi-id grid, combines map-side) → one per-source rollup with
+    conditional sums; no joins, text never moves. risk_milli is exact
+    BIGINT·1000 DIV."""
+    q = _docs(spark, sf_dir).select(
+        "source", "lang", (F.length(F.bin("n_chars")) - 1).cast("int").alias("band")
+    )
+    g = q.groupBy("source", "lang", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gs")
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("gs").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("gs") < 5, F.col("gs")).otherwise(0))
+            .cast("bigint").alias("n_at_risk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("gs") < 5, 1).otherwise(0))
+            .cast("bigint").alias("n_small_groups"),
+        )
+        .withColumn("risk_milli", F.expr("(n_at_risk * 1000) DIV n_docs"))
+        .orderBy("source")
+    )
+
+
+ORACLE_K_ANONYMITY = """
+WITH q AS (
+  SELECT doc_id, source, lang, length(bin(n_chars)) - 1 AS band FROM documents
+),
+g AS (
+  SELECT source, lang, band, CAST(count(*) AS BIGINT) AS gs
+  FROM q GROUP BY source, lang, band
+)
+SELECT source,
+       CAST(SUM(gs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT) AS n_at_risk,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       CAST((SUM(CASE WHEN gs < 5 THEN gs ELSE 0 END) * 1000) // SUM(gs)
+            AS BIGINT) AS risk_milli
+FROM g GROUP BY source ORDER BY source
+"""
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hub/authority scores (Kleinberg 1999) over the same
     deterministic host graph as `pagerank` — the second classic
@@ -5926,6 +5979,7 @@ PIPELINE_QUERIES = {
     "shingle_df_histogram": q_shingle_df_histogram,
     "dup_quality_gap": q_dup_quality_gap,
     "hits_scores": q_hits_scores,
+    "k_anonymity": q_k_anonymity,
     "cross_modal_clusters": q_cross_modal_clusters,
     "dedup_keepers": q_dedup_keepers,
     "curated_corpus": q_curated_corpus,
@@ -6041,6 +6095,7 @@ PIPELINE_ORACLES = {
     "shingle_df_histogram": ORACLE_SHINGLE_DF_HISTOGRAM,
     "dup_quality_gap": ORACLE_DUP_QUALITY_GAP,
     "hits_scores": ORACLE_HITS_SCORES,
+    "k_anonymity": ORACLE_K_ANONYMITY,
     "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
     "dedup_keepers": ORACLE_DEDUP_KEEPERS,
     "curated_corpus": ORACLE_CURATED_CORPUS,
