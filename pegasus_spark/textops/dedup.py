@@ -202,8 +202,7 @@ def minhash_accuracy(
     doc) that shuffled ~10⁸ skinny rows — measured 23 s for the t≥4
     audit and 73 s for the t≥1 sweep late in the bench suite; the array
     form moves each pair's two ~0.5 KB arrays once and intersects
-    locally (measured 9.4 s cold / 2.1 s warm for the audit, 2.6 s for
-    the sweep, values identical). Verify exchanges are O(|pairs| · doc
+    locally (values identical). Verify exchanges are O(|pairs| · doc
     bytes) regardless of corpus size in the sort-merge form; when the
     participant set is small enough to broadcast (≤ 32768 ids — ~130 MB
     at ~4 KB of shingle array per 300-char doc, well under the 8 GB
