@@ -3020,6 +3020,41 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity-proxy score (T.bigram_logprob) — the
+    conditional-probability step between unigram_logprob and CCNet's
+    real 5-gram KenLM: mean add-one-smoothed bigram log-prob per
+    document, exact BIGINT sums of once-quantized pair log-probs."""
+    return T.bigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_BIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2)
+),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY a, b),
+ca AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cab GROUP BY a),
+v AS (
+  SELECT count(DISTINCT tok)::DOUBLE AS v
+  FROM (SELECT unnest(tk) AS tok FROM toks)
+),
+lp AS (
+  SELECT a, b, CAST(floor(ln((c + 1) / (ca + v)) * 1000000) AS BIGINT) AS lpq
+  FROM cab JOIN ca USING (a) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lpq) / (count(*) * 1000000.0), 4) AS avg_logprob
+FROM bg JOIN lp USING (a, b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-doc duplicated 8-token-span stats (D.dup_span_stats) — the
     exact-substring-dedup triage signal. Pre-repartition on doc_id so the
@@ -5989,6 +6024,7 @@ PIPELINE_QUERIES = {
     "dup_quality_gap": q_dup_quality_gap,
     "hits_scores": q_hits_scores,
     "k_anonymity": q_k_anonymity,
+    "bigram_logprob": q_bigram_logprob,
     "cross_modal_clusters": q_cross_modal_clusters,
     "dedup_keepers": q_dedup_keepers,
     "curated_corpus": q_curated_corpus,
@@ -6105,6 +6141,7 @@ PIPELINE_ORACLES = {
     "dup_quality_gap": ORACLE_DUP_QUALITY_GAP,
     "hits_scores": ORACLE_HITS_SCORES,
     "k_anonymity": ORACLE_K_ANONYMITY,
+    "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "cross_modal_clusters": ORACLE_CROSS_MODAL_CLUSTERS,
     "dedup_keepers": ORACLE_DEDUP_KEEPERS,
     "curated_corpus": ORACLE_CURATED_CORPUS,

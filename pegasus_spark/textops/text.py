@@ -1023,6 +1023,70 @@ def epoch_schedule(
     )
 
 
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM quality score — `unigram_logprob`'s conditional step
+    toward CCNet's real 5-gram KenLM: score every document (with ≥ 2
+    tokens) by the mean log-probability of its bigrams under the
+    corpus's OWN add-one-smoothed bigram model,
+    P(b|a) = (c(a,b)+1) / (c(a·)+V). A unigram model can't see word
+    ORDER — shuffled boilerplate scores identically; the bigram model
+    is the cheapest one that can.
+
+    Parity discipline is unigram_logprob's, one level up: each distinct
+    (a, b) log-prob quantizes ONCE to floor(ln(·)·1e6), the per-doc
+    reduction is an exact BIGINT sum, and the final mean divides exact
+    integers before one 4-dp round. The prefix count c(a·) derives from
+    the bigram table (Σ_b c(a,b)) — not raw unigram counts — so the
+    conditional distribution sums to 1 over the smoothed vocabulary.
+
+    Scale shape: one explode → (a, b) partial-agg shuffle (vocab²-
+    bounded, Zipf head combines map-side) → prefix rollup on a → join
+    back (broadcastable at real vocab sizes) → one (id) partial agg.
+    V rides a 1-row broadcast. Docs with a single token have no bigram
+    and drop — they have no conditional probability to score."""
+    tk = tokens_col()
+    bg = df.select(id_col, tk.alias("_tk")).filter(F.size("_tk") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tk) - 1),"
+                " i -> struct(_tk[i - 1] AS a, _tk[i] AS b))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ca = cab.groupBy("a").agg(F.sum("c").cast("bigint").alias("ca"))
+    v = df.select(F.explode(tk).alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    lp = (
+        cab.join(ca, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a",
+            "b",
+            F.floor(F.log((F.col("c") + 1) / (F.col("ca") + F.col("v"))) * 1_000_000)
+            .cast("bigint")
+            .alias("lpq"),
+        )
+    )
+    return (
+        bg.join(lp, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lpq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("_s") / (F.col("n_bigrams") * F.lit(1_000_000.0)), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Unigram-LM quality score — the perplexity-proxy filter of a CCNet-style
     curation pipeline (Wenzek et al. 2019): score every document by the mean
