@@ -2750,6 +2750,140 @@ ORDER BY segment
 """
 
 
+def q_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per ship mode, how many lineitems shipped in one year
+    belong to high- vs low-priority orders — the conditional-CASE-sum
+    pair grouped by a small dimension. The driver tables carry no
+    shipmode column, so the mode is md5-synthesized per
+    (orderkey, linenumber) — the same deterministic-dim synthesis the
+    ratio-bucket and phash families use; the PLAN SHAPE (year filter
+    pushed, orderkey join, two conditional sums over a 4-key group) is
+    what this query demonstrates.
+
+    Scale: the shipdate window prunes the scan; the priority flags ride
+    the orders side of one orderkey-keyed join; the final agg is 4 rows
+    with map-side partials."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    modes = F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("AIR"), F.lit("TRUCK"))
+    mode = F.element_at(
+        modes,
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint") % 4
+            + 1
+        ).cast("int"),
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", mode.alias("shipmode"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi_pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(hi_pri, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi_pri, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+ORACLE_SHIPMODE_COUNTS = """
+WITH l AS (
+  SELECT l_orderkey,
+    ['MAIL','SHIP','AIR','TRUCK'][1 +
+      ('0x' || substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),
+       1, 7))::BIGINT % 4] AS shipmode
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT shipmode,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM l JOIN orders ON l_orderkey = o_orderkey
+GROUP BY shipmode ORDER BY shipmode
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the supplier(s) with THE maximum revenue over one
+    quarter — the classic view + global-max scalar-subquery pattern
+    (revenue per supplier, then keep rows equal to max(revenue)), which
+    is the argmax form that needs NO window and NO top-k heap: the
+    1-row max broadcasts back against the bounded per-supplier rollup.
+
+    Scale: the quarter filter pushes to the lineitem scan; the revenue
+    agg is bounded by |supplier| and combines map-side; the max is a
+    1-row broadcast; supplier is a broadcast dim. Revenue compares on
+    the already-rounded 4-dp value (round-before-compare discipline) so
+    the equality can't split on a last-ulp difference."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    dec = lambda cn: F.col(cn).cast("decimal(18,4)")  # noqa: E731
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice")
+                     * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                    .cast("decimal(28,8)")
+                ).cast("double"),
+                4,
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+               AS DECIMAL(28,8))) AS DOUBLE), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2809,6 +2943,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trade_volume": q_trade_volume,
     "revenue_rollup": q_revenue_rollup,
     "behavior_set_ops": q_behavior_set_ops,
+    "shipmode_counts": q_shipmode_counts,
+    "top_supplier": q_top_supplier,
     **PIPELINE_QUERIES,
 }
 
@@ -2863,5 +2999,7 @@ ORACLE_SQL: dict[str, str] = {
     "trade_volume": ORACLE_TRADE_VOLUME,
     "revenue_rollup": ORACLE_REVENUE_ROLLUP,
     "behavior_set_ops": ORACLE_BEHAVIOR_SET_OPS,
+    "shipmode_counts": ORACLE_SHIPMODE_COUNTS,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
     **PIPELINE_ORACLES,
 }
