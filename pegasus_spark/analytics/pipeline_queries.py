@@ -411,12 +411,11 @@ def q_near_dup_clusters(spark, sf_dir):
     Oracle = DuckDB recursive CTE transitive closure over the same pairs —
     genuinely iterative on the Spark side (min-label propagation, converges
     in O(component diameter) rounds), exactly SQL-expressible at oracle
-    scale."""
-    docs = _docs(spark, sf_dir)
-    pairs = D.minhash_near_dups(
-        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
-    ).select("id_a", "id_b")
-    return D.near_dup_clusters(docs, pairs).orderBy("doc_id")
+    scale. The pair+CC build is memoized per session/input
+    (_minhash_cluster_df) and shared with the density and quality-gap
+    audits — the materialized-cluster-table discipline."""
+    _pairs, clusters = _minhash_cluster_df(spark, sf_dir)
+    return clusters.orderBy("doc_id")
 
 
 # Shared recursive-CTE body: minhash signatures → LSH bands → surviving
@@ -721,14 +720,12 @@ def q_dup_quality_gap(spark, sf_dir):
     and 10⁴ is within 1e-10 of an integer, so round-to-nearest lands both
     engines on the same BIGINT (floor would not).
 
-    Scale shape: the pair/CC build is the dedup pipeline's own cost; the
-    gap table adds one broadcast-sized join of ≥2-cluster ids and one
-    2-key partial agg. Output: 2 rows."""
+    Scale shape: the pair/CC build is the dedup pipeline's own cost
+    (shared via the _minhash_cluster_df memo); the gap table adds one
+    broadcast-sized join of ≥2-cluster ids and one 2-key partial agg.
+    Output: 2 rows."""
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_near_dups(
-        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
-    clusters = D.near_dup_clusters(docs, pairs)
+    _pairs, clusters = _minhash_cluster_df(spark, sf_dir)
     multi = (
         clusters.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("_s"))
@@ -811,12 +808,9 @@ def q_cluster_density(spark, sf_dir):
     to the assignment on id_a (both ends share a cluster by construction,
     so one join suffices); everything after the assignment is
     cluster-id-keyed and the output is bounded by the number of DISTINCT
-    cluster sizes. All ratios are exact BIGINT·1000 DIV."""
-    docs = _docs(spark, sf_dir)
-    pairs = D.minhash_near_dups(
-        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
-    clusters = D.near_dup_clusters(docs, pairs)
+    cluster sizes. All ratios are exact BIGINT·1000 DIV. The pair+CC
+    build rides the shared _minhash_cluster_df memo."""
+    pairs, clusters = _minhash_cluster_df(spark, sf_dir)
     return D.cluster_pair_density(clusters, pairs)
 
 
@@ -881,12 +875,47 @@ def reset_cluster_memo() -> None:
     that unpersist the session's RDD blocks (bench.py does, before its crawl
     phase) MUST also clear this memo or the next consumer would read a
     truncated plan whose blocks are gone."""
-    for df in _CLUSTER_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    for entry in _CLUSTER_CACHE.values():
+        for df in entry if isinstance(entry, tuple) else (entry,):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     _CLUSTER_CACHE.clear()
+
+
+def _minhash_cluster_df(spark, sf_dir):
+    """Shared by q_near_dup_clusters / q_cluster_density /
+    q_dup_quality_gap: the minhash LSH pair graph and its connected-
+    component assignment, each built ONCE per (session, sf_dir, input
+    mtime) — the cross-modal memo discipline applied to the
+    single-evidence chain. A real pipeline materializes the pair table
+    and the cluster assignment once and runs the density/quality audits
+    against them; recomputing the t≥4 pair search + CC per audit cost
+    ~4.5 s each at sf0.1. Returns (pairs, clusters), both eagerly
+    checkpointed."""
+    import os
+
+    def _mt(name):
+        try:
+            return os.path.getmtime(os.path.join(sf_dir, name))
+        except OSError:
+            return -1.0
+
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, "minhash-cc",
+        _mt("documents.parquet"),
+    )
+    cached = _CLUSTER_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        docs, n_hashes=8, k=5, bands=4, rows=2, min_sig_match=4
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    clusters = D.near_dup_clusters(docs, pairs).localCheckpoint(eager=True)
+    _CLUSTER_CACHE[cache_key] = (pairs, clusters)
+    return pairs, clusters
 
 
 def _cross_modal_cluster_df(spark, sf_dir):
